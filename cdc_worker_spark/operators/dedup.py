@@ -1,0 +1,308 @@
+"""Deduplication operators (north-star extension set; BASELINE.json).
+
+Exact dedup, MinHash-LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup
+over the ``documents`` / ``embeddings`` tables.
+
+Scale design (100 TB):
+- Exact dedup is a hash-groupBy on a normalized digest — one shuffle of
+  (digest, doc_id), never of document text.
+- MinHash/SimHash/LSH banding turns the O(n^2) pair space into equi-joins on
+  band keys: only same-bucket docs ever meet in a shuffle.
+- Verification (exact Jaccard / cosine) runs on candidate pairs only.
+- Blocking keys (lang, label) bound bucket sizes; at real scale add length
+  buckets and salt hot buckets.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_worker_spark.plans.registry import query
+from cdc_worker_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------- helpers
+
+
+def tokens_distinct(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, w): distinct unigram tokens per document."""
+    return docs.select(
+        "doc_id", "lang", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
+    )
+
+
+def shingles_distinct(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, g): distinct word-trigram shingles per document."""
+    ws = F.split("text", " ")
+    idx = F.when(
+        F.size(ws) >= 3, F.sequence(F.lit(1), F.size(ws) - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    tri = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", F.element_at(ws, i), F.element_at(ws, i + 1), F.element_at(ws, i + 2)
+        ),
+    )
+    return docs.select(
+        "doc_id", "lang", F.explode(F.array_distinct(tri)).alias("g")
+    )
+
+
+def seq_fold_sum(arr: Column) -> Column:
+    """Strictly sequential left-fold sum (seeded with the first element) —
+    bitwise-identical to DuckDB's list_reduce, unlike a parallel SUM."""
+    return F.aggregate(
+        F.slice(arr, 2, F.size(arr) - 1), F.element_at(arr, 1), lambda acc, x: acc + x
+    )
+
+
+def dot_col(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product of two double arrays."""
+    return seq_fold_sum(F.zip_with(a, b, lambda x, y: x * y))
+
+
+def with_double_vec(emb: DataFrame) -> DataFrame:
+    """embeddings + dv (double vector) + nrm (squared norm, sequential fold)."""
+    dv = F.transform("embedding", lambda x: x.cast("double"))
+    return emb.withColumn("dv", dv).withColumn("nrm", dot_col(F.col("dv"), F.col("dv")))
+
+
+# ---------------------------------------------------------------- queries
+
+
+@query(
+    "q_dedup_exact",
+    oracle=r"""
+    WITH h AS (SELECT doc_id,
+                      sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+                        AS text_hash
+               FROM documents)
+    SELECT text_hash, count(*) AS n_dups, min(doc_id) AS first_doc_id
+    FROM h GROUP BY text_hash HAVING count(*) > 1
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: normalize (collapse whitespace, lowercase) -> sha256
+    digest -> hash-groupBy. The digest, not the text, is what shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    digest = F.sha2(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), 256)
+    return (
+        docs.select("doc_id", digest.alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("first_doc_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+@query(
+    "q_dedup_ngram_jaccard",
+    oracle="""
+    WITH tri AS (
+      SELECT DISTINCT doc_id, lang,
+             ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+      FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents) d,
+           LATERAL unnest(range(1, greatest(len(ws) - 1, 1))) AS t(i)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+              FROM tri a JOIN tri b ON a.g = b.g AND a.lang = b.lang
+                                   AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.3
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram (word trigram) Jaccard near-dup pairs, blocked by lang.
+
+    Pair generation is an equi-join on shingle+lang (no O(n^2) cross join);
+    Jaccard = |A∩B| / (|A|+|B|-|A∩B|) — integer counts, one double division,
+    exact on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    tri = shingles_distinct(docs)
+    sizes = tri.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = tri.alias("a")
+    b = tri.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_common").cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("n_common")
+    )
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.3)
+    )
+
+
+#: MinHash configuration: 8 permutations, 4 bands x 2 rows
+_MINHASH_K = 8
+_MINHASH_BANDS = 4
+
+
+@query("q_dedup_minhash")  # rows-only: xxhash64 permutations are engine-specific
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup detection: shingle -> K minhashes (xxhash64 with
+    K seeds) -> band -> bucket equi-join -> exact-Jaccard verify of candidates.
+
+    The LSH banding is what scales: candidate pairs come from joins on band
+    values, so cost tracks true-duplicate density, not n^2. Verification
+    reuses the exact unigram Jaccard on the (small) candidate set."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = tokens_distinct(docs)
+    sig = tok.groupBy("doc_id").agg(
+        *[F.min(F.xxhash64(F.col("w"), F.lit(k))).alias(f"h{k}") for k in range(_MINHASH_K)]
+    )
+    rows_per_band = _MINHASH_K // _MINHASH_BANDS
+    bands = sig.select(
+        "doc_id",
+        *[
+            F.xxhash64(
+                F.lit(b), *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias(f"band{b}")
+            for b in range(_MINHASH_BANDS)
+        ],
+    )
+    cand_per_band = [
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col(f"x.band{b}") == F.col(f"y.band{b}"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        for b in range(_MINHASH_BANDS)
+    ]
+    cand = reduce(DataFrame.unionByName, cand_per_band).distinct()
+
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n"))
+    ta = tok.select(F.col("doc_id").alias("doc_a"), "w")
+    tb = tok.select(F.col("doc_id").alias("doc_b"), "w")
+    inter = (
+        cand.join(ta, "doc_a").join(tb, ["doc_b", "w"]).groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.4)
+    )
+
+
+@query("q_dedup_simhash")  # rows-only: xxhash64 bit votes are engine-specific
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates: 16-bit signature from per-token hash bit
+    votes; candidate pairs share a 4-bit band and pass hamming(xor) <= 3
+    (bit_count — JVM-side)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = tokens_distinct(docs).withColumn("h", F.xxhash64("w"))
+    votes = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(16)
+        ]
+    )
+    simhash = votes.select(
+        "doc_id",
+        reduce(
+            lambda acc, b: acc
+            + F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0)),
+            range(16),
+            F.lit(0).cast("bigint"),
+        ).alias("simhash"),
+    )
+    banded = simhash.select(
+        "doc_id",
+        "simhash",
+        *[
+            F.shiftright(F.col("simhash"), 4 * b).bitwiseAND(F.lit(0xF)).alias(f"band{b}")
+            for b in range(4)
+        ],
+    )
+    cands = [
+        banded.alias("x")
+        .join(
+            banded.alias("y"),
+            (F.col(f"x.band{b}") == F.col(f"y.band{b}"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.simhash").alias("sh_a"),
+            F.col("y.simhash").alias("sh_b"),
+        )
+        for b in range(4)
+    ]
+    pairs = reduce(DataFrame.unionByName, cands).distinct()
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return pairs.select("doc_a", "doc_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= 3
+    )
+
+
+@query(
+    "q_dedup_embedding",
+    oracle="""
+    WITH v AS (SELECT vec_id, label,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+               FROM embeddings),
+         n AS (SELECT vec_id, label, dv,
+                      list_reduce(list_transform(list_zip(dv, dv), p -> p[1] * p[2]),
+                                  (a, b) -> a + b) AS nrm
+               FROM v),
+         pairs AS (
+           SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                  list_reduce(list_transform(list_zip(a.dv, b.dv), p -> p[1] * p[2]),
+                              (x, y) -> x + y) / (sqrt(a.nrm) * sqrt(b.nrm)) AS cos
+           FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+    SELECT vec_a, vec_b, round(cos, 6) AS cos_sim
+    FROM pairs WHERE cos > 0.8
+    """,
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by label. Cosine is computed
+    with strictly sequential folds (dot and norms) so Spark and DuckDB agree
+    bitwise — threshold compares can't flip. At real scale the label block
+    becomes an LSH/IVF bucket (q_sim_ann_lsh)."""
+    emb = with_double_vec(load_table(spark, sf_dir, "embeddings"))
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("label").alias("label_a"),
+        F.col("dv").alias("dv_a"), F.col("nrm").alias("nrm_a"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("label").alias("label_b"),
+        F.col("dv").alias("dv_b"), F.col("nrm").alias("nrm_b"),
+    )
+    cos = dot_col(F.col("dv_a"), F.col("dv_b")) / (
+        F.sqrt(F.col("nrm_a")) * F.sqrt(F.col("nrm_b"))
+    )
+    return (
+        a.join(b, (F.col("label_a") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")))
+        .withColumn("cos", cos)
+        .filter(F.col("cos") > 0.8)
+        .select("vec_a", "vec_b", F.round("cos", 6).alias("cos_sim"))
+    )

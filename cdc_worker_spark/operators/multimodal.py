@@ -1,0 +1,153 @@
+"""Multimodal columns (north-star extension set): opaque binary payloads with
+typed metadata, decode / feature-extract plumbing as Arrow-batched Pandas UDFs.
+
+Design: media is an opaque ``binary`` column + metadata struct; all Spark-side
+plumbing (schema, partitioning, batch shape) is real. The actual image/audio
+decode is STUBBED (this container has no media libraries): the default
+"decoder" derives deterministic fake metadata from the bytes, and
+``decode_media_batch(..., strict=True)`` raises NotImplementedError where a
+real libjpeg/ffmpeg call would go.
+
+At 100 TB: binary payloads dominate bytes — mapInPandas streams Arrow batches
+through the decoder without materializing the whole partition; metadata-only
+queries never touch the binary column thanks to parquet column pruning.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from cdc_worker_spark.plans.registry import query
+from cdc_worker_spark.sources.tables import load_table
+
+#: schema of decoded media metadata (what a real decoder would emit)
+MEDIA_META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_frames", IntegerType()),
+    ]
+)
+
+
+def with_media_column(docs: DataFrame) -> DataFrame:
+    """Attach an opaque binary media payload (the text bytes stand in for an
+    encoded image) + a media_type tag — the multimodal column shape."""
+    return docs.select(
+        "doc_id",
+        F.encode("text", "utf-8").cast(BinaryType()).alias("media"),
+        F.element_at(
+            F.array(F.lit("image/png"), F.lit("audio/wav"), F.lit("video/mp4")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+    )
+
+
+def decode_media_batch(df: DataFrame, strict: bool = False) -> DataFrame:
+    """Decode media payloads to typed metadata via mapInPandas (Arrow batch
+    transfer — the real-decoder integration point).
+
+    strict=False: deterministic fake decode (metadata derived from byte
+    length) so the plumbing is testable without media libraries.
+    strict=True: the real-decode path — raises NotImplementedError exactly
+    where libjpeg/soundfile/ffmpeg would be invoked.
+    """
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if strict:
+                raise NotImplementedError(
+                    "real media decode requires image/audio libraries not present "
+                    "in this environment; wire libjpeg/soundfile/ffmpeg here"
+                )
+            n = pdf["media"].map(len)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": n.astype("int64"),
+                    # fake decode: dimensions derived deterministically from size
+                    "width": (n % 640 + 1).astype("int32"),
+                    "height": (n % 480 + 1).astype("int32"),
+                    "n_frames": ((n % 24) + 1).astype("int32"),
+                }
+            )
+
+    return df.mapInPandas(decode, MEDIA_META_SCHEMA)
+
+
+def sample_media_chunks(df: DataFrame, chunk: int = 16, every: int = 64) -> DataFrame:
+    """Frame-sampling analogue on opaque bytes: take a `chunk`-byte slice
+    every `every` bytes (native substring on binary — no Python)."""
+    n_chunks = F.floor(F.octet_length("media") / every).cast("int")
+    idx = F.when(n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return df.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(idx, lambda i: F.substring(F.col("media"), i * every + 1, chunk))
+        ).alias("frame_no", "frame_bytes"),
+    )
+
+
+@query(
+    "q_multimodal_join",
+    oracle="""
+    SELECT doc_id, lang, n_chars, label, CAST(len(embedding) AS INT) AS dim
+    FROM documents JOIN embeddings ON doc_id = vec_id
+    """,
+)
+def q_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text ⋈ embedding by id — the multimodal column join."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return docs.join(emb, docs.doc_id == emb.vec_id).select(
+        "doc_id", "lang", "n_chars", "label", F.size("embedding").alias("dim")
+    )
+
+
+@query(
+    "q_multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS content_hash,
+           ['image/png', 'audio/wav', 'video/mp4'][CAST(doc_id % 3 + 1 AS INT)]
+             AS media_type
+    FROM documents
+    """,
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column metadata: payload byte length, content hash, type tag —
+    the metadata-only query that must never read decoded media."""
+    docs = load_table(spark, sf_dir, "documents")
+    return with_media_column(docs).select(
+        "doc_id",
+        F.octet_length("media").cast("bigint").alias("n_bytes"),
+        F.sha2(F.col("media"), 256).alias("content_hash"),
+        "media_type",
+    )
+
+
+@query("q_multimodal_decode")  # rows-only: fake-decode metadata is Spark-side
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode plumbing end-to-end: binary payload -> mapInPandas (Arrow
+    batches) -> typed metadata rows. Decode itself is the documented stub."""
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_media_batch(with_media_column(docs))

@@ -1,0 +1,9 @@
+from cdc_worker_spark.plans.registry import (
+    REGISTRY,
+    QuerySpec,
+    all_oracles,
+    all_queries,
+    query,
+)
+
+__all__ = ["REGISTRY", "QuerySpec", "all_oracles", "all_queries", "query"]

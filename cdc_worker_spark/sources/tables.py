@@ -1,0 +1,68 @@
+"""Batch table loaders over the driver-generated parquet fixtures.
+
+Scan efficiency notes (100 TB design): every query builder projects/filters on
+top of ``spark.read.parquet`` so Catalyst pushes predicates and prunes columns
+into the parquet scan itself (verify with ``.explain`` -> ``PushedFilters`` /
+``ReadSchema``). Nothing in this module collects to the driver.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: every fixture table the driver pre-registers as a DuckDB view (TESTDATA.md)
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Columnar scan of one fixture table (SURVEY §2.3 q_scan_*).
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark rejects by default;
+    ``nanosAsLong`` reads it as int64 nanoseconds (the replay-offset-style raw
+    form — see ``functions.exprs.ts_ms_col`` for the epoch-ms view).
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_events_ms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ``ts_ms`` (epoch milliseconds BIGINT) added.
+
+    CDC queries treat events as the change stream: event_id -> replayId,
+    user_id -> recordId, event_type -> topic/changeType (FIXTURES.md §B).
+    """
+    from cdc_worker_spark.functions.exprs import ts_ms_col
+
+    return load_table(spark, sf_dir, "events").withColumn("ts_ms", ts_ms_col())
+
+
+class Catalog:
+    """Attribute-style access to the fixture tables of one scale factor.
+
+    >>> t = Catalog(spark, "/root/testdata/sf0.001")
+    >>> t.lineitem.join(t.orders, ...)
+    """
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self._spark = spark
+        self._sf_dir = sf_dir
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name.startswith("_"):
+            raise AttributeError(name)
+        return load_table(self._spark, self._sf_dir, name)
