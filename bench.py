@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Queries execute end-to-end into a noop sink (no driver collect) — measures
+scan + shuffle + compute, the parts that matter at 100 TB.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+import re
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+
+#: headline suite: one per operator family, weighted toward shuffle-heavy ops
+HEADLINE = [
+    "q_scan_filter",        # pushed-predicate scan
+    "q_agg_groupby",        # TPC-H Q1 hash agg
+    "q_join_multi",         # 5-table star join
+    "q_join_asof",          # as-of join (join + window)
+    "q_cdc_latest_state",   # flagship latest-wins window
+    "q_cdc_sessionize",     # lag + running sum
+    "q_win_topk_pergroup",  # window group limit
+    "q_text_tokens",        # explode + count
+    "q_dedup_exact",        # digest groupBy
+    "q_dedup_minhash",      # LSH banding + verify
+    "q_sim_cosine_topk",    # brute-force ANN baseline
+    "q_udf_pandas",         # Arrow-batched pandas UDF path
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("cdc-worker-spark-bench")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(max(int(cpus) * 2, 8) if cpus.isdigit() else 32))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from cdc_worker_spark.plans import all_queries
+
+    qs = all_queries()
+
+    # JVM/codegen warmup on the smallest SF (not timed)
+    qs["q_agg_groupby"](spark, "/root/testdata/sf0.001").write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
