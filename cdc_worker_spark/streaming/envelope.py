@@ -1,0 +1,174 @@
+"""CDC event envelope + decode/enrich projection (reference parity).
+
+Wire shape (pubsub_api.proto:57-80): ``ConsumerEvent{event{id, schema_id,
+payload: bytes}, replay_id: bytes}``. The reference decodes the Avro payload
+against a registry-fetched schema (eventParser.js:13), expands the three
+changed-field bitmaps (eventParser.js:15-46), and decodes the big-endian
+uint64 replay id (eventParser.js:160-174).
+
+Spark-first equivalents here:
+- envelope rows arrive as JSON lines (payload = JSON text, replay id =
+  base64 of the 8-byte BE buffer) — ``from_avro`` would slot in identically
+  where the spark-avro jar is available (it is not in this container, so the
+  JSON codec is the tested path and Avro is the documented swap-in);
+- the whole of the reference's parseEvent (B1: offset decode + payload decode
+  + bitmap expansion) is ONE ``select`` of native expressions — no Python in
+  the per-event path, which is what makes it survive 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cdc_worker_spark.functions.bitmap import expand_bitmaps_array_col
+from cdc_worker_spark.functions.offsets import decode_replay_id_col
+
+#: raw stream envelope (one JSON line per event)
+ENVELOPE_SCHEMA = T.StructType(
+    [
+        T.StructField("replay_id_b64", T.StringType()),
+        T.StructField("schema_id", T.StringType()),
+        T.StructField("payload", T.StringType()),
+    ]
+)
+
+#: ordered top-level field list of the Account change-event schema — the
+#: field dictionary the bitmaps index (fixture form of README.md:275-346)
+ACCOUNT_FIELDS = [
+    "ChangeEventHeader",
+    "Name",
+    "Type",
+    "ParentId",
+    "BillingAddress",
+    "ShippingAddress",
+    "Phone",
+    "Fax",
+    "AccountNumber",
+    "Website",
+    "Sic",
+    "Industry",
+    "AnnualRevenue",
+    "NumberOfEmployees",
+    "Ownership",
+    "TickerSymbol",
+    "Description",
+    "Rating",
+    "Site",
+    "OwnerId",
+    "CreatedDate",
+    "CreatedById",
+    "LastModifiedDate",
+    "LastModifiedById",
+]
+
+#: compound (nested record) fields and their ordered children
+ACCOUNT_CHILD_FIELDS = {
+    "BillingAddress": [
+        "Street",
+        "City",
+        "State",
+        "PostalCode",
+        "Country",
+        "StateCode",
+        "CountryCode",
+        "Latitude",
+        "Longitude",
+        "Xyz",
+        "GeocodeAccuracy",
+    ],
+}
+
+_ADDRESS_SCHEMA = T.StructType(
+    [T.StructField(c, T.StringType()) for c in ACCOUNT_CHILD_FIELDS["BillingAddress"]]
+)
+
+_HEADER_SCHEMA = T.StructType(
+    [
+        T.StructField("entityName", T.StringType()),
+        T.StructField("recordIds", T.ArrayType(T.StringType())),
+        T.StructField("changeType", T.StringType()),
+        T.StructField("changeOrigin", T.StringType()),
+        T.StructField("transactionKey", T.StringType()),
+        T.StructField("sequenceNumber", T.IntegerType()),
+        T.StructField("commitTimestamp", T.LongType()),
+        T.StructField("commitNumber", T.LongType()),
+        T.StructField("commitUser", T.StringType()),
+        # wire form: hex bitmaps ("0x..." / "<parentIdx>-0x...")
+        T.StructField("nulledFields", T.ArrayType(T.StringType())),
+        T.StructField("diffFields", T.ArrayType(T.StringType())),
+        T.StructField("changedFields", T.ArrayType(T.StringType())),
+    ]
+)
+
+
+def account_payload_schema() -> T.StructType:
+    """Payload schema of the Account change event (fields NULL when
+    unchanged — the CDC null convention, SURVEY §1.2). Includes a
+    ``_corrupt`` capture column: Spark's from_json yields an all-null struct
+    (not NULL) on malformed input, so corruption is detected via
+    columnNameOfCorruptRecord, mirroring the reference's EventParseError
+    side-channel (eventParseError.js:7-55)."""
+    fields = [T.StructField("_corrupt", T.StringType()),
+              T.StructField("ChangeEventHeader", _HEADER_SCHEMA)]
+    for name in ACCOUNT_FIELDS[1:]:
+        if name in ACCOUNT_CHILD_FIELDS:
+            fields.append(T.StructField(name, _ADDRESS_SCHEMA))
+        elif name in ("AnnualRevenue",):
+            fields.append(T.StructField(name, T.DoubleType()))
+        elif name in ("NumberOfEmployees",):
+            fields.append(T.StructField(name, T.IntegerType()))
+        elif name in ("CreatedDate", "LastModifiedDate"):
+            fields.append(T.StructField(name, T.LongType()))
+        else:
+            fields.append(T.StructField(name, T.StringType()))
+    return T.StructType(fields)
+
+
+def _expand(header_field: Column, fields: list[str], child: dict[str, list[str]]) -> Column:
+    return expand_bitmaps_array_col(header_field, fields, child)
+
+
+def decode_envelope(raw: DataFrame) -> DataFrame:
+    """The reference's parseEvent (B1) as one projection.
+
+    raw(replay_id_b64, schema_id, payload-json) ->
+      replay_id DECIMAL(20,0), commit_ts TIMESTAMP, record_id, entity,
+      change_type, txn_key, seq_no, changed_fields/nulled_fields/diff_fields
+      (bitmaps expanded to names), event STRUCT (full decoded payload),
+      is_corrupt flag (C4 dead-letter routing).
+    """
+    parsed = raw.withColumn(
+        "event",
+        F.from_json(
+            "payload",
+            account_payload_schema(),
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+        ),
+    ).withColumn(
+        "replay_id", decode_replay_id_col(F.unbase64("replay_id_b64"))
+    )
+    hdr = F.col("event.ChangeEventHeader")
+    return parsed.select(
+        "replay_id",
+        "schema_id",
+        F.timestamp_millis(hdr.commitTimestamp).alias("commit_ts"),
+        hdr.entityName.alias("entity"),
+        F.element_at(hdr.recordIds, 1).alias("record_id"),
+        hdr.changeType.alias("change_type"),
+        hdr.transactionKey.alias("txn_key"),
+        hdr.sequenceNumber.alias("seq_no"),
+        hdr.commitNumber.alias("commit_number"),
+        _expand(hdr.changedFields, ACCOUNT_FIELDS, ACCOUNT_CHILD_FIELDS).alias(
+            "changed_fields"
+        ),
+        _expand(hdr.nulledFields, ACCOUNT_FIELDS, ACCOUNT_CHILD_FIELDS).alias(
+            "nulled_fields"
+        ),
+        _expand(hdr.diffFields, ACCOUNT_FIELDS, ACCOUNT_CHILD_FIELDS).alias("diff_fields"),
+        F.col("event").dropFields("_corrupt").alias("event"),
+        # corrupt = JSON decode failed (C4: EventParseError side-channel)
+        F.col("event._corrupt").isNotNull().alias("is_corrupt"),
+        F.col("payload").alias("raw_payload"),
+    )
