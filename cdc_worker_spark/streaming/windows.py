@@ -1,0 +1,140 @@
+"""Streaming windowed aggregations + stateful operators (SURVEY §2.3
+streaming-only table).
+
+Reference mapping:
+- tumbling/sliding/session aggs: the north-star streaming analogues of the
+  batch queries q_cdc_tumbling / q_cdc_sessionize.
+- running per-topic counters (count + max offset): the reference's
+  SubscriptionInfo bookkeeping — ``receivedEventCount++`` per event and
+  ``lastReplayId`` advance (client.js:747-748,778; keepalive client.js:846-857)
+  — reimplemented as an explicitly-stateful per-key operator
+  (``applyInPandasWithState``), the Spark-native form of C3.
+- stream-static enrich: dimension join against a batch table (D5 snapshot
+  enrichment); the static side is broadcast by Catalyst when small, so the
+  stream never shuffles.
+
+Scale notes (100 TB): all window aggs carry a watermark so state is bounded
+and evicted; per-key state for the counters is O(distinct keys), and the
+key space here is topics/entities (small). Counts and maxes are
+map-side-combined before touching state.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def tumbling_counts(
+    events: DataFrame,
+    window_len: str = "1 hour",
+    watermark: str = "10 minutes",
+    ts_col: str = "commit_ts",
+    key_col: str = "entity",
+) -> DataFrame:
+    """Per-entity event counts in tumbling windows with late-data drop
+    (watermark => bounded state, append-mode emission on window close)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window_len).alias("win"), F.col(key_col))
+        .agg(F.count("*").alias("n_events"), F.max("replay_id").alias("max_replay_id"))
+        .select("win.start", "win.end", key_col, "n_events", "max_replay_id")
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    window_len: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "10 minutes",
+    ts_col: str = "commit_ts",
+    key_col: str = "entity",
+) -> DataFrame:
+    """Sliding-window counts: each event lands in window_len/slide windows."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window_len, slide).alias("win"), F.col(key_col))
+        .agg(F.count("*").alias("n_events"))
+        .select("win.start", "win.end", key_col, "n_events")
+    )
+
+
+def session_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+    ts_col: str = "commit_ts",
+    key_col: str = "record_id",
+) -> DataFrame:
+    """Session windows: a session closes after ``gap`` of per-key silence
+    (streaming twin of the batch q_cdc_sessionize lag+cumsum formulation)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("win"), F.col(key_col))
+        .agg(F.count("*").alias("n_events"))
+        .select("win.start", "win.end", key_col, "n_events")
+    )
+
+
+def stream_static_enrich(
+    stream: DataFrame, dim: DataFrame, on: list[str] | str, how: str = "left"
+) -> DataFrame:
+    """Enrich a stream against a static dimension table (D5). The static side
+    re-resolves per micro-batch; small dims broadcast — no stream shuffle."""
+    return stream.join(dim, on=on, how=how)
+
+
+#: output schema of running_counters
+COUNTERS_SCHEMA = T.StructType(
+    [
+        T.StructField("entity", T.StringType()),
+        T.StructField("received_event_count", T.LongType()),
+        T.StructField("last_replay_id", T.DecimalType(20, 0)),
+    ]
+)
+
+_COUNTER_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("max_rid", T.StringType()),  # uint64-safe as string
+    ]
+)
+
+
+def _update_counters(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Per-key state update: fold this batch's (count, max replay id) into the
+    running totals. Pure-Python ints (unbounded) keep uint64 offsets exact."""
+    n, max_rid = state.get if state.exists else (0, None)
+    cur = int(max_rid) if max_rid is not None else -1
+    for pdf in pdfs:
+        n += len(pdf)
+        if len(pdf):
+            cur = max(cur, max(int(r) for r in pdf["replay_id"]))
+    state.update((n, str(cur) if cur >= 0 else None))
+    yield pd.DataFrame(
+        {
+            "entity": [key[0]],
+            "received_event_count": [n],
+            "last_replay_id": [cur if cur >= 0 else None],
+        }
+    )
+
+
+def running_counters(events: DataFrame) -> DataFrame:
+    """Reference C3 as an arbitrary stateful op: per-entity
+    ``receivedEventCount`` and ``lastReplayId``, updated every micro-batch and
+    emitted in update mode (one row per touched key per batch)."""
+    return events.groupBy("entity").applyInPandasWithState(
+        _update_counters,
+        outputStructType=COUNTERS_SCHEMA,
+        stateStructType=_COUNTER_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,123 @@
+"""Streaming windowed-agg + stateful-operator tests (SURVEY §2.3
+streaming-only rows): tumbling/sliding/session windows with watermarked
+eviction, stream-static enrichment, and the C3 running-counters stateful op —
+all driven through a real file-source micro-batch stream (availableNow)."""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+import pytest
+
+from cdc_worker_spark.streaming import decode_envelope
+from cdc_worker_spark.streaming.pipeline import read_event_stream
+from cdc_worker_spark.streaming.windows import (
+    running_counters,
+    session_counts,
+    sliding_counts,
+    stream_static_enrich,
+    tumbling_counts,
+)
+
+from tests.test_cdc_event_model import make_envelope
+from tests.test_streaming import write_batch_file
+
+T0 = 1696446000000  # 2023-10-04 19:00:00 UTC, on the hour
+
+MIN = 60_000  # ms
+
+
+@pytest.fixture()
+def stream(spark, tmp_path):
+    """Two-file stream: events across two hours, two entities/records."""
+    write_batch_file(
+        str(tmp_path / "in"), "b1.jsonl",
+        [
+            make_envelope(1, record_id="A", commit_ts=T0 + 1 * MIN),
+            make_envelope(2, record_id="A", commit_ts=T0 + 10 * MIN),
+            make_envelope(3, record_id="B", commit_ts=T0 + 50 * MIN),
+        ],
+    )
+    write_batch_file(
+        str(tmp_path / "in"), "b2.jsonl",
+        [
+            make_envelope(4, record_id="A", commit_ts=T0 + 65 * MIN),  # hour 2; >30min gap
+            make_envelope(5, record_id="B", commit_ts=T0 + 70 * MIN),
+        ],
+    )
+    return decode_envelope(
+        read_event_stream(spark, str(tmp_path / "in"), max_files_per_trigger=1)
+    )
+
+
+def drain(df, tmp_path, mode="append"):
+    q = (
+        df.writeStream.format("memory")
+        .queryName("sink")
+        .outputMode(mode)
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+    return df.sparkSession.sql("select * from sink")
+
+
+def test_tumbling_counts(spark, stream, tmp_path):
+    # complete-mode memory sink so closed AND open windows are observable
+    out = drain(tumbling_counts(stream), tmp_path, mode="complete").collect()
+    assert len(out) == 2  # two hourly windows for entity Account
+    assert all(r.start.minute == 0 for r in out)  # hour-aligned boundaries
+    assert sorted(r.n_events for r in out) == [2, 3]
+    # max offset per window advances with the data (D3 checkpoint semantics)
+    assert sorted(int(r.max_replay_id) for r in out) == [3, 5]
+
+
+def test_sliding_counts(spark, stream, tmp_path):
+    out = drain(
+        sliding_counts(stream, window_len="1 hour", slide="30 minutes"),
+        tmp_path,
+        mode="complete",
+    ).collect()
+    # event at T0+1min lands in windows starting 15:30 and 16:00
+    n_windows_event1 = [
+        r for r in out if r.start.timestamp() * 1000 <= T0 + MIN < r.end.timestamp() * 1000
+    ]
+    assert len(n_windows_event1) == 2
+
+
+def test_session_counts(spark, stream, tmp_path):
+    out = drain(session_counts(stream, gap="30 minutes"), tmp_path, mode="complete").collect()
+    sessions = {(r.record_id, r.n_events) for r in out}
+    # A: events at +1,+10 min = one session of 2; +65 min after >30min gap = new session
+    assert ("A", 2) in sessions and ("A", 1) in sessions
+    # B: +50 and +70 within 30min gap = one session of 2
+    assert ("B", 2) in sessions
+    assert len(out) == 3
+
+
+def test_stream_static_enrich(spark, stream, tmp_path):
+    dim = spark.createDataFrame(
+        [("A", "tier-1"), ("B", "tier-2")], ["record_id", "tier"]
+    )
+    out = drain(
+        stream_static_enrich(stream, dim, on="record_id").select(
+            "record_id", "replay_id", "tier"
+        ),
+        tmp_path,
+    ).collect()
+    assert len(out) == 5
+    assert {(r.record_id, r.tier) for r in out} == {("A", "tier-1"), ("B", "tier-2")}
+
+
+def test_running_counters_stateful(spark, stream, tmp_path):
+    """C3: per-entity receivedEventCount / lastReplayId accumulate across
+    micro-batches; the final update-mode row carries the totals."""
+    out = drain(running_counters(stream), tmp_path, mode="update").collect()
+    # one row per touched key per batch; the LAST row per key is the total
+    final = {}
+    for r in out:
+        final[r.entity] = r
+    assert final["Account"].received_event_count == 5
+    assert final["Account"].last_replay_id == Decimal(5)
