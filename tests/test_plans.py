@@ -1,0 +1,93 @@
+"""Physical-plan assertions (the 100 TB contract, SURVEY §4).
+
+Correctness tests prove the operators compute the right answer; these prove
+they compute it with the plan that survives a 1000-executor scale-up:
+predicates pushed into the parquet scan, columns pruned, small dims broadcast,
+aggregates map-side-combined, top-k executed as TakeOrderedAndProject, and
+latest-wins pruned by WindowGroupLimit before the shuffle. A regression that
+silently turns a broadcast join into a shuffle join, or un-pushes a filter,
+fails here long before it would show up as a bench number.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from cdc_worker_spark.plans import all_queries
+
+
+def plan_of(spark, name: str, sf_dir: str) -> str:
+    df = all_queries()[name](spark, sf_dir)
+    qe = df._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return qe.explainString(mode)
+
+
+def tree_of(spark, name: str, sf_dir: str) -> str:
+    """Just the operator tree (formatted explain repeats every operator in the
+    detail section below the tree, which would double the counts)."""
+    plan = plan_of(spark, name, sf_dir)
+    return plan.split("\n(1)")[0]
+
+
+def test_scan_filter_pushdown_and_pruning(spark, sf_dir):
+    plan = plan_of(spark, "q_scan_filter", sf_dir)
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate" in plan
+    # column pruning: the scan reads exactly the 3 projected columns
+    assert "ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_shipdate:timestamp_ntz>" in plan
+
+
+def test_point_lookup_pushes_key_predicate(spark, sf_dir):
+    plan = plan_of(spark, "q_point_lookup", sf_dir)
+    assert "EqualTo(c_custkey," in plan  # key predicate reaches the scan
+
+
+def test_broadcast_join_is_broadcast(spark, sf_dir):
+    plan = plan_of(spark, "q_join_broadcast", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_star_join_broadcasts_all_dims(spark, sf_dir):
+    """5-table star join: every dimension side broadcasts; the only shuffle
+    is the final aggregation exchange."""
+    tree = tree_of(spark, "q_join_multi", sf_dir)
+    assert tree.count("BroadcastHashJoin") == 4
+    assert "SortMergeJoin" not in tree
+
+
+def test_groupby_agg_is_partial_then_final(spark, sf_dir):
+    """Map-side combine: HashAggregate(partial) -> Exchange -> HashAggregate."""
+    tree = tree_of(spark, "q_agg_groupby", sf_dir)
+    assert tree.count("HashAggregate") == 2
+    assert tree.count("Exchange") == 1  # one shuffle on the grouping keys
+
+
+def test_topk_is_take_ordered(spark, sf_dir):
+    """Global top-k must never materialize a total sort of the input."""
+    plan = plan_of(spark, "q_limit_topk", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_latest_state_prunes_before_shuffle(spark, sf_dir):
+    """The flagship latest-wins query: WindowGroupLimit runs in Partial mode
+    below the exchange, so only per-partition top-1 candidates shuffle."""
+    plan = plan_of(spark, "q_cdc_latest_state", sf_dir)
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan
+
+
+def test_dedup_exact_shuffles_digest_not_text(spark, sf_dir):
+    """Exact dedup groups on the 64-hex-char digest; the document text column
+    must not survive past the scan projection."""
+    plan = plan_of(spark, "q_dedup_exact", sf_dir)
+    exchange_section = plan[plan.index("Exchange") :]
+    assert "text#" not in exchange_section.split("(1) Scan parquet")[0]
+
+
+def test_udf_queries_use_arrow_not_row_python(spark, sf_dir):
+    """Python in the hot path must be Arrow-batched (ArrowEvalPython), never
+    row-at-a-time BatchEvalPython."""
+    plan = plan_of(spark, "q_udf_pandas", sf_dir)
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
