@@ -46,6 +46,7 @@ _QUERY_MODULES = (
     "cdc_worker_spark.operators.setops",
     "cdc_worker_spark.operators.cdc",
     "cdc_worker_spark.functions.scalar_queries",
+    "cdc_worker_spark.functions.udx",
     "cdc_worker_spark.operators.dedup",
     "cdc_worker_spark.operators.similarity",
     "cdc_worker_spark.operators.text",
