@@ -68,6 +68,68 @@ def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: IVF configuration: coarse centroids and probed buckets per query
+_IVF_K = 16
+_IVF_NPROBE = 2
+
+
+@query("q_sim_ann_ivf")  # rows-only: IVF recall set is approximate by design
+def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via IVF (inverted-file) bucketing: K coarse centroids
+    (deterministically seeded from the corpus), every vector assigned to its
+    nearest centroid, queries probe the _IVF_NPROBE nearest buckets only.
+
+    Spark-first shape: centroid assignment is a broadcast join + min(struct)
+    argmin — never a KMeans iteration loop on the driver, never K columns of
+    literals. At 100 TB the inverted lists are the partitioning key (write
+    bucketed by `bucket`), so a query touches nprobe/K of the data; centroids
+    would come from KMeans on a sample, which changes recall but not the
+    plan shape."""
+    emb = with_double_vec(load_table(spark, sf_dir, "embeddings"))
+    # deterministic coarse centroids: the K smallest vec_ids >= 10 (outside
+    # the query set, so buckets aren't trivially centered on the queries)
+    seeds = (
+        emb.filter(F.col("vec_id") >= 10)
+        .orderBy("vec_id")
+        .limit(_IVF_K)
+        .select(F.col("vec_id").alias("seed_id"), F.col("dv").alias("s_dv"),
+                F.col("nrm").alias("s_nrm"))
+    )
+    # squared euclidean via norms: |x|^2 + |c|^2 - 2<x,c> (dot is the fold)
+    dist = F.col("nrm") + F.col("s_nrm") - 2 * dot_col(F.col("dv"), F.col("s_dv"))
+    scored = emb.join(F.broadcast(seeds)).withColumn("dist", dist)
+    # argmin by min(struct(dist, seed_id)) — deterministic under ties
+    assigned = scored.groupBy("vec_id").agg(
+        F.min(F.struct("dist", "seed_id")).alias("m")
+    ).select("vec_id", F.col("m.seed_id").alias("bucket"))
+    lists = assigned.join(emb, "vec_id").select(
+        "bucket", F.col("vec_id").alias("c_id"), F.col("dv").alias("c_dv"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    # query side: rank buckets by centroid distance, probe the top nprobe
+    w_probe = Window.partitionBy("vec_id").orderBy(F.col("dist"), F.col("seed_id"))
+    probes = (
+        scored.filter(F.col("vec_id") < 10)
+        .withColumn("probe_rnk", F.row_number().over(w_probe))
+        .filter(F.col("probe_rnk") <= _IVF_NPROBE)
+        .select(F.col("vec_id").alias("q_id"), F.col("dv").alias("q_dv"),
+                F.col("nrm").alias("q_nrm"), F.col("seed_id").alias("bucket"))
+    )
+    cos = dot_col(F.col("q_dv"), F.col("c_dv")) / (
+        F.sqrt(F.col("q_nrm")) * F.sqrt(F.col("c_nrm"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id"))
+    return (
+        F.broadcast(probes)
+        .join(lists, ["bucket"])
+        .filter(F.col("q_id") != F.col("c_id"))
+        .withColumn("cos", cos)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("q_id", "c_id", F.round("cos", 6).alias("cos_sim"), "rnk")
+    )
+
+
 def _pseudo_hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (md5-derived, engine-free)."""
     planes = []
@@ -80,31 +142,47 @@ def _pseudo_hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
     return planes
 
 
+#: LSH configuration: hash tables x bits per table (banding, like MinHash-LSH:
+#: a candidate needs to collide in only ONE table, so recall multiplies with
+#: tables while each table's bucket count keeps joins small)
+_LSH_TABLES = 2
+_LSH_BITS = 4
+
+
 @query("q_sim_ann_lsh")  # rows-only: LSH recall set is approximate by design
 def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate NN via random-hyperplane LSH: 8 signature bits -> 256
-    buckets; queries only meet same-bucket candidates (the scale path — the
-    cross product never materializes). Hyperplanes are deterministic literals,
-    so the result is stable run-to-run; it is approximate vs q_sim_cosine_topk
-    (that exact query is the recall baseline)."""
+    """Approximate NN via random-hyperplane LSH, banded into _LSH_TABLES
+    tables of _LSH_BITS bits: queries meet candidates that share ANY table's
+    bucket (the scale path — the cross product never materializes; one
+    equi-join on (table, bucket), exactly the MinHash banding shape).
+    Hyperplanes are deterministic literals, so the result is stable
+    run-to-run; q_sim_cosine_topk is the exact recall baseline
+    (tests/test_similarity_recall.py gates recall vs candidate fraction)."""
     emb = with_double_vec(load_table(spark, sf_dir, "embeddings"))
-    planes = _pseudo_hyperplanes(8, 64)
-    sig = F.lit(0)
-    for p, plane in enumerate(planes):
-        plane_col = F.array(*[F.lit(v) for v in plane])
-        sig = sig + F.when(dot_col(F.col("dv"), plane_col) > 0, F.lit(1 << p)).otherwise(0)
-    bucketed = emb.withColumn("bucket", sig)
+    planes = _pseudo_hyperplanes(_LSH_TABLES * _LSH_BITS, 64)
+    tables = []
+    for t in range(_LSH_TABLES):
+        sig = F.lit(0)
+        for b in range(_LSH_BITS):
+            plane_col = F.array(*[F.lit(v) for v in planes[t * _LSH_BITS + b]])
+            sig = sig + F.when(dot_col(F.col("dv"), plane_col) > 0, F.lit(1 << b)).otherwise(0)
+        tables.append(F.struct(F.lit(t).alias("tbl"), sig.alias("sig")))
+    bucketed = emb.select(
+        "vec_id", "dv", "nrm", F.explode(F.array(*tables)).alias("b")
+    ).select("vec_id", "dv", "nrm", "b.tbl", "b.sig")
     q = bucketed.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"),
         F.col("dv").alias("q_dv"),
         F.col("nrm").alias("q_nrm"),
-        "bucket",
+        "tbl",
+        "sig",
     )
     c = bucketed.select(
         F.col("vec_id").alias("c_id"),
         F.col("dv").alias("c_dv"),
         F.col("nrm").alias("c_nrm"),
-        "bucket",
+        "tbl",
+        "sig",
     )
     cos = dot_col(F.col("q_dv"), F.col("c_dv")) / (
         F.sqrt(F.col("q_nrm")) * F.sqrt(F.col("c_nrm"))
@@ -112,9 +190,11 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id"))
     return (
         F.broadcast(q)
-        .join(c, ["bucket"])
+        .join(c, ["tbl", "sig"])
         .filter(F.col("q_id") != F.col("c_id"))
         .withColumn("cos", cos)
+        .select("q_id", "c_id", "cos")
+        .distinct()  # a pair colliding in BOTH tables scores once
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 3)
         .select("q_id", "c_id", F.round("cos", 6).alias("cos_sim"), "rnk")
