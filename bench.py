@@ -32,7 +32,9 @@ HEADLINE = [
     "q_dedup_exact",        # digest groupBy
     "q_dedup_minhash",      # LSH banding + verify
     "q_sim_cosine_topk",    # brute-force ANN baseline
+    "q_sim_ann_ivf",        # IVF-bucketed ANN scale path
     "q_udf_pandas",         # Arrow-batched pandas UDF path
+    "q_udaf_grouped",       # Arrow grouped-map (applyInPandas) path
 ]
 
 
