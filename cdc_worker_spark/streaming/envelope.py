@@ -130,8 +130,14 @@ def _expand(header_field: Column, fields: list[str], child: dict[str, list[str]]
     return expand_bitmaps_array_col(header_field, fields, child)
 
 
-def decode_envelope(raw: DataFrame) -> DataFrame:
-    """The reference's parseEvent (B1) as one projection.
+def decode_envelope(
+    raw: DataFrame,
+    payload_schema: T.StructType | None = None,
+    fields: list[str] | None = None,
+    child_fields: dict[str, list[str]] | None = None,
+) -> DataFrame:
+    """The reference's parseEvent (B1) as one projection, parameterized by the
+    topic's schema (defaults: the golden Account change-event schema).
 
     raw(replay_id_b64, schema_id, payload-json) ->
       replay_id DECIMAL(20,0), commit_ts TIMESTAMP, record_id, entity,
@@ -139,11 +145,14 @@ def decode_envelope(raw: DataFrame) -> DataFrame:
       (bitmaps expanded to names), event STRUCT (full decoded payload),
       is_corrupt flag (C4 dead-letter routing).
     """
+    payload_schema = payload_schema or account_payload_schema()
+    fields = fields or ACCOUNT_FIELDS
+    child_fields = child_fields if child_fields is not None else ACCOUNT_CHILD_FIELDS
     parsed = raw.withColumn(
         "event",
         F.from_json(
             "payload",
-            account_payload_schema(),
+            payload_schema,
             {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
         ),
     ).withColumn(
@@ -160,13 +169,9 @@ def decode_envelope(raw: DataFrame) -> DataFrame:
         hdr.transactionKey.alias("txn_key"),
         hdr.sequenceNumber.alias("seq_no"),
         hdr.commitNumber.alias("commit_number"),
-        _expand(hdr.changedFields, ACCOUNT_FIELDS, ACCOUNT_CHILD_FIELDS).alias(
-            "changed_fields"
-        ),
-        _expand(hdr.nulledFields, ACCOUNT_FIELDS, ACCOUNT_CHILD_FIELDS).alias(
-            "nulled_fields"
-        ),
-        _expand(hdr.diffFields, ACCOUNT_FIELDS, ACCOUNT_CHILD_FIELDS).alias("diff_fields"),
+        _expand(hdr.changedFields, fields, child_fields).alias("changed_fields"),
+        _expand(hdr.nulledFields, fields, child_fields).alias("nulled_fields"),
+        _expand(hdr.diffFields, fields, child_fields).alias("diff_fields"),
         F.col("event").dropFields("_corrupt").alias("event"),
         # corrupt = JSON decode failed (C4: EventParseError side-channel)
         F.col("event._corrupt").isNotNull().alias("is_corrupt"),

@@ -1,0 +1,128 @@
+"""Dynamic schema registry (reference A7: GetSchema fetch + cache).
+
+The reference resolves schemas at runtime: the first event carrying an unseen
+``schemaId`` triggers a ``GetSchema`` RPC, and the parsed Avro type is
+memoized in a Map (client.js:896-909, 953-969). Topics are demultiplexed and
+handled independently (C2, client.js:74-77).
+
+Spark-first shape:
+- the registry is a small driver-side dict resolved BEFORE the plan is built
+  (schemas are plan-time artifacts in Spark — ``from_json`` needs a static
+  schema per column). A resolver callback covers the unseen-id case: it is
+  invoked at plan build for ids present on the bus but not registered — the
+  GetSchema round-trip, amortized per stream start / micro-batch restart
+  rather than per event.
+- ``decode_topic`` = one topic's typed stream (the reference's per-topic
+  subscription callback); ``decode_multiplexed`` = all topics in one stream
+  with common envelope columns + payload JSON (the Kafka-style union shape) —
+  rows with an unknown schema_id surface as ``is_corrupt`` with the schema id
+  preserved, the C4 EventParseError analogue, never an exception.
+
+Scale: the registry dict is O(topics) and ships inside the serialized plan
+(schema literals), not per row; all decode work remains native expressions.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cdc_worker_spark.functions.offsets import decode_replay_id_col
+from cdc_worker_spark.streaming.envelope import decode_envelope
+
+
+@dataclass
+class TopicSchema:
+    """One topic's schema entry: the ordered top-level field dictionary the
+    CDC bitmaps index, compound children, and the payload struct."""
+
+    schema_id: str
+    fields: list[str]
+    child_fields: dict[str, list[str]]
+    payload_schema: T.StructType
+
+
+@dataclass
+class SchemaRegistry:
+    """schema_id -> TopicSchema, with an optional resolver for unseen ids
+    (the GetSchema RPC analogue; resolved entries are memoized)."""
+
+    resolver: Callable[[str], TopicSchema | None] | None = None
+    _entries: dict[str, TopicSchema] = field(default_factory=dict)
+
+    def register(self, entry: TopicSchema) -> None:
+        self._entries[entry.schema_id] = entry
+
+    def resolve(self, schema_id: str) -> TopicSchema | None:
+        """Cache lookup, then resolver fetch + memoize (client.js:896-909)."""
+        if schema_id not in self._entries and self.resolver is not None:
+            fetched = self.resolver(schema_id)
+            if fetched is not None:
+                self._entries[schema_id] = fetched
+        return self._entries.get(schema_id)
+
+    def known_ids(self) -> list[str]:
+        return sorted(self._entries)
+
+
+def decode_topic(raw: DataFrame, registry: SchemaRegistry, schema_id: str) -> DataFrame:
+    """One topic's fully-typed decoded stream (C2 per-topic demux): filter on
+    schema_id, decode with that topic's schema. Raises KeyError for an id the
+    registry cannot resolve — at subscribe time, like the reference."""
+    entry = registry.resolve(schema_id)
+    if entry is None:
+        raise KeyError(f"schema_id {schema_id!r} not in registry and not resolvable")
+    return decode_envelope(
+        raw.filter(F.col("schema_id") == schema_id),
+        payload_schema=entry.payload_schema,
+        fields=entry.fields,
+        child_fields=entry.child_fields,
+    )
+
+
+def decode_multiplexed(
+    raw: DataFrame, registry: SchemaRegistry, schema_ids: list[str] | None = None
+) -> DataFrame:
+    """All topics in ONE stream: common envelope columns per schema, payload
+    kept as JSON text (schemas differ, so the typed struct stays per-topic —
+    use decode_topic for it). Unknown schema ids pass through flagged
+    ``is_corrupt`` so the DLQ, not an exception, handles them (C4).
+    """
+    ids = schema_ids if schema_ids is not None else registry.known_ids()
+    parts = []
+    for sid in ids:
+        entry = registry.resolve(sid)
+        if entry is None:
+            continue
+        parts.append(
+            decode_envelope(
+                raw.filter(F.col("schema_id") == sid),
+                payload_schema=entry.payload_schema,
+                fields=entry.fields,
+                child_fields=entry.child_fields,
+            ).withColumn("event_json", F.to_json("event")).drop("event")
+        )
+    known = [sid for sid in ids if registry.resolve(sid) is not None]
+    # unknown-schema rows keep their replay id — it lives outside the payload,
+    # exactly like the reference's EventParseError (eventParseError.js:30-38)
+    unknown = raw.filter(~F.col("schema_id").isin(known)).select(
+        decode_replay_id_col(F.unbase64("replay_id_b64")).alias("replay_id"),
+        "schema_id",
+        F.lit(None).cast("timestamp").alias("commit_ts"),
+        *[F.lit(None).cast("string").alias(c) for c in ("entity", "record_id", "change_type", "txn_key")],
+        F.lit(None).cast("int").alias("seq_no"),
+        F.lit(None).cast("bigint").alias("commit_number"),
+        *[F.lit(None).cast("array<string>").alias(c)
+          for c in ("changed_fields", "nulled_fields", "diff_fields")],
+        F.lit(True).alias("is_corrupt"),
+        F.col("payload").alias("raw_payload"),
+        F.lit(None).cast("string").alias("event_json"),
+    )
+    out = unknown
+    for p in parts:
+        out = out.unionByName(p)
+    return out

@@ -1,0 +1,149 @@
+"""Dynamic schema registry tests (reference A7 GetSchema fetch+cache, C2
+per-topic demux, C4 unknown-schema dead-lettering): two topics with different
+schemas in one bus, one resolved lazily through the resolver callback."""
+
+from __future__ import annotations
+
+import base64
+import json
+from decimal import Decimal
+
+from pyspark.sql import types as T
+
+from cdc_worker_spark.functions.offsets import encode_replay_id
+from cdc_worker_spark.streaming.envelope import (
+    ACCOUNT_CHILD_FIELDS,
+    ACCOUNT_FIELDS,
+    ENVELOPE_SCHEMA,
+    account_payload_schema,
+)
+from cdc_worker_spark.streaming.registry import (
+    SchemaRegistry,
+    TopicSchema,
+    decode_multiplexed,
+    decode_topic,
+)
+
+from tests.test_cdc_event_model import make_envelope
+
+CONTACT_FIELDS = ["ChangeEventHeader", "FirstName", "LastName", "Email", "AccountId"]
+
+_HEADER = account_payload_schema()["ChangeEventHeader"].dataType
+
+
+def contact_payload_schema() -> T.StructType:
+    return T.StructType(
+        [T.StructField("_corrupt", T.StringType()),
+         T.StructField("ChangeEventHeader", _HEADER)]
+        + [T.StructField(n, T.StringType()) for n in CONTACT_FIELDS[1:]]
+    )
+
+
+def contact_schema_entry() -> TopicSchema:
+    return TopicSchema(
+        schema_id="contact-cdc-v1",
+        fields=CONTACT_FIELDS,
+        child_fields={},
+        payload_schema=contact_payload_schema(),
+    )
+
+
+def account_schema_entry() -> TopicSchema:
+    return TopicSchema(
+        schema_id="account-cdc-v1",
+        fields=ACCOUNT_FIELDS,
+        child_fields=ACCOUNT_CHILD_FIELDS,
+        payload_schema=account_payload_schema(),
+    )
+
+
+def make_contact_envelope(replay_id: int, email: str) -> dict:
+    payload = {
+        "ChangeEventHeader": {
+            "entityName": "Contact",
+            "recordIds": ["003000000000001"],
+            "changeType": "UPDATE",
+            "transactionKey": "t",
+            "sequenceNumber": 1,
+            "commitTimestamp": 1696444513000,
+            "commitNumber": 1,
+            "commitUser": "u",
+            "nulledFields": [],
+            "diffFields": [],
+            "changedFields": ["0x8"],  # bit 3 = Email
+        },
+        "Email": email,
+    }
+    return {
+        "replay_id_b64": base64.b64encode(encode_replay_id(replay_id)).decode(),
+        "schema_id": "contact-cdc-v1",
+        "payload": json.dumps(payload),
+    }
+
+
+def _mixed_bus(spark):
+    rows = [
+        make_envelope(1, record_id="A"),                       # account-cdc-v1
+        make_contact_envelope(2, "a@example.com"),             # contact-cdc-v1
+        {"replay_id_b64": base64.b64encode(encode_replay_id(3)).decode(),
+         "schema_id": "orphan-v9", "payload": "{}"},           # unregistered
+    ]
+    return spark.createDataFrame(rows, ENVELOPE_SCHEMA)
+
+
+def test_decode_topic_typed_per_schema(spark):
+    reg = SchemaRegistry()
+    reg.register(account_schema_entry())
+    reg.register(contact_schema_entry())
+    bus = _mixed_bus(spark)
+
+    acc = decode_topic(bus, reg, "account-cdc-v1").collect()
+    assert len(acc) == 1 and acc[0].entity == "Account"
+    assert acc[0].event.BillingAddress.City == "San Francisco"
+
+    con = decode_topic(bus, reg, "contact-cdc-v1").collect()
+    assert len(con) == 1 and con[0].entity == "Contact"
+    assert con[0].event.Email == "a@example.com"
+    # bitmap expansion uses the CONTACT field dictionary
+    assert con[0].changed_fields == ["Email"]
+
+
+def test_resolver_fetches_unseen_schema_and_memoizes(spark):
+    """A7: unseen schema_id -> resolver callback (the GetSchema RPC), result
+    cached — the resolver runs once."""
+    calls: list[str] = []
+
+    def resolver(sid: str) -> TopicSchema | None:
+        calls.append(sid)
+        return contact_schema_entry() if sid == "contact-cdc-v1" else None
+
+    reg = SchemaRegistry(resolver=resolver)
+    reg.register(account_schema_entry())
+    bus = _mixed_bus(spark)
+
+    assert decode_topic(bus, reg, "contact-cdc-v1").count() == 1
+    assert decode_topic(bus, reg, "contact-cdc-v1").count() == 1
+    assert calls == ["contact-cdc-v1"]  # memoized after first fetch
+
+
+def test_multiplexed_decode_and_unknown_to_dlq(spark):
+    reg = SchemaRegistry()
+    reg.register(account_schema_entry())
+    reg.register(contact_schema_entry())
+    out = {int(r.replay_id): r for r in decode_multiplexed(_mixed_bus(spark), reg).collect()}
+    assert len(out) == 3
+    assert out[1].entity == "Account" and not out[1].is_corrupt
+    assert out[2].entity == "Contact" and not out[2].is_corrupt
+    assert json.loads(out[2].event_json)["Email"] == "a@example.com"
+    # the orphan row: flagged, replay id preserved (EventParseError semantics)
+    assert out[3].is_corrupt and out[3].schema_id == "orphan-v9"
+    assert out[3].replay_id == Decimal(3)
+
+
+def test_unresolvable_topic_raises_at_subscribe(spark):
+    reg = SchemaRegistry()
+    try:
+        decode_topic(_mixed_bus(spark), reg, "nope-v1")
+        raise AssertionError("expected KeyError")
+    except KeyError:
+        pass
