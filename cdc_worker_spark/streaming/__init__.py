@@ -7,8 +7,24 @@ from cdc_worker_spark.streaming.envelope import (
 )
 from cdc_worker_spark.streaming.pipeline import (
     LatestWinsState,
+    bootstrap_from_snapshot,
     read_event_stream,
     run_cdc_pipeline,
+    stale_topics,
+)
+from cdc_worker_spark.streaming.registry import (
+    SchemaRegistry,
+    TopicSchema,
+    decode_multiplexed,
+    decode_topic,
+)
+from cdc_worker_spark.streaming.sinks import forward_events, run_forwarding_sink
+from cdc_worker_spark.streaming.windows import (
+    running_counters,
+    session_counts,
+    sliding_counts,
+    stream_static_enrich,
+    tumbling_counts,
 )
 
 __all__ = [
@@ -16,8 +32,21 @@ __all__ = [
     "ACCOUNT_FIELDS",
     "ENVELOPE_SCHEMA",
     "LatestWinsState",
+    "SchemaRegistry",
+    "TopicSchema",
     "account_payload_schema",
+    "bootstrap_from_snapshot",
     "decode_envelope",
+    "decode_multiplexed",
+    "decode_topic",
+    "forward_events",
     "read_event_stream",
     "run_cdc_pipeline",
+    "run_forwarding_sink",
+    "running_counters",
+    "session_counts",
+    "sliding_counts",
+    "stale_topics",
+    "stream_static_enrich",
+    "tumbling_counts",
 ]

@@ -99,6 +99,56 @@ def merge_latest_wins(state: LatestWinsState, batch_df: DataFrame) -> None:
     state.write(merged.filter(F.col("change_type") != "DELETE"))
 
 
+def bootstrap_from_snapshot(
+    snapshot_df: DataFrame, state_dir: str, snapshot_replay_id: int
+) -> LatestWinsState:
+    """D5 boot sequence (reference design doc:211-259): bulk-load a source
+    snapshot into the latest-wins state table, stamped with the replay id
+    captured BEFORE the snapshot was taken. Resume the stream with
+    ``run_cdc_pipeline(..., start_after_replay_id=snapshot_replay_id)`` —
+    events at or before the stamp are skipped (already reflected in the
+    snapshot), later events apply on top; latest-wins makes the overlap
+    window idempotent.
+
+    ``snapshot_df`` columns: entity, record_id, commit_ts, event (the record
+    struct). Synthesized rows carry change_type CREATE and the stamp as
+    replay_id, so ordinary merge semantics handle them.
+    """
+    state = LatestWinsState(state_dir)
+    stamped = snapshot_df.select(
+        F.lit(snapshot_replay_id).cast("decimal(20,0)").alias("replay_id"),
+        "commit_ts",
+        "entity",
+        "record_id",
+        F.lit("CREATE").alias("change_type"),
+        F.lit(None).cast("string").alias("txn_key"),
+        F.lit(None).cast("int").alias("seq_no"),
+        F.lit(None).cast("array<string>").alias("changed_fields"),
+        "event",
+    )
+    merge_latest_wins(state, stamped)
+    return state
+
+
+def stale_topics(
+    state_df: DataFrame, now_ts, max_age_hours: int = 70
+) -> DataFrame:
+    """D6 staleness / gap detection (design doc:306,376,1325-1348): per entity,
+    the latest applied commit_ts; entities older than the resync threshold
+    (70 h against the 72 h retention window) are flagged for full resync —
+    the batch analogue of the daily resync cron."""
+    age_limit = F.lit(max_age_hours * 3600)
+    return (
+        state_df.groupBy("entity")
+        .agg(F.max("commit_ts").alias("last_commit_ts"))
+        .withColumn(
+            "needs_full_resync",
+            F.unix_timestamp(F.lit(now_ts)) - F.unix_timestamp("last_commit_ts")
+            > age_limit,
+        )
+    )
+
+
 def run_cdc_pipeline(
     spark: SparkSession,
     input_dir: str,
@@ -108,14 +158,23 @@ def run_cdc_pipeline(
     watermark: str = "1 hour",
     max_files_per_trigger: int | None = 1,
     available_now: bool = True,
+    start_after_replay_id: int | None = None,
 ):
     """Wire the full pipeline and start it (availableNow for tests — drains
     the backlog then stops; drop it for a continuous trigger).
 
-    Flow: stream -> decode (one native projection) -> DLQ split -> watermark +
-    dropDuplicatesWithinWatermark on replay_id (D4) -> foreachBatch merge (D1).
+    Flow: stream -> decode (one native projection) -> [A3 offset filter] ->
+    DLQ split -> watermark + dropDuplicatesWithinWatermark on replay_id (D4)
+    -> foreachBatch merge (D1).
     """
     decoded = decode_envelope(read_event_stream(spark, input_dir, max_files_per_trigger))
+    if start_after_replay_id is not None:
+        # A3 subscribeFromReplayId: corrupt rows pass through (their offset
+        # still decodes, but they must reach the DLQ regardless of position)
+        decoded = decoded.filter(
+            (F.col("replay_id") > F.lit(start_after_replay_id).cast("decimal(20,0)"))
+            | F.col("is_corrupt")
+        )
 
     state = LatestWinsState(state_dir)
     select_cols = [
