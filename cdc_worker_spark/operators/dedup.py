@@ -229,19 +229,33 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: SimHash configuration: signature bits and band layout. 32 bits over
+#: trigram SHINGLES (not unigrams — the fixture vocabulary is tiny, so
+#: unigram bit votes collapse and every doc pairs with every doc: measured
+#: 72k candidate pairs over 500 docs at 16 bits; 32-bit shingle signatures
+#: keep candidate volume proportional to true near-dup density, which is the
+#: property that matters at scale).
+_SIMHASH_BITS = 32
+_SIMHASH_BANDS = 4
+
+
 @query("q_dedup_simhash")  # rows-only: xxhash64 bit votes are engine-specific
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup candidates: 16-bit signature from per-token hash bit
-    votes; candidate pairs share a 4-bit band and pass hamming(xor) <= 3
-    (bit_count — JVM-side)."""
+    """SimHash near-dup candidates: _SIMHASH_BITS-bit signature from
+    per-shingle hash bit votes; candidate pairs share one of _SIMHASH_BANDS
+    bands and pass hamming(xor) <= 3 (bit_count — JVM-side). Pair generation
+    is ONE equi-join on (band_idx, band_val) in long format — a single
+    shuffle, like the MinHash banding."""
     docs = load_table(spark, sf_dir, "documents")
-    tok = tokens_distinct(docs).withColumn("h", F.xxhash64("w"))
+    tok = shingles_distinct(docs).withColumnRenamed("g", "w").withColumn(
+        "h", F.xxhash64("w")
+    )
     votes = tok.groupBy("doc_id").agg(
         *[
             F.sum(
                 F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
             ).alias(f"v{b}")
-            for b in range(16)
+            for b in range(_SIMHASH_BITS)
         ]
     )
     simhash = votes.select(
@@ -249,34 +263,36 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         reduce(
             lambda acc, b: acc
             + F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0)),
-            range(16),
+            range(_SIMHASH_BITS),
             F.lit(0).cast("bigint"),
         ).alias("simhash"),
     )
-    banded = simhash.select(
-        "doc_id",
-        "simhash",
+    bits_per_band = _SIMHASH_BITS // _SIMHASH_BANDS
+    mask = (1 << bits_per_band) - 1
+    band_structs = F.array(
         *[
-            F.shiftright(F.col("simhash"), 4 * b).bitwiseAND(F.lit(0xF)).alias(f"band{b}")
-            for b in range(4)
-        ],
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.shiftright(F.col("simhash"), bits_per_band * b)
+                .bitwiseAND(F.lit(mask))
+                .alias("band_val"),
+            )
+            for b in range(_SIMHASH_BANDS)
+        ]
     )
-    cands = [
-        banded.alias("x")
-        .join(
-            banded.alias("y"),
-            (F.col(f"x.band{b}") == F.col(f"y.band{b}"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(
-            F.col("x.doc_id").alias("doc_a"),
-            F.col("y.doc_id").alias("doc_b"),
-            F.col("x.simhash").alias("sh_a"),
-            F.col("y.simhash").alias("sh_b"),
-        )
-        for b in range(4)
-    ]
-    pairs = reduce(DataFrame.unionByName, cands).distinct()
+    long = simhash.select(
+        "doc_id", "simhash", F.explode(band_structs).alias("b")
+    ).select("doc_id", "simhash", "b.band_idx", "b.band_val")
+    x = long.select("band_idx", "band_val", F.col("doc_id").alias("doc_a"),
+                    F.col("simhash").alias("sh_a"))
+    y = long.select("band_idx", "band_val", F.col("doc_id").alias("doc_b"),
+                    F.col("simhash").alias("sh_b"))
+    pairs = (
+        x.join(y, ["band_idx", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .distinct()
+    )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return pairs.select("doc_a", "doc_b", hamming.alias("hamming")).filter(
         F.col("hamming") <= 3
