@@ -77,6 +77,14 @@ def test_latest_state_prunes_before_shuffle(spark, sf_dir):
     assert "Partial" in plan
 
 
+def test_asof_join_prunes_before_shuffle(spark, sf_dir):
+    """As-of join (join + latest-at-or-before window): the window's top-1 is
+    likewise pre-pruned per partition before the exchange."""
+    tree = tree_of(spark, "q_join_asof", sf_dir)
+    assert "WindowGroupLimit" in tree
+    assert tree.index("WindowGroupLimit") < tree.rindex("WindowGroupLimit")  # partial + final
+
+
 def test_dedup_exact_shuffles_digest_not_text(spark, sf_dir):
     """Exact dedup groups on the 64-hex-char digest; the document text column
     must not survive past the scan projection."""
