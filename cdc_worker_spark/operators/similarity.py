@@ -97,23 +97,23 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # squared euclidean via norms: |x|^2 + |c|^2 - 2<x,c> (dot is the fold)
     dist = F.col("nrm") + F.col("s_nrm") - 2 * dot_col(F.col("dv"), F.col("s_dv"))
-    scored = emb.join(F.broadcast(seeds)).withColumn("dist", dist)
-    # argmin by min(struct(dist, seed_id)) — deterministic under ties
-    assigned = scored.groupBy("vec_id").agg(
-        F.min(F.struct("dist", "seed_id")).alias("m")
-    ).select("vec_id", F.col("m.seed_id").alias("bucket"))
-    lists = assigned.join(emb, "vec_id").select(
-        "bucket", F.col("vec_id").alias("c_id"), F.col("dv").alias("c_dv"),
-        F.col("nrm").alias("c_nrm"),
+    # ONE ranked pass serves both sides: rnk=1 is the bucket assignment
+    # (argmin with (dist, seed_id) tie-break), rnk<=nprobe on the query
+    # vectors is the probe set. Both consumers read the same window exchange,
+    # so ReuseExchange computes the distance folds once.
+    w_rank = Window.partitionBy("vec_id").orderBy(F.col("dist"), F.col("seed_id"))
+    ranked = (
+        emb.join(F.broadcast(seeds))
+        .withColumn("dist", dist)
+        .withColumn("rnk", F.row_number().over(w_rank))
     )
-    # query side: rank buckets by centroid distance, probe the top nprobe
-    w_probe = Window.partitionBy("vec_id").orderBy(F.col("dist"), F.col("seed_id"))
-    probes = (
-        scored.filter(F.col("vec_id") < 10)
-        .withColumn("probe_rnk", F.row_number().over(w_probe))
-        .filter(F.col("probe_rnk") <= _IVF_NPROBE)
-        .select(F.col("vec_id").alias("q_id"), F.col("dv").alias("q_dv"),
-                F.col("nrm").alias("q_nrm"), F.col("seed_id").alias("bucket"))
+    lists = ranked.filter(F.col("rnk") == 1).select(
+        F.col("seed_id").alias("bucket"), F.col("vec_id").alias("c_id"),
+        F.col("dv").alias("c_dv"), F.col("nrm").alias("c_nrm"),
+    )
+    probes = ranked.filter((F.col("vec_id") < 10) & (F.col("rnk") <= _IVF_NPROBE)).select(
+        F.col("vec_id").alias("q_id"), F.col("dv").alias("q_dv"),
+        F.col("nrm").alias("q_nrm"), F.col("seed_id").alias("bucket"),
     )
     cos = dot_col(F.col("q_dv"), F.col("c_dv")) / (
         F.sqrt(F.col("q_nrm")) * F.sqrt(F.col("c_nrm"))
