@@ -68,24 +68,17 @@ def changed_fields_col(bitmap_col: str | Column, fields: list[str]) -> Column:
     """Native column expression: hex bitmap -> array of set field names.
 
     JVM-side higher-order functions over the (broadcast-as-literal) field
-    list: ``conv`` parses the hex, a ``filter(sequence(...))`` tests each bit,
-    ``transform`` maps positions to names. No Python UDF — stays inside
-    whole-stage codegen at any scale.
+    list: the hex string is parsed chunk-wise (:func:`_positions_of`) so
+    bitmaps of ANY width decode — real change-event schemas routinely exceed
+    63 fields (reference eventParser.js:140-152 handles arbitrary-width hex).
+    No Python UDF — stays inside whole-stage codegen at any scale.
 
     Handles the plain (non-compound) form; compound `"idx-hex"` entries are
     handled by :func:`expand_bitmaps_array_col` over the exploded array.
     """
     col = F.col(bitmap_col) if isinstance(bitmap_col, str) else bitmap_col
-    n = len(fields)
     fields_arr = F.array(*[F.lit(x) for x in fields])
-    hex_digits = F.regexp_replace(F.upper(col), "^0X", "")
-    value = F.conv(hex_digits, 16, 10).cast("decimal(20,0)")
-    # bit test via integer div/mod on DECIMAL — safe through 64 bits
-    positions = F.filter(
-        F.sequence(F.lit(0), F.lit(n - 1)),
-        lambda i: ((value / F.pow(F.lit(2.0), i.cast("double")).cast("decimal(20,0)"))
-                   .cast("bigint") % 2 == 1),
-    )
+    positions = _positions_of(col, max_bits=len(fields))
     return F.transform(positions, lambda i: F.element_at(fields_arr, i + 1))
 
 
@@ -118,6 +111,7 @@ def expand_bitmaps_array_col(
     child_fields = child_fields or {}
     col = F.col(bitmaps_col) if isinstance(bitmaps_col, str) else bitmaps_col
     fields_arr = F.array(*[F.lit(x) for x in fields])
+    max_child_bits = max((len(k) for k in child_fields.values()), default=1)
 
     def one_entry(entry: Column) -> Column:
         parent_idx = F.split(entry, "-").getItem(0)
@@ -136,21 +130,60 @@ def expand_bitmaps_array_col(
         else:
             children = F.array().cast("array<string>")
         compound = F.transform(
-            _positions_of(child_hex),
+            _positions_of(child_hex, max_bits=max_child_bits),
             lambda i: F.concat_ws(".", parent_name, F.element_at(children, i + 1)),
         )
         plain = F.transform(
-            _positions_of(entry), lambda i: F.element_at(fields_arr, i + 1)
+            _positions_of(entry, max_bits=len(fields)),
+            lambda i: F.element_at(fields_arr, i + 1),
         )
         return F.when(entry.contains("-"), compound).otherwise(plain)
 
     return F.flatten(F.transform(col, one_entry))
 
 
+#: hex digits per chunk: 15 digits = 60 bits, so a chunk value is < 2^60 and
+#: always fits a BIGINT (conv -> cast never overflows to NULL)
+_CHUNK_HEX = 15
+_CHUNK_BITS = _CHUNK_HEX * 4
+
+
 def _positions_of(hex_col: Column, max_bits: int = 63) -> Column:
-    """Set-bit positions (0-based) of a hex string column, 64-bit range."""
-    value = F.conv(F.regexp_replace(F.upper(hex_col), "^0X", ""), 16, 10).cast("bigint")
-    return F.filter(
-        F.sequence(F.lit(0), F.lit(max_bits - 1)),
-        lambda i: F.getbit(value, i.cast("int")) == 1,
-    )
+    """Set-bit positions (0-based, LSB-first) of a hex string column of
+    ARBITRARY width.
+
+    The naive ``conv(hex,16,10).cast('bigint')`` overflows to NULL once bit 63
+    is set, silently dropping every field of the entry. Instead the hex string
+    is consumed in 15-digit (60-bit) chunks from the right; each chunk parses
+    into its own BIGINT and contributes positions offset by ``60*chunk``. The
+    chunk count is static (``ceil(max_bits/60)``) so the expression remains a
+    fixed-size, codegen'd HOF tree — no Python, any schema width
+    (reference eventParser.js:140-152 handles arbitrary-width hex the same
+    way, digit-by-digit)."""
+    h = F.regexp_replace(F.upper(hex_col), "^0X", "")
+    length = F.length(h)
+
+    # NB: helper closures, not default-arg lambdas — pyspark dispatches HOF
+    # lambdas on their parameter COUNT, so `lambda i, v=value:` would be
+    # (mis)read as the two-arg (element, index) form.
+    def chunk_positions(c: int, bits_here: int) -> Column:
+        ln = F.least(F.lit(_CHUNK_HEX), length - _CHUNK_HEX * c)
+        start = F.greatest(length - _CHUNK_HEX * (c + 1) + 1, F.lit(1))
+        chunk = F.when(ln > 0, F.substr(h, start, ln)).otherwise(F.lit("0"))
+        value = F.coalesce(F.conv(chunk, 16, 10).cast("bigint"), F.lit(0))
+        pos = F.filter(
+            F.sequence(F.lit(0), F.lit(bits_here - 1)),
+            lambda i: F.getbit(value, i.cast("int")) == 1,
+        )
+        if c:
+            pos = F.transform(pos, lambda i: i + F.lit(_CHUNK_BITS * c))
+        return pos
+
+    parts: list[Column] = []
+    n_chunks = max(1, -(-max_bits // _CHUNK_BITS))
+    for c in range(n_chunks):
+        bits_here = min(_CHUNK_BITS, max_bits - _CHUNK_BITS * c)
+        if bits_here <= 0:
+            break
+        parts.append(chunk_positions(c, bits_here))
+    return parts[0] if len(parts) == 1 else F.concat(*parts)

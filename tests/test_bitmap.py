@@ -80,6 +80,66 @@ def test_column_expr_matches_python_twin_random(spark):
         assert got[i] == expand_bitmap_py(fields, [f"0x{v:x}"]), f"case {i}: 0x{v:x}"
 
 
+def test_wide_bitmap_beyond_63_bits(spark):
+    """Bitmaps wider than 63 bits must decode every bit — the naive
+    conv->bigint path overflows to NULL at bit 63+ and silently drops the
+    whole entry (real change-event schemas routinely exceed 63 fields)."""
+    fields = [f"F{i}" for i in range(130)]
+    cases = [
+        1 << 63,                       # exactly the overflow bit
+        1 << 64,
+        1 << 100,
+        (1 << 129) | (1 << 63) | 1,    # straddles all three 60-bit chunks
+        (1 << 120) - 1,                # 120 consecutive set bits
+    ]
+    df = spark.createDataFrame(
+        [(i, [f"0x{v:x}"]) for i, v in enumerate(cases)],
+        "i: int, bms: array<string>",
+    )
+    got = {
+        r.i: r.out
+        for r in df.select(
+            "i", expand_bitmaps_array_col("bms", fields).alias("out")
+        ).collect()
+    }
+    for i, v in enumerate(cases):
+        assert got[i] == expand_bitmap_py(fields, [f"0x{v:x}"]), f"0x{v:x}"
+
+
+def test_wide_bitmap_differential_random(spark):
+    """Differential vs the Python twin over random 200-bit bitmaps."""
+    import random
+
+    rng = random.Random(13)
+    fields = [f"F{i}" for i in range(200)]
+    cases = [rng.getrandbits(200) for _ in range(60)]
+    df = spark.createDataFrame(
+        [(i, [f"0x{v:x}"]) for i, v in enumerate(cases)],
+        "i: int, bms: array<string>",
+    )
+    got = {
+        r.i: r.out
+        for r in df.select(
+            "i", expand_bitmaps_array_col("bms", fields).alias("out")
+        ).collect()
+    }
+    for i, v in enumerate(cases):
+        assert got[i] == expand_bitmap_py(fields, [f"0x{v:x}"]), f"case {i}"
+
+
+def test_wide_compound_children(spark):
+    """Compound entries whose CHILD list exceeds 63 fields."""
+    children = {"Big": [f"C{i}" for i in range(80)]}
+    fields = ["Id", "Big"]
+    bms = [f"1-0x{(1 << 79) | (1 << 63) | 2:x}"]
+    df = spark.createDataFrame([(bms,)], "bms: array<string>")
+    got = df.select(
+        expand_bitmaps_array_col("bms", fields, children).alias("out")
+    ).collect()[0].out
+    assert got == expand_bitmap_py(fields, bms, children)
+    assert "Big.C79" in got and "Big.C63" in got and "Big.C1" in got
+
+
 def test_compound_entries_differential(spark):
     """Compound "<parentIdx>-<hex>" entries against the Python twin."""
     import random
