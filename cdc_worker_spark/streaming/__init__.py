@@ -8,6 +8,7 @@ from cdc_worker_spark.streaming.envelope import (
 from cdc_worker_spark.streaming.pipeline import (
     LatestWinsState,
     bootstrap_from_snapshot,
+    merge_latest_wins,
     read_event_stream,
     run_cdc_pipeline,
     stale_topics,
@@ -40,6 +41,7 @@ __all__ = [
     "decode_multiplexed",
     "decode_topic",
     "forward_events",
+    "merge_latest_wins",
     "read_event_stream",
     "run_cdc_pipeline",
     "run_forwarding_sink",

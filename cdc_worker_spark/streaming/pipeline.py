@@ -14,17 +14,23 @@ Reference mapping:
 - C4/D10 DLQ            : corrupt payloads appended to a failures table;
   the stream continues.
 
-State storage: versioned parquet snapshots with a _VERSION pointer (an
+State storage: a key-hash-BUCKETED manifest-versioned parquet table (an
 explicit, dependency-free stand-in for a Delta/Iceberg MERGE target — the
-production swap-in is ``MERGE INTO state USING batch ON key``).
+production swap-in is ``MERGE INTO state USING batch ON key``). Each merge
+rewrites ONLY the buckets touched by the batch — per-batch cost is
+O(touched buckets), not O(|state|) — and DELETEs are retained as tombstone
+rows (filtered out of the live view, garbage-collected past the retention
+horizon) so a late out-of-order pre-delete event cannot resurrect a deleted
+record.
 """
 
 from __future__ import annotations
 
+import json
 import os
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cdc_worker_spark.streaming.envelope import ENVELOPE_SCHEMA, decode_envelope
@@ -43,32 +49,86 @@ def read_event_stream(
 
 @dataclass
 class LatestWinsState:
-    """Versioned parquet latest-wins table (the foreachBatch MERGE target)."""
+    """Bucketed, manifest-versioned parquet latest-wins table (the
+    foreachBatch MERGE target).
+
+    Layout: ``path/v{N}/_bucket={K}/*.parquet`` — rows land in bucket
+    ``pmod(xxhash64(entity, record_id), n_buckets)``. ``_MANIFEST.json``
+    maps each bucket to the version directory holding its latest data, so a
+    merge that touches 1 bucket writes 1 bucket and repoints 1 manifest
+    entry; untouched buckets keep serving their old files (the same
+    copy-on-write shape as a Delta/Iceberg transaction log). Stored rows
+    INCLUDE DELETE tombstones; :meth:`read` is the live view.
+    """
 
     path: str
+    n_buckets: int = 16
 
-    def _version_file(self) -> str:
-        return os.path.join(self.path, "_VERSION")
+    def _manifest_file(self) -> str:
+        return os.path.join(self.path, "_MANIFEST.json")
 
-    def current_version(self) -> int:
+    def _manifest(self) -> dict:
         try:
-            with open(self._version_file()) as f:
-                return int(f.read().strip())
+            with open(self._manifest_file()) as f:
+                return json.load(f)
         except FileNotFoundError:
-            return -1
+            return {"version": -1, "n_buckets": self.n_buckets, "buckets": {}}
+
+    def _write_manifest(self, manifest: dict) -> None:
+        os.makedirs(self.path, exist_ok=True)
+        tmp = self._manifest_file() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self._manifest_file())
+
+    def _bucket_paths(self, manifest: dict, buckets=None) -> list[str]:
+        items = manifest["buckets"].items()
+        if buckets is not None:
+            want = {str(b) for b in buckets}
+            items = [(b, v) for b, v in items if b in want]
+        return [
+            os.path.join(self.path, f"v{v}", f"_bucket={b}") for b, v in items
+        ]
+
+    def bucket_col(self) -> Column:
+        return F.pmod(F.xxhash64("entity", "record_id"), F.lit(self.n_buckets))
+
+    def read_full(
+        self, spark: SparkSession, buckets=None
+    ) -> DataFrame | None:
+        """All stored rows (tombstones included) — optionally only the given
+        buckets (the merge path reads just the buckets a batch touches)."""
+        manifest = self._manifest()
+        paths = self._bucket_paths(manifest, buckets)
+        if not paths:
+            return None
+        return spark.read.parquet(*paths)
 
     def read(self, spark: SparkSession) -> DataFrame | None:
-        v = self.current_version()
-        if v < 0:
-            return None
-        return spark.read.parquet(os.path.join(self.path, f"v{v}"))
+        """Live view: tombstoned (deleted) keys filtered out."""
+        df = self.read_full(spark)
+        return None if df is None else df.filter(F.col("change_type") != "DELETE")
 
-    def write(self, df: DataFrame) -> None:
-        v = self.current_version() + 1
-        df.write.mode("overwrite").parquet(os.path.join(self.path, f"v{v}"))
-        os.makedirs(self.path, exist_ok=True)
-        with open(self._version_file(), "w") as f:
-            f.write(str(v))
+    def write_buckets(self, df: DataFrame, touched: list[int]) -> None:
+        """Commit ``df`` (rows of exactly the ``touched`` buckets) as a new
+        version: write those bucket partitions, repoint their manifest
+        entries, leave every other bucket untouched."""
+        manifest = self._manifest()
+        if manifest["n_buckets"] != self.n_buckets and manifest["buckets"]:
+            # the store's layout wins over the constructor default
+            self.n_buckets = manifest["n_buckets"]
+        v = manifest["version"] + 1
+        (
+            df.withColumn("_bucket", self.bucket_col())
+            .write.mode("overwrite")
+            .partitionBy("_bucket")
+            .parquet(os.path.join(self.path, f"v{v}"))
+        )
+        manifest["version"] = v
+        manifest["n_buckets"] = self.n_buckets
+        for b in touched:
+            manifest["buckets"][str(b)] = v
+        self._write_manifest(manifest)
 
 
 def _latest_per_key(df: DataFrame) -> DataFrame:
@@ -80,23 +140,57 @@ def _latest_per_key(df: DataFrame) -> DataFrame:
     return df.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1").drop("_rn")
 
 
-def merge_latest_wins(state: LatestWinsState, batch_df: DataFrame) -> None:
-    """D1/D2: upsert batch into state, latest wins; DELETE drops the key.
+def merge_latest_wins(
+    state: LatestWinsState,
+    batch_df: DataFrame,
+    tombstone_retention_hours: float | None = 72.0,
+) -> None:
+    """D1/D2: upsert batch into state, latest wins; DELETE tombstones the key.
 
     Idempotent under redelivery: replaying events <= the stored replay id
     cannot change the outcome (latest-wins is monotone in (commit_ts,
-    replay_id)) — the D4 guarantee without per-row bookkeeping.
+    replay_id)) — including for deleted keys, because the DELETE row stays in
+    the store as a tombstone carrying its (commit_ts, replay_id). A late
+    out-of-order pre-delete UPDATE (legitimate within the watermark; dedup
+    only catches exact replay-id redelivery) loses to the tombstone instead
+    of resurrecting the record.
+
+    Incremental: only the key-hash buckets present in the batch are read,
+    merged, and rewritten — O(touched buckets) per trigger, not O(|state|)
+    (reference semantics are per-record upsert, design doc:670-676).
+
+    Tombstone GC: tombstones older than ``tombstone_retention_hours`` behind
+    the batch's max event time are dropped (deterministic event-time horizon
+    — matches the bus's 72 h retention window, past which no late event for
+    that key can still arrive).
     """
     spark = batch_df.sparkSession
-    batch_latest = _latest_per_key(batch_df)
-    existing = state.read(spark)
+    batch_latest = _latest_per_key(batch_df).withColumn(
+        "_bucket", state.bucket_col()
+    )
+    # one tiny driver-side agg: which buckets does this batch touch, and the
+    # batch's max event time (the GC horizon anchor) — <= n_buckets values
+    stats = batch_latest.agg(
+        F.collect_set("_bucket").alias("buckets"), F.max("commit_ts").alias("max_ts")
+    ).collect()[0]
+    touched = sorted(stats.buckets or [])
+    if not touched:
+        return
+    batch_latest = batch_latest.drop("_bucket")
+    existing = state.read_full(spark, buckets=touched)
     merged = (
         batch_latest
         if existing is None
         else _latest_per_key(existing.unionByName(batch_latest))
     )
-    # apply deletes last: a key whose latest change is DELETE leaves the table
-    state.write(merged.filter(F.col("change_type") != "DELETE"))
+    if tombstone_retention_hours is not None and stats.max_ts is not None:
+        horizon = F.lit(stats.max_ts) - F.expr(
+            f"INTERVAL {int(tombstone_retention_hours * 3600)} SECONDS"
+        )
+        merged = merged.filter(
+            (F.col("change_type") != "DELETE") | (F.col("commit_ts") >= horizon)
+        )
+    state.write_buckets(merged, touched)
 
 
 def bootstrap_from_snapshot(

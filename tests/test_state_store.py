@@ -1,0 +1,120 @@
+"""LatestWinsState tests: DELETE tombstones (a late out-of-order pre-delete
+event must not resurrect a deleted key — dropDuplicatesWithinWatermark only
+catches exact replay-id redelivery, so the state store itself must keep the
+delete's (commit_ts, replay_id) to win the comparison), event-time tombstone
+GC, and incremental bucketed merge (a batch touching 1 bucket rewrites 1
+bucket, not the whole store — reference semantics are per-record upsert,
+design doc:670-676)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+from decimal import Decimal
+
+from pyspark.sql import functions as F
+
+from cdc_worker_spark.streaming import LatestWinsState, merge_latest_wins
+
+T0 = dt.datetime(2023, 10, 4, 18, 0, 0)
+
+SCHEMA = (
+    "replay_id decimal(20,0), commit_ts timestamp, entity string, "
+    "record_id string, change_type string, payload string"
+)
+
+
+def batch(spark, rows):
+    """rows: (replay_id, seconds_after_t0, record_id, change_type, payload)"""
+    return spark.createDataFrame(
+        [
+            (Decimal(rid), T0 + dt.timedelta(seconds=s), "Account", rec, ct, p)
+            for rid, s, rec, ct, p in rows
+        ],
+        SCHEMA,
+    )
+
+
+def live(spark, state):
+    df = state.read(spark)
+    return {} if df is None else {r.record_id: r for r in df.collect()}
+
+
+def test_tombstone_blocks_late_predelete(spark, tmp_path):
+    state = LatestWinsState(str(tmp_path / "state"))
+    merge_latest_wins(state, batch(spark, [(100, 0, "A", "CREATE", "v0")]))
+    merge_latest_wins(state, batch(spark, [(102, 2, "A", "DELETE", None)]))
+    # late pre-delete UPDATE: replay 101 < 102, commit_ts t0+1 < t0+2 —
+    # legitimate within the watermark, NOT an exact redelivery
+    merge_latest_wins(state, batch(spark, [(101, 1, "A", "UPDATE", "zombie")]))
+
+    assert live(spark, state) == {}  # not resurrected
+    stored = {r.record_id: r for r in state.read_full(spark).collect()}
+    assert stored["A"].change_type == "DELETE"
+    assert int(stored["A"].replay_id) == 102  # tombstone kept its stamp
+
+
+def test_post_delete_recreate_wins(spark, tmp_path):
+    """A genuinely NEWER create after a delete must override the tombstone."""
+    state = LatestWinsState(str(tmp_path / "state"))
+    merge_latest_wins(state, batch(spark, [(100, 0, "A", "CREATE", "v0")]))
+    merge_latest_wins(state, batch(spark, [(102, 2, "A", "DELETE", None)]))
+    merge_latest_wins(state, batch(spark, [(103, 3, "A", "CREATE", "reborn")]))
+    got = live(spark, state)
+    assert set(got) == {"A"} and got["A"].payload == "reborn"
+
+
+def test_tombstone_gc_past_retention(spark, tmp_path):
+    state = LatestWinsState(str(tmp_path / "state"), n_buckets=1)
+    merge_latest_wins(state, batch(spark, [(100, 0, "A", "CREATE", "v0")]))
+    merge_latest_wins(state, batch(spark, [(102, 2, "A", "DELETE", None)]))
+    assert state.read_full(spark).filter("change_type = 'DELETE'").count() == 1
+
+    # event time advances 73 h (> the 72 h retention window): GC drops the
+    # tombstone — no late event for A can still arrive from the bus
+    merge_latest_wins(
+        state, batch(spark, [(200, 73 * 3600, "B", "CREATE", "fresh")])
+    )
+    assert state.read_full(spark).filter("change_type = 'DELETE'").count() == 0
+    assert set(live(spark, state)) == {"B"}
+
+
+def test_incremental_merge_rewrites_only_touched_buckets(spark, tmp_path):
+    root = str(tmp_path / "state")
+    state = LatestWinsState(root, n_buckets=8)
+    seed = batch(
+        spark, [(i, i, f"K{i}", "CREATE", f"v{i}") for i in range(40)]
+    )
+    merge_latest_wins(state, seed)
+    manifest0 = state._manifest()
+    assert set(manifest0["buckets"]) == {str(b) for b in range(8)}
+
+    merge_latest_wins(state, batch(spark, [(1000, 100, "K3", "UPDATE", "new")]))
+    manifest1 = state._manifest()
+    v1 = manifest1["version"]
+    assert v1 == manifest0["version"] + 1
+
+    # exactly one bucket directory exists in the new version...
+    new_dirs = [
+        d for d in os.listdir(os.path.join(root, f"v{v1}")) if d.startswith("_bucket=")
+    ]
+    assert len(new_dirs) == 1
+    # ...and exactly one manifest entry moved; the other 7 still point at v0
+    moved = [b for b, v in manifest1["buckets"].items() if v == v1]
+    assert len(moved) == 1
+    assert new_dirs[0] == f"_bucket={moved[0]}"
+
+    got = live(spark, state)
+    assert len(got) == 40
+    assert got["K3"].payload == "new" and int(got["K3"].replay_id) == 1000
+    assert got["K7"].payload == "v7"  # untouched bucket rows intact
+
+
+def test_touched_bucket_merge_is_latest_wins_within_bucket(spark, tmp_path):
+    """The merged bucket re-runs latest-wins over existing ∪ batch: stale
+    batch rows lose to stored rows sharing their bucket."""
+    state = LatestWinsState(str(tmp_path / "state"), n_buckets=2)
+    merge_latest_wins(state, batch(spark, [(500, 50, "A", "UPDATE", "newer")]))
+    merge_latest_wins(state, batch(spark, [(400, 40, "A", "UPDATE", "stale")]))
+    got = live(spark, state)
+    assert got["A"].payload == "newer" and int(got["A"].replay_id) == 500

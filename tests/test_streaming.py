@@ -112,6 +112,26 @@ def test_checkpoint_restart_resumes_without_loss_or_dup(spark, dirs):
     assert int(state["C"].replay_id) == 201
 
 
+def test_late_predelete_does_not_resurrect(spark, dirs):
+    """A late out-of-order UPDATE that pre-dates an applied DELETE (legal
+    within the watermark; not an exact-replay-id redelivery) must NOT bring
+    the record back — the DELETE tombstone keeps its (commit_ts, replay_id)
+    and wins the latest-per-key comparison."""
+    t0 = 1696444513000
+    write_batch_file(dirs["input"], "b1.jsonl", [
+        make_envelope(100, record_id="A", change_type="CREATE", commit_ts=t0),
+        make_envelope(102, record_id="A", change_type="DELETE", commit_ts=t0 + 2),
+    ])
+    run_drain(spark, dirs)
+    assert read_state(spark, dirs) == {}
+
+    write_batch_file(dirs["input"], "b2.jsonl", [
+        make_envelope(101, record_id="A", change_type="UPDATE", commit_ts=t0 + 1),
+    ])
+    run_drain(spark, dirs)
+    assert read_state(spark, dirs) == {}
+
+
 def test_dedup_within_watermark(spark, tmp_path):
     """D4: dropDuplicatesWithinWatermark on replay_id removes redeliveries
     before they reach the sink (observed via an in-batch collector)."""
