@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cdc_worker_spark.plans.registry import query
@@ -127,24 +127,16 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram (word trigram) Jaccard near-dup pairs, blocked by lang.
 
-    Pair generation is an equi-join on shingle+lang (no O(n^2) cross join);
-    Jaccard = |A∩B| / (|A|+|B|-|A∩B|) — integer counts, one double division,
-    exact on both engines."""
+    Pair generation is an equi-join on shingle+lang (no O(n^2) cross join)
+    with a document-frequency cap on shingles (:func:`ngram_candidate_pairs`)
+    so one stop-phrase trigram cannot create a quadratic bucket; Jaccard =
+    |A∩B| / (|A|+|B|-|A∩B|) — integer counts, one double division, exact on
+    both engines. The cap (100) sits far above the fixture's max df (5 at
+    sf0.01, 14 at sf0.1), so results match the uncapped oracle exactly."""
     docs = load_table(spark, sf_dir, "documents")
     tri = shingles_distinct(docs)
     sizes = tri.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = tri.alias("a")
-    b = tri.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.g") == F.col("b.g"))
-            & (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_common"))
-    )
+    inter = ngram_candidate_pairs(tri, max_shingle_df=100)
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     jac = F.col("n_common").cast("double") / (
@@ -155,6 +147,38 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.3)
+    )
+
+
+def ngram_candidate_pairs(tri: DataFrame, max_shingle_df: int) -> DataFrame:
+    """(doc_a, doc_b, n_common) candidate pairs from a (doc_id, lang, g)
+    shingle table, bounded by shingle document frequency.
+
+    The classic hot-token blowup: a stop-phrase trigram shared by 1% of a
+    corpus creates a join bucket whose pair count is quadratic in corpus
+    size. Shingles with df > ``max_shingle_df`` are dropped BEFORE the
+    self-join — they carry no discriminative signal (a shingle appearing in
+    thousands of documents says nothing about any particular pair), so the
+    bucket pair volume is bounded by df^2 per shingle. The df window and the
+    pair join share the (lang, g) partitioning, so the cap costs no extra
+    shuffle of the shingle table."""
+    w_df = Window.partitionBy("lang", "g")
+    tri_f = (
+        tri.withColumn("df", F.count("*").over(w_df))
+        .filter(F.col("df") <= max_shingle_df)
+        .drop("df")
+    )
+    a = tri_f.alias("a")
+    b = tri_f.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
     )
 
 
@@ -319,25 +343,81 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs, blocked by label. Cosine is computed
-    with strictly sequential folds (dot and norms) so Spark and DuckDB agree
-    bitwise — threshold compares can't flip. At real scale the label block
-    becomes an LSH/IVF bucket (q_sim_ann_lsh)."""
+    """Embedding-cosine near-dup pairs (cos > 0.8), same-label blocked.
+
+    Candidates-then-verify, NOT all-pairs: LSH banded buckets generate the
+    candidate pairs (same shape as q_dedup_minhash — the label-block
+    all-pairs join is O(n^2/L), a cartesian product in disguise at 100 TB),
+    then the exact sequential-fold cosine runs on candidates only, so Spark
+    and DuckDB agree bitwise on every surviving pair. The DuckDB oracle keeps
+    the all-pairs formulation as the small-scale exactness twin; recall of
+    the LSH candidate stage is gated in tests/test_dedup_scale.py (planted
+    near-dup clusters, 100% found)."""
     emb = with_double_vec(load_table(spark, sf_dir, "embeddings"))
-    a = emb.select(
-        F.col("vec_id").alias("vec_a"), F.col("label").alias("label_a"),
-        F.col("dv").alias("dv_a"), F.col("nrm").alias("nrm_a"),
+    return embedding_dedup_pairs(emb, threshold=0.8, same_label=True).select(
+        "vec_a", "vec_b", F.round("cos", 6).alias("cos_sim")
     )
-    b = emb.select(
-        F.col("vec_id").alias("vec_b"), F.col("label").alias("label_b"),
-        F.col("dv").alias("dv_b"), F.col("nrm").alias("nrm_b"),
+
+
+#: LSH banding for embedding dedup: 16 tables x 8 bits. A pair at angle θ
+#: collides in one table with p = (1-θ/π)^8 and is missed overall with
+#: (1-p)^16: ~1e-8 at cos 0.99, 1.4e-4 at cos 0.95, ~6% at exactly 0.8 —
+#: designed for the near-dup regime; raise n_tables to push the boundary
+#: recall (the knob trades explode factor, not plan shape). Random pairs
+#: (cos~0) collide at ~6%, so candidate volume tracks bucket co-occupancy,
+#: never n^2 (gated in tests/test_dedup_scale.py).
+_EMB_LSH_TABLES = 16
+_EMB_LSH_BITS = 8
+
+
+def embedding_dedup_pairs(
+    emb: DataFrame,
+    threshold: float,
+    same_label: bool = False,
+    n_tables: int = _EMB_LSH_TABLES,
+    n_bits: int = _EMB_LSH_BITS,
+) -> DataFrame:
+    """Near-dup pairs (vec_a, vec_b, cos > threshold) via LSH candidates +
+    exact-cosine verification.
+
+    Scale shape: only (vec_id, label, tbl, sig) flows through the band
+    shuffle — vectors are joined back AFTER the candidate set is distinct, so
+    the wide embedding column is shuffled O(|candidates|) times, never
+    O(n x tables). ``emb`` must carry dv/nrm (:func:`with_double_vec`)."""
+    from cdc_worker_spark.operators.lsh import with_lsh_buckets
+
+    keyed = with_lsh_buckets(
+        emb.select("vec_id", "label", "dv", "nrm"), n_tables, n_bits
+    ).select("vec_id", "label", "tbl", "sig")
+    x = keyed.select(
+        "tbl", "sig", F.col("vec_id").alias("vec_a"), F.col("label").alias("label_a")
+    )
+    y = keyed.select(
+        "tbl", "sig", F.col("vec_id").alias("vec_b"), F.col("label").alias("label_b")
+    )
+    pair_filter = F.col("vec_a") < F.col("vec_b")
+    if same_label:
+        pair_filter = pair_filter & (F.col("label_a") == F.col("label_b"))
+    cand = (
+        x.join(y, ["tbl", "sig"])
+        .filter(pair_filter)
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    va = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("dv").alias("dv_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    vb = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("dv").alias("dv_b"),
+        F.col("nrm").alias("nrm_b"),
     )
     cos = dot_col(F.col("dv_a"), F.col("dv_b")) / (
         F.sqrt(F.col("nrm_a")) * F.sqrt(F.col("nrm_b"))
     )
     return (
-        a.join(b, (F.col("label_a") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")))
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
         .withColumn("cos", cos)
-        .filter(F.col("cos") > 0.8)
-        .select("vec_a", "vec_b", F.round("cos", 6).alias("cos_sim"))
+        .filter(F.col("cos") > threshold)
     )

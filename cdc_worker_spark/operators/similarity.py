@@ -11,12 +11,11 @@ to same-bucket vectors; production would add multi-probe + IVF re-ranking.
 
 from __future__ import annotations
 
-import hashlib
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cdc_worker_spark.operators.dedup import dot_col, with_double_vec
+from cdc_worker_spark.operators.lsh import with_lsh_buckets
 from cdc_worker_spark.plans.registry import query
 from cdc_worker_spark.sources.tables import load_table
 
@@ -130,18 +129,6 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pseudo_hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
-    """Deterministic pseudo-random hyperplanes (md5-derived, engine-free)."""
-    planes = []
-    for p in range(n_planes):
-        row = []
-        for d in range(dim):
-            h = hashlib.md5(f"lsh:{p}:{d}".encode()).hexdigest()
-            row.append((int(h[:8], 16) / 0x7FFFFFFF) - 1.0)  # ~U(-1, 1)
-        planes.append(row)
-    return planes
-
-
 #: LSH configuration: hash tables x bits per table (banding, like MinHash-LSH:
 #: a candidate needs to collide in only ONE table, so recall multiplies with
 #: tables while each table's bucket count keeps joins small)
@@ -159,17 +146,9 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     run-to-run; q_sim_cosine_topk is the exact recall baseline
     (tests/test_similarity_recall.py gates recall vs candidate fraction)."""
     emb = with_double_vec(load_table(spark, sf_dir, "embeddings"))
-    planes = _pseudo_hyperplanes(_LSH_TABLES * _LSH_BITS, 64)
-    tables = []
-    for t in range(_LSH_TABLES):
-        sig = F.lit(0)
-        for b in range(_LSH_BITS):
-            plane_col = F.array(*[F.lit(v) for v in planes[t * _LSH_BITS + b]])
-            sig = sig + F.when(dot_col(F.col("dv"), plane_col) > 0, F.lit(1 << b)).otherwise(0)
-        tables.append(F.struct(F.lit(t).alias("tbl"), sig.alias("sig")))
-    bucketed = emb.select(
-        "vec_id", "dv", "nrm", F.explode(F.array(*tables)).alias("b")
-    ).select("vec_id", "dv", "nrm", "b.tbl", "b.sig")
+    bucketed = with_lsh_buckets(
+        emb.select("vec_id", "dv", "nrm"), _LSH_TABLES, _LSH_BITS
+    )
     q = bucketed.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"),
         F.col("dv").alias("q_dv"),

@@ -1,0 +1,151 @@
+"""Scale-shape tests for the dedup operators (VERDICT r01 'What's wrong'
+#1/#2): embedding dedup must generate candidates from LSH buckets (recall
+gated on planted near-dup clusters), and ngram-Jaccard candidate volume must
+stay bounded in the presence of a hot (stop-phrase) shingle."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_worker_spark.operators.dedup import (
+    embedding_dedup_pairs,
+    ngram_candidate_pairs,
+    shingles_distinct,
+    with_double_vec,
+)
+from cdc_worker_spark.operators.lsh import with_lsh_buckets
+
+DIM = 64
+N_CLUSTERS = 5
+CLUSTER_SIZE = 20
+N_RANDOM = 400
+
+
+def _planted_vectors():
+    """5 clusters of 20 near-dups (intra-pair cos ≈ 0.97+) + 400 random
+    vectors. Deterministic (seeded numpy)."""
+    rng = np.random.default_rng(42)
+    rows = []
+    vid = 0
+    for c in range(N_CLUSTERS):
+        base = rng.normal(size=DIM)
+        base /= np.linalg.norm(base)
+        for _ in range(CLUSTER_SIZE):
+            v = base + 0.02 * rng.normal(size=DIM)
+            rows.append((vid, c, [float(x) for x in v]))
+            vid += 1
+    for _ in range(N_RANDOM):
+        v = rng.normal(size=DIM)
+        rows.append((vid, 99, [float(x) for x in v]))
+        vid += 1
+    return rows
+
+
+def _ground_truth_pairs(rows, threshold):
+    mat = np.array([r[2] for r in rows])
+    norms = np.linalg.norm(mat, axis=1)
+    cos = (mat @ mat.T) / np.outer(norms, norms)
+    ids = [r[0] for r in rows]
+    out = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if cos[i, j] > threshold:
+                out.add((ids[i], ids[j]))
+    return out
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    rows = _planted_vectors()
+    df = with_double_vec(
+        spark.createDataFrame(
+            rows, "vec_id: long, label: int, embedding: array<double>"
+        )
+    )
+    return rows, df.persist()
+
+
+def test_embedding_dedup_finds_all_planted_pairs(spark, planted):
+    """100% recall on planted near-dup clusters: LSH candidates + exact
+    verify reproduce the exact all-pairs result."""
+    rows, df = planted
+    truth = _ground_truth_pairs(rows, 0.9)
+    assert len(truth) >= N_CLUSTERS * (CLUSTER_SIZE * (CLUSTER_SIZE - 1)) // 2 * 0.9
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_dedup_pairs(df, threshold=0.9).collect()
+    }
+    assert got == truth  # exact: no missed pair, no false positive
+
+
+def test_embedding_candidate_volume_tracks_buckets_not_n2(spark, planted):
+    """Candidate pair volume must be a small fraction of n(n-1)/2 — the
+    band join meets same-bucket vectors only."""
+    rows, df = planted
+    n = len(rows)
+    all_pairs = n * (n - 1) // 2
+    keyed = with_lsh_buckets(df.select("vec_id", "dv"), 16, 8).select(
+        "vec_id", "tbl", "sig"
+    )
+    x = keyed.select("tbl", "sig", F.col("vec_id").alias("a"))
+    y = keyed.select("tbl", "sig", F.col("vec_id").alias("b"))
+    n_cand = (
+        x.join(y, ["tbl", "sig"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+        .count()
+    )
+    assert n_cand < 0.15 * all_pairs, f"{n_cand} candidates vs {all_pairs} pairs"
+
+
+def test_embedding_same_label_block(spark, planted):
+    """same_label=True restricts pairs to matching labels (the oracle's
+    blocking key)."""
+    rows, df = planted
+    got = embedding_dedup_pairs(df, threshold=0.9, same_label=True)
+    labels = {r[0]: r[1] for r in rows}
+    for r in got.collect():
+        assert labels[r.vec_a] == labels[r.vec_b]
+
+
+def _docs_with_hot_shingle(spark, n_docs=60):
+    """Every doc shares one stop-phrase trigram; docs 0/1 are true near-dups."""
+    base = "quick brown fox jumps over the lazy dog again and again"
+    rows = []
+    for i in range(n_docs):
+        unique = " ".join(f"tok{i}w{j}" for j in range(8))
+        text = f"the common phrase {unique}" if i > 1 else f"the common phrase {base}"
+        rows.append((i, "en", text))
+    return spark.createDataFrame(rows, "doc_id: long, lang: string, text: string")
+
+
+def test_ngram_hot_shingle_candidates_bounded(spark):
+    docs = _docs_with_hot_shingle(spark)
+    tri = shingles_distinct(docs)
+    uncapped = ngram_candidate_pairs(tri, max_shingle_df=10**9).count()
+    capped = ngram_candidate_pairs(tri, max_shingle_df=10).count()
+    n = 60
+    assert uncapped >= n * (n - 1) // 2  # the hot shingle pairs everyone
+    # capped: only genuinely shared (rare) shingles generate pairs — here the
+    # two planted near-dups plus nothing else
+    assert capped <= 5, f"hot shingle leaked {capped} candidate pairs"
+
+
+def test_ngram_cap_inert_below_threshold(spark):
+    """With the cap above every shingle's df, results are identical to the
+    uncapped join (the production cap of 100 is far above the fixture's max
+    df, so the driver's DuckDB oracle match is unaffected)."""
+    docs = _docs_with_hot_shingle(spark, n_docs=20)
+    tri = shingles_distinct(docs)
+    a = {
+        (r.doc_a, r.doc_b, r.n_common)
+        for r in ngram_candidate_pairs(tri, max_shingle_df=10**9).collect()
+    }
+    b = {
+        (r.doc_a, r.doc_b, r.n_common)
+        for r in ngram_candidate_pairs(tri, max_shingle_df=1000).collect()
+    }
+    assert a == b
