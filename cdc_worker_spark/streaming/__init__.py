@@ -18,6 +18,8 @@ from cdc_worker_spark.streaming.registry import (
     TopicSchema,
     decode_multiplexed,
     decode_topic,
+    resolve_new_ids,
+    run_multiplexed_pipeline,
 )
 from cdc_worker_spark.streaming.sinks import forward_events, run_forwarding_sink
 from cdc_worker_spark.streaming.windows import (
@@ -43,7 +45,9 @@ __all__ = [
     "forward_events",
     "merge_latest_wins",
     "read_event_stream",
+    "resolve_new_ids",
     "run_cdc_pipeline",
+    "run_multiplexed_pipeline",
     "run_forwarding_sink",
     "running_counters",
     "session_counts",

@@ -8,9 +8,11 @@ uint64 replay id (eventParser.js:160-174).
 
 Spark-first equivalents here:
 - envelope rows arrive as JSON lines (payload = JSON text, replay id =
-  base64 of the 8-byte BE buffer) — ``from_avro`` would slot in identically
-  where the spark-avro jar is available (it is not in this container, so the
-  JSON codec is the tested path and Avro is the documented swap-in);
+  base64 of the 8-byte BE buffer) or as Avro bytes — ``decode_envelope``
+  takes ``codec="json"|"avro"``; the avro branch runs ``from_avro`` against
+  a writer schema derived from the same StructType (the spark-avro jar is
+  not in this container, so the JSON codec is the tested path and the avro
+  branch is covered by a skipped-unless-jar-present equivalence test);
 - the whole of the reference's parseEvent (B1: offset decode + payload decode
   + bitmap expansion) is ONE ``select`` of native expressions — no Python in
   the per-event path, which is what makes it survive 100 TB.
@@ -31,6 +33,16 @@ ENVELOPE_SCHEMA = T.StructType(
         T.StructField("replay_id_b64", T.StringType()),
         T.StructField("schema_id", T.StringType()),
         T.StructField("payload", T.StringType()),
+    ]
+)
+
+#: raw envelope for the Avro codec: payload is the Avro-encoded bytes
+#: (pubsub_api.proto:57-80 — the true wire form)
+AVRO_ENVELOPE_SCHEMA = T.StructType(
+    [
+        T.StructField("replay_id_b64", T.StringType()),
+        T.StructField("schema_id", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
     ]
 )
 
@@ -130,32 +142,103 @@ def _expand(header_field: Column, fields: list[str], child: dict[str, list[str]]
     return expand_bitmaps_array_col(header_field, fields, child)
 
 
+def _avro_type(dt: T.DataType, name: str) -> object:
+    """Spark type -> nullable Avro type (the CDC null convention: every
+    payload field is absent-when-unchanged, so everything is a null union)."""
+    if isinstance(dt, T.StructType):
+        return ["null", _avro_record(dt, name.capitalize())]
+    if isinstance(dt, T.ArrayType):
+        return ["null", {"type": "array", "items": _avro_type(dt.elementType, name + "Item")}]
+    prim = {
+        T.StringType: "string",
+        T.LongType: "long",
+        T.IntegerType: "int",
+        T.DoubleType: "double",
+        T.FloatType: "float",
+        T.BooleanType: "boolean",
+        T.BinaryType: "bytes",
+    }
+    for spark_t, avro_t in prim.items():
+        if isinstance(dt, spark_t):
+            return ["null", avro_t]
+    raise TypeError(f"no Avro mapping for {dt} (field {name!r})")
+
+
+def _avro_record(schema: T.StructType, name: str) -> dict:
+    return {
+        "type": "record",
+        "name": name,
+        "fields": [
+            {"name": f.name, "type": _avro_type(f.dataType, f.name), "default": None}
+            for f in schema.fields
+            if f.name != "_corrupt"  # JSON-codec capture artifact, not wire data
+        ],
+    }
+
+
+def avro_schema_json(payload_schema: T.StructType, name: str = "ChangeEvent") -> str:
+    """Writer-schema JSON for the Avro codec, derived from the same StructType
+    the JSON path uses (reference avroHelper.js:8-34 parses the registry's
+    schema text; here the registry entry's StructType is the single source of
+    truth for both codecs)."""
+    import json as _json
+
+    return _json.dumps(_avro_record(payload_schema, name))
+
+
 def decode_envelope(
     raw: DataFrame,
     payload_schema: T.StructType | None = None,
     fields: list[str] | None = None,
     child_fields: dict[str, list[str]] | None = None,
+    codec: str = "json",
 ) -> DataFrame:
     """The reference's parseEvent (B1) as one projection, parameterized by the
     topic's schema (defaults: the golden Account change-event schema).
 
-    raw(replay_id_b64, schema_id, payload-json) ->
+    raw(replay_id_b64, schema_id, payload) ->
       replay_id DECIMAL(20,0), commit_ts TIMESTAMP, record_id, entity,
       change_type, txn_key, seq_no, changed_fields/nulled_fields/diff_fields
       (bitmaps expanded to names), event STRUCT (full decoded payload),
       is_corrupt flag (C4 dead-letter routing).
+
+    ``codec`` selects the payload decode (reference eventParser.js:13 decodes
+    Avro against the registry schema; A8/A9):
+    - ``"json"``: payload is JSON text -> ``from_json`` with a ``_corrupt``
+      capture column (the tested path in this container).
+    - ``"avro"``: payload is Avro bytes -> ``from_avro`` against the writer
+      schema derived from the SAME StructType (:func:`avro_schema_json`);
+      requires the spark-avro jar. A payload that fails to decode yields a
+      NULL header -> is_corrupt. Every column downstream of the decode is
+      identical between codecs.
     """
     payload_schema = payload_schema or account_payload_schema()
     fields = fields or ACCOUNT_FIELDS
     child_fields = child_fields if child_fields is not None else ACCOUNT_CHILD_FIELDS
-    parsed = raw.withColumn(
-        "event",
-        F.from_json(
+    if codec == "json":
+        event = F.from_json(
             "payload",
             payload_schema,
             {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
-        ),
-    ).withColumn(
+        )
+        # corrupt = JSON decode failed (C4: EventParseError side-channel)
+        is_corrupt = F.col("event._corrupt").isNotNull()
+        event_out = F.col("event").dropFields("_corrupt")
+        raw_payload = F.col("payload")
+    elif codec == "avro":
+        from pyspark.sql.avro.functions import from_avro
+
+        event = from_avro(
+            F.col("payload"), avro_schema_json(payload_schema), {"mode": "PERMISSIVE"}
+        )
+        # a change event always carries its header; a NULL header means the
+        # bytes did not decode against the writer schema
+        is_corrupt = F.col("event.ChangeEventHeader").isNull()
+        event_out = F.col("event")
+        raw_payload = F.base64("payload")  # stringly DLQ column, codec-neutral
+    else:
+        raise ValueError(f"unknown codec {codec!r} (expected 'json' or 'avro')")
+    parsed = raw.withColumn("event", event).withColumn(
         "replay_id", decode_replay_id_col(F.unbase64("replay_id_b64"))
     )
     hdr = F.col("event.ChangeEventHeader")
@@ -172,8 +255,7 @@ def decode_envelope(
         _expand(hdr.changedFields, fields, child_fields).alias("changed_fields"),
         _expand(hdr.nulledFields, fields, child_fields).alias("nulled_fields"),
         _expand(hdr.diffFields, fields, child_fields).alias("diff_fields"),
-        F.col("event").dropFields("_corrupt").alias("event"),
-        # corrupt = JSON decode failed (C4: EventParseError side-channel)
-        F.col("event._corrupt").isNotNull().alias("is_corrupt"),
-        F.col("payload").alias("raw_payload"),
+        event_out.alias("event"),
+        is_corrupt.alias("is_corrupt"),
+        raw_payload.alias("raw_payload"),
     )

@@ -108,8 +108,13 @@ def decode_multiplexed(
         )
     known = [sid for sid in ids if registry.resolve(sid) is not None]
     # unknown-schema rows keep their replay id — it lives outside the payload,
-    # exactly like the reference's EventParseError (eventParseError.js:30-38)
-    unknown = raw.filter(~F.col("schema_id").isin(known)).select(
+    # exactly like the reference's EventParseError (eventParseError.js:30-38).
+    # NULL schema_id satisfies neither the per-topic filters nor a bare
+    # NOT-isin (NULL-valued predicate) — route it here explicitly so it
+    # surfaces in the DLQ instead of silently vanishing from the stream.
+    unknown = raw.filter(
+        ~F.col("schema_id").isin(known) | F.col("schema_id").isNull()
+    ).select(
         decode_replay_id_col(F.unbase64("replay_id_b64")).alias("replay_id"),
         "schema_id",
         F.lit(None).cast("timestamp").alias("commit_ts"),
@@ -126,3 +131,72 @@ def decode_multiplexed(
     for p in parts:
         out = out.unionByName(p)
     return out
+
+
+def resolve_new_ids(registry: SchemaRegistry, batch_df: DataFrame) -> list[str]:
+    """foreachBatch-time GetSchema: resolve schema ids present in a
+    micro-batch but not yet registered (reference client.js:896-909 — the
+    reference re-resolves an unseen schema_id per event; Spark's analogue is
+    per micro-batch, since ``from_json`` schemas are plan-time artifacts).
+
+    The distinct is O(topics), not O(rows) — a tiny agg collect. Returns the
+    ids that were newly resolved (memoized into the registry)."""
+    known = set(registry.known_ids())
+    seen = [
+        r.schema_id
+        for r in batch_df.select("schema_id").distinct().collect()
+        if r.schema_id is not None
+    ]
+    return [
+        sid for sid in seen
+        if sid not in known and registry.resolve(sid) is not None
+    ]
+
+
+def run_multiplexed_pipeline(
+    spark,
+    input_dir: str,
+    out_dir: str,
+    dlq_dir: str,
+    checkpoint_dir: str,
+    registry: SchemaRegistry,
+    max_files_per_trigger: int | None = 1,
+    available_now: bool = True,
+):
+    """Multi-topic CDC stream with MID-STREAM schema evolution: each
+    micro-batch first resolves any schema id it carries that the registry has
+    not seen (``resolve_new_ids`` — the GetSchema RPC at batch granularity),
+    then decodes with the registry's CURRENT state. A topic whose schema
+    first appears mid-stream starts decoding from that batch on — no stream
+    restart, and its rows never detour through the DLQ (closing the gap vs
+    plan-build-time-only resolution).
+
+    Decoded rows append to ``out_dir``; rows that remain unknown/corrupt
+    (including NULL schema_id) append to ``dlq_dir``.
+    """
+    from cdc_worker_spark.streaming.envelope import ENVELOPE_SCHEMA
+
+    reader = spark.readStream.schema(ENVELOPE_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.json(input_dir)
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        try:
+            resolve_new_ids(registry, batch_df)
+            decoded = decode_multiplexed(batch_df, registry).persist()
+            try:
+                decoded.filter("is_corrupt").write.mode("append").parquet(dlq_dir)
+                decoded.filter("NOT is_corrupt").write.mode("append").parquet(out_dir)
+            finally:
+                decoded.unpersist()
+        finally:
+            batch_df.unpersist()
+
+    stream = raw.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        stream = stream.trigger(availableNow=True)
+    return stream.start()

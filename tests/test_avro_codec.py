@@ -1,0 +1,125 @@
+"""Avro codec seam (reference A8/A9: eventParser.js:13 decodes Avro payloads
+against the registry schema; avroHelper.js:8-34 parses the schema text).
+
+The spark-avro jar is not bundled in this container, so the end-to-end
+equivalence test skips unless the jar (and an Avro encoder) is present —
+but the SEAM is concrete either way: the writer-schema derivation and the
+codec branch are exercised here, and the avro plan builds identically."""
+
+from __future__ import annotations
+
+import base64
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_worker_spark.functions.offsets import encode_replay_id
+from cdc_worker_spark.streaming.envelope import (
+    AVRO_ENVELOPE_SCHEMA,
+    ENVELOPE_SCHEMA,
+    account_payload_schema,
+    avro_schema_json,
+    decode_envelope,
+)
+
+from tests.test_cdc_event_model import make_envelope
+
+ENVELOPE_COLS = [
+    "replay_id", "schema_id", "commit_ts", "entity", "record_id",
+    "change_type", "txn_key", "seq_no", "commit_number",
+    "changed_fields", "nulled_fields", "diff_fields", "is_corrupt",
+]
+
+
+def _jar_present(spark) -> bool:
+    try:
+        from pyspark.sql.avro.functions import from_avro
+
+        df = spark.createDataFrame([(bytearray(b""),)], "b: binary")
+        df.select(
+            from_avro(
+                "b",
+                '{"type":"record","name":"t","fields":[]}',
+                {"mode": "PERMISSIVE"},
+            )
+        ).collect()
+        return True
+    except Exception:
+        return False
+
+
+def test_avro_writer_schema_derivation():
+    """The writer schema derives from the SAME StructType the JSON path uses:
+    every field nullable (the CDC absent-when-unchanged convention), the
+    _corrupt capture artifact excluded, nested records preserved."""
+    schema = json.loads(avro_schema_json(account_payload_schema()))
+    assert schema["type"] == "record"
+    names = [f["name"] for f in schema["fields"]]
+    assert "_corrupt" not in names
+    assert names[0] == "ChangeEventHeader"
+    by_name = {f["name"]: f for f in schema["fields"]}
+    # nullable union with a null default on every field
+    for f in schema["fields"]:
+        assert isinstance(f["type"], list) and f["type"][0] == "null"
+        assert f["default"] is None
+    # nested record: BillingAddress is a record type inside the union
+    ba = by_name["BillingAddress"]["type"][1]
+    assert ba["type"] == "record"
+    assert [c["name"] for c in ba["fields"]][:2] == ["Street", "City"]
+    # header's array field maps to an avro array
+    hdr = by_name["ChangeEventHeader"]["type"][1]
+    rec_ids = next(f for f in hdr["fields"] if f["name"] == "recordIds")
+    assert rec_ids["type"][1]["type"] == "array"
+
+
+def test_unknown_codec_rejected(spark):
+    df = spark.createDataFrame([], ENVELOPE_SCHEMA)
+    with pytest.raises(ValueError, match="codec"):
+        decode_envelope(df, codec="protobuf")
+
+
+def test_avro_branch_wires_from_avro(spark):
+    """The avro branch constructs the real from_avro projection: with the
+    spark-avro jar present it analyzes to the identical downstream column
+    set; without it, it fails FAST with the jar-naming AnalysisException
+    (AVRO_NOT_LOADED...) — never a silent fallback to the JSON path."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    df = spark.createDataFrame([], AVRO_ENVELOPE_SCHEMA)
+    try:
+        decoded = decode_envelope(df, codec="avro")
+        cols = decoded.columns  # triggers analysis
+    except AnalysisException as e:
+        assert "AVRO" in str(e).upper()
+        return
+    assert [c for c in ENVELOPE_COLS if c not in cols] == []
+
+
+def test_avro_json_codec_equivalence(spark):
+    """Golden Account event through BOTH codecs -> identical envelope
+    columns. Runs only where spark-avro and an Avro encoder exist."""
+    if not _jar_present(spark):
+        pytest.skip("spark-avro jar not available in this container")
+    try:
+        import fastavro
+    except ImportError:
+        pytest.skip("no Avro encoder (fastavro) available")
+
+    import io
+
+    env = make_envelope(18098167, record_id="A")
+    payload = json.loads(env["payload"])
+    writer_schema = fastavro.parse_schema(json.loads(avro_schema_json(account_payload_schema())))
+    buf = io.BytesIO()
+    fastavro.schemaless_writer(buf, writer_schema, payload)
+    avro_row = {
+        "replay_id_b64": env["replay_id_b64"],
+        "schema_id": env["schema_id"],
+        "payload": bytearray(buf.getvalue()),
+    }
+    json_df = spark.createDataFrame([env], ENVELOPE_SCHEMA)
+    avro_df = spark.createDataFrame([avro_row], AVRO_ENVELOPE_SCHEMA)
+    a = decode_envelope(json_df, codec="json").select(*ENVELOPE_COLS).collect()[0]
+    b = decode_envelope(avro_df, codec="avro").select(*ENVELOPE_COLS).collect()[0]
+    assert a.asDict() == b.asDict()

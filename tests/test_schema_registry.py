@@ -140,6 +140,61 @@ def test_multiplexed_decode_and_unknown_to_dlq(spark):
     assert out[3].replay_id == Decimal(3)
 
 
+def test_null_schema_id_routed_to_dlq(spark):
+    """A row with NULL schema_id must surface as is_corrupt for DLQ routing,
+    not silently vanish (NOT-isin is NULL-valued on NULL input)."""
+    reg = SchemaRegistry()
+    reg.register(account_schema_entry())
+    rows = [
+        make_envelope(1, record_id="A"),
+        {"replay_id_b64": base64.b64encode(encode_replay_id(7)).decode(),
+         "schema_id": None, "payload": "{}"},
+    ]
+    bus = spark.createDataFrame(rows, ENVELOPE_SCHEMA)
+    out = {int(r.replay_id): r for r in decode_multiplexed(bus, reg).collect()}
+    assert len(out) == 2  # nothing dropped
+    assert out[7].is_corrupt and out[7].schema_id is None
+
+
+def test_midstream_schema_resolution_no_restart(spark, tmp_path):
+    """A schema id FIRST SEEN mid-stream is resolved at foreachBatch time
+    (the GetSchema analogue) and its rows land decoded, not in the DLQ —
+    no stream restart (reference client.js:896-909)."""
+    import os
+
+    from cdc_worker_spark.streaming.registry import run_multiplexed_pipeline
+    from tests.test_streaming import write_batch_file
+
+    dirs = {k: str(tmp_path / k) for k in ("input", "out", "dlq", "chk")}
+    calls: list[str] = []
+
+    def resolver(sid: str):
+        calls.append(sid)
+        return contact_schema_entry() if sid == "contact-cdc-v1" else None
+
+    reg = SchemaRegistry(resolver=resolver)
+    reg.register(account_schema_entry())
+
+    write_batch_file(dirs["input"], "b1.jsonl", [make_envelope(1, record_id="A")])
+    write_batch_file(dirs["input"], "b2.jsonl", [
+        make_contact_envelope(2, "late@example.com"),  # id unseen at start
+        {"replay_id_b64": base64.b64encode(encode_replay_id(3)).decode(),
+         "schema_id": "orphan-v9", "payload": "{}"},   # never resolvable
+    ])
+    q = run_multiplexed_pipeline(
+        spark, dirs["input"], dirs["out"], dirs["dlq"], dirs["chk"], reg
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+
+    out = {int(r.replay_id): r for r in spark.read.parquet(dirs["out"]).collect()}
+    assert out[2].entity == "Contact"
+    assert json.loads(out[2].event_json)["Email"] == "late@example.com"
+    assert "contact-cdc-v1" in calls  # fetched mid-stream, not at plan build
+    dlq = {int(r.replay_id): r for r in spark.read.parquet(dirs["dlq"]).collect()}
+    assert set(dlq) == {3}  # only the unresolvable orphan dead-letters
+
+
 def test_unresolvable_topic_raises_at_subscribe(spark):
     reg = SchemaRegistry()
     try:
