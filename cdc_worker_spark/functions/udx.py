@@ -35,12 +35,20 @@ _ZSCORE_SCHEMA = T.StructType(
 
 def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
     """Per-group normalization — logic that genuinely needs the whole group
-    in hand (the UDAF shape). ddof=1 matches SQL stddev_samp."""
+    in hand (the UDAF shape). ddof=1 matches SQL stddev_samp.
+
+    A single-row group (stddev NULL) or a constant group (stddev 0) yields
+    NULL, matching the SQL window formulation exactly: DuckDB's division by
+    NULL/0 stddev_samp is NULL in both cases — emitting 0.0 here would be a
+    latent cross-engine hash mismatch."""
     mu = pdf["value"].mean()
     sd = pdf["value"].std(ddof=1)
-    z = (pdf["value"] - mu) / sd if sd and sd > 0 else pdf["value"] * 0.0
+    if pd.isna(sd) or sd == 0:
+        z = pd.array([pd.NA] * len(pdf), dtype="Float64")  # nullable -> NULL
+    else:
+        z = ((pdf["value"] - mu) / sd).round(6)
     return pd.DataFrame(
-        {"event_id": pdf["event_id"], "event_type": pdf["event_type"], "zscore": z.round(6)}
+        {"event_id": pdf["event_id"], "event_type": pdf["event_type"], "zscore": z}
     )
 
 

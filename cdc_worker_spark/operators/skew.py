@@ -64,6 +64,14 @@ def salted_agg(
     )
 
 
+#: join types for which replicating the dim side n_salts-fold preserves
+#: semantics: every output row is driven by a fact row, so unmatched DIM
+#: rows never surface. right/full outer would emit each unmatched dim row
+#: once per salt replica — silently wrong — so they are rejected.
+_SALT_SAFE_JOINS = {"inner", "left", "left_outer", "leftouter", "left_semi",
+                    "leftsemi", "semi", "left_anti", "leftanti", "anti"}
+
+
 def salted_join(
     fact: DataFrame,
     dim: DataFrame,
@@ -75,7 +83,15 @@ def salted_join(
     replicated n_salts times (explode of a literal sequence), and the join
     runs on (key, salt): a hot fact key now spreads across n_salts shuffle
     partitions. The dim side grows n_salts-fold — use where broadcast is too
-    big but replication is affordable (the classic skew-join rewrite)."""
+    big but replication is affordable (the classic skew-join rewrite).
+
+    Only fact-driven join types are accepted (see _SALT_SAFE_JOINS)."""
+    if how.lower() not in _SALT_SAFE_JOINS:
+        raise ValueError(
+            f"salted_join does not preserve {how!r} semantics: the replicated "
+            "dim side would emit unmatched dim rows once per salt. Use "
+            "inner/left/left_semi/left_anti, or salt the other side."
+        )
     salted_fact = fact.withColumn("_salt", _row_salt(n_salts))
     salted_dim = dim.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

@@ -82,3 +82,24 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_zscore_degenerate_groups_null_like_sql(spark):
+    """Single-row groups (stddev NULL) and constant groups (stddev 0) must
+    yield NULL zscores, matching the SQL window formulation (ADVICE r01)."""
+    from cdc_worker_spark.functions.udx import _ZSCORE_SCHEMA, _zscore_group
+
+    df = spark.createDataFrame(
+        [(1, "solo", 5.0), (2, "const", 3.0), (3, "const", 3.0),
+         (4, "vary", 1.0), (5, "vary", 3.0)],
+        "event_id: long, event_type: string, value: double",
+    )
+    out = {
+        r.event_id: r.zscore
+        for r in df.groupBy("event_type")
+        .applyInPandas(_zscore_group, _ZSCORE_SCHEMA)
+        .collect()
+    }
+    assert out[1] is None          # stddev of 1 row is NULL
+    assert out[2] is None and out[3] is None  # stddev 0 -> NULL, not 0.0
+    assert out[4] is not None and abs(out[4] + 0.707107) < 1e-6

@@ -52,3 +52,17 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
     assert sorted(_sorted_rows(plain, "o_orderkey")) == sorted(
         _sorted_rows(salted, "o_orderkey")
     )
+
+
+def test_salted_join_rejects_dim_driven_outer(spark, sf_dir):
+    """right/full outer would emit each unmatched dim row once per salt
+    replica — must be rejected, not silently wrong."""
+    import pytest
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name"
+    ).withColumnRenamed("c_custkey", "o_custkey")
+    for how in ("right", "full", "full_outer", "rightouter"):
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(orders, customer, key="o_custkey", how=how)
