@@ -1,0 +1,168 @@
+"""Materialized IVF (inverted-file) ANN index: build once, probe many times.
+
+VERDICT r01 #4/#7/#8: computing IVF structures per query run is wrong at
+production scale — the inverted lists must be a bucketed LAYOUT on storage.
+Here the index is parquet partitioned by centroid bucket
+(``<path>/lists/bucket=K/``), so a probe reads only the ``nprobe`` bucket
+directories (partition pruning — asserted by plan test), touching
+nprobe/K of the data exactly like the per-query IVF plan shape, but with the
+assignment work paid ONCE at build.
+
+Centroids come from a few deterministic Lloyd iterations expressed in
+DataFrame ops (broadcast-join assignment + per-dimension mean), optionally
+over a sample — the classic sampled-KMeans recipe for IVF training: centroid
+quality needs only a sample, assignment of the full corpus is exact.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cdc_worker_spark.operators.dedup import dot_col
+
+
+def _centroid_df(spark: SparkSession, cents: list[list[float]]) -> DataFrame:
+    rows = [
+        (i, c, float(sum(x * x for x in c))) for i, c in enumerate(cents)
+    ]
+    return spark.createDataFrame(
+        rows, "bucket: int, c_dv: array<double>, c_nrm: double"
+    )
+
+
+def assign_buckets(emb: DataFrame, cent_df: DataFrame) -> DataFrame:
+    """Nearest-centroid bucket per vector: broadcast the (tiny) centroid set,
+    argmin over squared euclidean via the norm identity
+    |x-c|^2 = |x|^2 + |c|^2 - 2<x,c>; deterministic (dist, bucket) tie-break.
+    ``emb`` must carry dv/nrm. One row per input vector."""
+    dist = F.col("nrm") + F.col("c_nrm") - 2 * dot_col(F.col("dv"), F.col("c_dv"))
+    passthrough = [c for c in emb.columns]
+    return (
+        emb.join(F.broadcast(cent_df))
+        .withColumn("_d", dist)
+        .groupBy("vec_id")
+        .agg(
+            F.min(F.struct("_d", "bucket")).getField("bucket").alias("bucket"),
+            *[F.first(c).alias(c) for c in passthrough if c != "vec_id"],
+        )
+    )
+
+
+def kmeans_centroids(
+    emb: DataFrame,
+    k: int = 16,
+    n_iters: int = 2,
+    sample_fraction: float | None = None,
+) -> list[list[float]]:
+    """K centroids from deterministic Lloyd iterations (init: the k smallest
+    vec_ids). Per iteration: broadcast-assign, then per-dimension mean via
+    posexplode + (bucket, pos) agg — K x dim doubles collect to the driver,
+    never the vectors. Empty buckets keep their previous centroid."""
+    spark = emb.sparkSession
+    work = emb.select("vec_id", "dv", "nrm")
+    if sample_fraction is not None:
+        work = work.sample(fraction=sample_fraction, seed=7)
+    work = work.persist()
+    try:
+        cents = [list(r.dv) for r in work.orderBy("vec_id").limit(k).collect()]
+        dim = len(cents[0])
+        for _ in range(n_iters):
+            assigned = assign_buckets(work, _centroid_df(spark, cents))
+            means = (
+                assigned.select("bucket", F.posexplode("dv").alias("pos", "x"))
+                .groupBy("bucket", "pos")
+                .agg(F.avg("x").alias("m"))
+                .collect()
+            )
+            new = [list(c) for c in cents]
+            touched = set()
+            for r in means:
+                if r.bucket not in touched:
+                    new[r.bucket] = [0.0] * dim
+                    touched.add(r.bucket)
+                new[r.bucket][r.pos] = r.m
+            cents = new
+        return cents
+    finally:
+        work.unpersist()
+
+
+def build_ivf_index(
+    emb: DataFrame,
+    path: str,
+    k: int = 16,
+    n_iters: int = 2,
+    sample_fraction: float | None = None,
+) -> None:
+    """Train centroids, assign every vector, and write the inverted lists
+    partitioned by bucket (`lists/bucket=K/`) plus the centroid table
+    (`centroids/`). ``emb`` must carry vec_id/dv/nrm (with_double_vec)."""
+    spark = emb.sparkSession
+    cents = kmeans_centroids(emb, k=k, n_iters=n_iters, sample_fraction=sample_fraction)
+    cent_df = _centroid_df(spark, cents)
+    assigned = assign_buckets(emb, cent_df)
+    assigned.write.mode("overwrite").partitionBy("bucket").parquet(
+        os.path.join(path, "lists")
+    )
+    cent_df.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+
+
+def probe_ivf_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    nprobe: int = 2,
+    topk: int = 3,
+) -> DataFrame:
+    """Top-k cosine neighbors for each query vector, reading ONLY the
+    ``nprobe`` nearest buckets per query from the materialized lists.
+
+    The probe set collects to the driver (queries are small by construction —
+    this is the serving path) so the bucket predicate is a LITERAL ``IN``
+    list: the parquet scan prunes to the probed bucket directories, which is
+    the point of the layout. ``queries`` must carry vec_id/dv/nrm."""
+    cent_df = spark.read.parquet(os.path.join(path, "centroids"))
+    dist = F.col("q_nrm") + F.col("c_nrm") - 2 * dot_col(F.col("q_dv"), F.col("c_dv"))
+    q = queries.select(
+        F.col("vec_id").alias("q_id"), F.col("dv").alias("q_dv"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    w_probe = Window.partitionBy("q_id").orderBy(F.col("_d"), F.col("bucket"))
+    probes = (
+        q.join(F.broadcast(cent_df))
+        .withColumn("_d", dist)
+        .withColumn("_rnk", F.row_number().over(w_probe))
+        .filter(F.col("_rnk") <= nprobe)
+        .select("q_id", "bucket")
+        .collect()
+    )
+    probe_buckets = sorted({r.bucket for r in probes})
+    pairs = spark.createDataFrame(
+        [(r.q_id, r.bucket) for r in probes], "q_id: long, bucket: int"
+    ).join(q, "q_id")
+
+    lists = spark.read.parquet(os.path.join(path, "lists")).filter(
+        F.col("bucket").isin(probe_buckets)  # literal IN -> partition pruning
+    )
+    cos = dot_col(F.col("q_dv"), F.col("c_dv")) / (
+        F.sqrt(F.col("q_nrm")) * F.sqrt(F.col("c_nrm"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id"))
+    return (
+        F.broadcast(pairs)
+        .join(
+            lists.select(
+                "bucket", F.col("vec_id").alias("c_id"),
+                F.col("dv").alias("c_dv"), F.col("nrm").alias("c_nrm"),
+            ),
+            ["bucket"],
+        )
+        .filter(F.col("q_id") != F.col("c_id"))
+        .withColumn("cos", cos)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= topk)
+        .select("q_id", "c_id", F.round("cos", 6).alias("cos_sim"), "rnk")
+    )

@@ -74,25 +74,24 @@ _IVF_NPROBE = 2
 
 @query("q_sim_ann_ivf")  # rows-only: IVF recall set is approximate by design
 def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate NN via IVF (inverted-file) bucketing: K coarse centroids
-    (deterministically seeded from the corpus), every vector assigned to its
-    nearest centroid, queries probe the _IVF_NPROBE nearest buckets only.
+    """Approximate NN via IVF (inverted-file) bucketing: K KMeans centroids
+    (a few deterministic Lloyd iterations in DataFrame ops —
+    operators/ivf.py), every vector assigned to its nearest centroid,
+    queries probe the _IVF_NPROBE nearest buckets only.
 
-    Spark-first shape: centroid assignment is a broadcast join + min(struct)
-    argmin — never a KMeans iteration loop on the driver, never K columns of
-    literals. At 100 TB the inverted lists are the partitioning key (write
-    bucketed by `bucket`), so a query touches nprobe/K of the data; centroids
-    would come from KMeans on a sample, which changes recall but not the
-    plan shape."""
+    Spark-first shape: centroid assignment is a broadcast join + ranked
+    window argmin. At 100 TB the inverted lists are a materialized
+    partitioned layout — build_ivf_index/probe_ivf_index (operators/ivf.py)
+    write them once bucketed by centroid and probe with partition pruning;
+    this query keeps the one-shot (train+assign+probe in one plan) form the
+    driver contract exercises."""
+    from cdc_worker_spark.operators.ivf import _centroid_df, kmeans_centroids
+
     emb = with_double_vec(load_table(spark, sf_dir, "embeddings"))
-    # deterministic coarse centroids: the K smallest vec_ids >= 10 (outside
-    # the query set, so buckets aren't trivially centered on the queries)
-    seeds = (
-        emb.filter(F.col("vec_id") >= 10)
-        .orderBy("vec_id")
-        .limit(_IVF_K)
-        .select(F.col("vec_id").alias("seed_id"), F.col("dv").alias("s_dv"),
-                F.col("nrm").alias("s_nrm"))
+    cents = kmeans_centroids(emb, k=_IVF_K, n_iters=2)
+    seeds = _centroid_df(spark, cents).select(
+        F.col("bucket").alias("seed_id"), F.col("c_dv").alias("s_dv"),
+        F.col("c_nrm").alias("s_nrm"),
     )
     # squared euclidean via norms: |x|^2 + |c|^2 - 2<x,c> (dot is the fold)
     dist = F.col("nrm") + F.col("s_nrm") - 2 * dot_col(F.col("dv"), F.col("s_dv"))

@@ -22,8 +22,10 @@ def _recall(spark, sf_dir: str, ann_name: str) -> tuple[float, int]:
 
 
 def test_ivf_recall_vs_exact(spark, sf_dir):
+    # KMeans centroids (2 Lloyd iterations) lifted recall 0.2 -> 0.9 at both
+    # fixture scales; the gate sits at 0.6 to absorb FP jitter in the means
     recall, n = _recall(spark, sf_dir, "q_sim_ann_ivf")
-    assert recall >= 0.2
+    assert recall >= 0.6
     assert n <= 30  # 10 queries x top-3, fewer if a bucket runs dry
 
 
@@ -31,3 +33,45 @@ def test_lsh_recall_vs_exact(spark, sf_dir):
     recall, n = _recall(spark, sf_dir, "q_sim_ann_lsh")
     assert recall >= 0.05
     assert n <= 30
+
+
+def test_materialized_ivf_index_probe(spark, sf_dir, tmp_path):
+    """Build-once/probe-many IVF layout: the probe plan reads ONLY the
+    probed bucket partitions (partition pruning on the parquet scan) and its
+    recall matches the one-shot IVF query's gate."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cdc_worker_spark.operators.dedup import with_double_vec
+    from cdc_worker_spark.operators.ivf import build_ivf_index, probe_ivf_index
+    from cdc_worker_spark.sources.tables import load_table
+
+    idx = str(tmp_path / "ivf")
+    emb = with_double_vec(load_table(spark, sf_dir, "embeddings"))
+    build_ivf_index(emb, idx, k=16, n_iters=2)
+    # layout: one directory per centroid bucket
+    buckets = [d for d in os.listdir(os.path.join(idx, "lists")) if d.startswith("bucket=")]
+    assert len(buckets) > 1
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    probed = probe_ivf_index(spark, idx, queries, nprobe=2, topk=3)
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    # the bucket predicate must reach the scan as a PARTITION filter
+    # (directory pruning), not a post-scan data filter
+    import re
+
+    m = re.search(r"PartitionFilters: \[bucket#\d+ INSET ([0-9, ]+)", plan)
+    assert m is not None, f"no INSET partition filter in:\n{plan[:2000]}"
+    # the pruned scan reads at most nprobe * n_queries distinct buckets
+    assert len(m.group(1).strip().rstrip(",").split(",")) <= 2 * 10
+
+    rows = probed.collect()
+    exact3 = {
+        (r.q_id, r.c_id)
+        for r in all_queries()["q_sim_cosine_topk"](spark, sf_dir).collect()
+        if r.rnk <= 3
+    }
+    got = {(r.q_id, r.c_id) for r in rows}
+    assert len(got & exact3) / len(exact3) >= 0.6
+    assert len(rows) <= 30
