@@ -69,10 +69,28 @@ def dot_col(a: Column, b: Column) -> Column:
     return seq_fold_sum(F.zip_with(a, b, lambda x, y: x * y))
 
 
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Restore parallelism when the source under-splits: a small parquet file
+    arrives as ONE input partition, which serializes every downstream per-row
+    computation (LSH signatures, centroid assignment — measured 12.6 s on one
+    task vs <1 s spread over 32). At scale this is a no-op: a large table's
+    split count already exceeds defaultParallelism, so no shuffle is added."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 def with_double_vec(emb: DataFrame) -> DataFrame:
-    """embeddings + dv (double vector) + nrm (squared norm, sequential fold)."""
+    """embeddings + dv (double vector) + nrm (squared norm, sequential fold).
+    Vector operators fan out per-row folds, so under-split sources are
+    re-parallelized here (:func:`ensure_parallelism`)."""
     dv = F.transform("embedding", lambda x: x.cast("double"))
-    return emb.withColumn("dv", dv).withColumn("nrm", dot_col(F.col("dv"), F.col("dv")))
+    return (
+        ensure_parallelism(emb)
+        .withColumn("dv", dv)
+        .withColumn("nrm", dot_col(F.col("dv"), F.col("dv")))
+    )
 
 
 # ---------------------------------------------------------------- queries

@@ -14,8 +14,8 @@ over a sample — the classic sampled-KMeans recipe for IVF training: centroid
 quality needs only a sample, assignment of the full corpus is exact.
 """
 
-from __future__ import annotations
-
+# NB: no `from __future__ import annotations` here — pandas_udf infers its
+# eval mode from REAL pd.Series type hints; stringified annotations break it.
 import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -33,21 +33,42 @@ def _centroid_df(spark: SparkSession, cents: list[list[float]]) -> DataFrame:
     )
 
 
-def assign_buckets(emb: DataFrame, cent_df: DataFrame) -> DataFrame:
-    """Nearest-centroid bucket per vector: broadcast the (tiny) centroid set,
-    argmin over squared euclidean via the norm identity
-    |x-c|^2 = |x|^2 + |c|^2 - 2<x,c>; deterministic (dist, bucket) tie-break.
-    ``emb`` must carry dv/nrm. One row per input vector."""
-    dist = F.col("nrm") + F.col("c_nrm") - 2 * dot_col(F.col("dv"), F.col("c_dv"))
-    passthrough = [c for c in emb.columns]
+def centroid_dists_udf(cents: list[list[float]]):
+    """Arrow-vectorized all-centroid distances per vector: one numpy matmul
+    per batch (|x|^2 + |c|^2 - 2 V@C.T). Distances are engine-internal
+    ranking keys (never oracle-compared), so the vectorized path replaces
+    the interpreted per-(row, centroid) HOF fold that dominated the IVF
+    wall time. Returns array<double> of length K, indexed by bucket."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(cents, dtype=np.float64)  # (K, dim)
+    c_nrm = (C * C).sum(axis=1)
+
+    @F.pandas_udf("array<double>")
+    def dists(dv: pd.Series) -> pd.Series:
+        if not len(dv):
+            return pd.Series([], dtype=object)
+        V = np.stack(dv.to_numpy())
+        D = (V * V).sum(axis=1)[:, None] + c_nrm[None, :] - 2.0 * (V @ C.T)
+        return pd.Series([row.tolist() for row in D])
+
+    return dists
+
+
+def assign_buckets(emb: DataFrame, cents: list[list[float]]) -> DataFrame:
+    """Nearest-centroid bucket per vector: vectorized distance array +
+    native argmin (first minimum — the deterministic lowest-bucket
+    tie-break). ``emb`` must carry dv. One row per input vector, no
+    shuffle: assignment is a pure projection."""
+    dists = centroid_dists_udf(cents)
     return (
-        emb.join(F.broadcast(cent_df))
-        .withColumn("_d", dist)
-        .groupBy("vec_id")
-        .agg(
-            F.min(F.struct("_d", "bucket")).getField("bucket").alias("bucket"),
-            *[F.first(c).alias(c) for c in passthrough if c != "vec_id"],
+        emb.withColumn("_d", dists("dv"))
+        .withColumn(
+            "bucket",
+            (F.array_position(F.col("_d"), F.array_min("_d")) - 1).cast("int"),
         )
+        .drop("_d")
     )
 
 
@@ -70,7 +91,7 @@ def kmeans_centroids(
         cents = [list(r.dv) for r in work.orderBy("vec_id").limit(k).collect()]
         dim = len(cents[0])
         for _ in range(n_iters):
-            assigned = assign_buckets(work, _centroid_df(spark, cents))
+            assigned = assign_buckets(work, cents)
             means = (
                 assigned.select("bucket", F.posexplode("dv").alias("pos", "x"))
                 .groupBy("bucket", "pos")
@@ -102,12 +123,13 @@ def build_ivf_index(
     (`centroids/`). ``emb`` must carry vec_id/dv/nrm (with_double_vec)."""
     spark = emb.sparkSession
     cents = kmeans_centroids(emb, k=k, n_iters=n_iters, sample_fraction=sample_fraction)
-    cent_df = _centroid_df(spark, cents)
-    assigned = assign_buckets(emb, cent_df)
+    assigned = assign_buckets(emb, cents)
     assigned.write.mode("overwrite").partitionBy("bucket").parquet(
         os.path.join(path, "lists")
     )
-    cent_df.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    _centroid_df(spark, cents).write.mode("overwrite").parquet(
+        os.path.join(path, "centroids")
+    )
 
 
 def probe_ivf_index(

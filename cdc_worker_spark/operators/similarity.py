@@ -85,33 +85,38 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     write them once bucketed by centroid and probe with partition pruning;
     this query keeps the one-shot (train+assign+probe in one plan) form the
     driver contract exercises."""
-    from cdc_worker_spark.operators.ivf import _centroid_df, kmeans_centroids
+    from cdc_worker_spark.operators.ivf import centroid_dists_udf, kmeans_centroids
 
     emb = with_double_vec(load_table(spark, sf_dir, "embeddings"))
     cents = kmeans_centroids(emb, k=_IVF_K, n_iters=2)
-    seeds = _centroid_df(spark, cents).select(
-        F.col("bucket").alias("seed_id"), F.col("c_dv").alias("s_dv"),
-        F.col("c_nrm").alias("s_nrm"),
-    )
-    # squared euclidean via norms: |x|^2 + |c|^2 - 2<x,c> (dot is the fold)
-    dist = F.col("nrm") + F.col("s_nrm") - 2 * dot_col(F.col("dv"), F.col("s_dv"))
-    # ONE ranked pass serves both sides: rnk=1 is the bucket assignment
-    # (argmin with (dist, seed_id) tie-break), rnk<=nprobe on the query
-    # vectors is the probe set. Both consumers read the same window exchange,
-    # so ReuseExchange computes the distance folds once.
-    w_rank = Window.partitionBy("vec_id").orderBy(F.col("dist"), F.col("seed_id"))
-    ranked = (
-        emb.join(F.broadcast(seeds))
-        .withColumn("dist", dist)
-        .withColumn("rnk", F.row_number().over(w_rank))
-    )
-    lists = ranked.filter(F.col("rnk") == 1).select(
-        F.col("seed_id").alias("bucket"), F.col("vec_id").alias("c_id"),
+    # ONE vectorized projection computes every vector's distance array; the
+    # bucket assignment (argmin) and the query probe set (nprobe smallest)
+    # both read it — a pure projection, zero shuffles until the probe join.
+    with_d = emb.withColumn("_d", centroid_dists_udf(cents)("dv"))
+    lists = with_d.withColumn(
+        "bucket", (F.array_position(F.col("_d"), F.array_min("_d")) - 1).cast("int")
+    ).select(
+        "bucket", F.col("vec_id").alias("c_id"),
         F.col("dv").alias("c_dv"), F.col("nrm").alias("c_nrm"),
     )
-    probes = ranked.filter((F.col("vec_id") < 10) & (F.col("rnk") <= _IVF_NPROBE)).select(
+    # nprobe nearest buckets per query: sort (dist, bucket) structs — the
+    # deterministic tie-break — and keep the first nprobe bucket ids
+    idx = F.sequence(F.lit(0), F.lit(_IVF_K - 1))
+    ranked_buckets = F.array_sort(
+        F.transform(
+            idx,
+            lambda i: F.struct(
+                F.element_at(F.col("_d"), i + 1).alias("d"),
+                i.cast("int").alias("b"),
+            ),
+        )
+    )
+    probe_buckets = F.transform(
+        F.slice(ranked_buckets, 1, _IVF_NPROBE), lambda s: s.getField("b")
+    )
+    probes = with_d.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), F.col("dv").alias("q_dv"),
-        F.col("nrm").alias("q_nrm"), F.col("seed_id").alias("bucket"),
+        F.col("nrm").alias("q_nrm"), F.explode(probe_buckets).alias("bucket"),
     )
     cos = dot_col(F.col("q_dv"), F.col("c_dv")) / (
         F.sqrt(F.col("q_nrm")) * F.sqrt(F.col("c_nrm"))

@@ -99,3 +99,37 @@ def test_udf_queries_use_arrow_not_row_python(spark, sf_dir):
     plan = plan_of(spark, "q_udf_pandas", sf_dir)
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_decode_envelope_is_pure_native_projection(spark):
+    """The streaming decode path (B1: offset decode + payload decode + B3
+    bitmap expansion) must stay ONE native projection: no Python evaluator
+    of any kind in the plan, bitmap expansion as higher-order functions
+    (filter/transform over sequence), per-event at 100 TB."""
+    from cdc_worker_spark.streaming.envelope import ENVELOPE_SCHEMA, decode_envelope
+
+    df = decode_envelope(spark.createDataFrame([], ENVELOPE_SCHEMA))
+    qe = df._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = qe.explainString(mode)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan  # not even vectorized Python here
+    assert "PythonUDF" not in plan
+    # B3 runs as HOF expressions over the field-dictionary literals:
+    # transform/conv/getbit (the chunk-wise bit test) all JVM-side
+    assert "transform(" in plan and "conv(" in plan and "getbit(" in plan
+
+
+def test_multiplexed_decode_stays_native(spark):
+    """The multi-topic demux (decode + union + unknown-branch) likewise
+    carries no Python evaluator."""
+    from cdc_worker_spark.streaming.envelope import ENVELOPE_SCHEMA
+    from cdc_worker_spark.streaming.registry import SchemaRegistry, decode_multiplexed
+    from tests.test_schema_registry import account_schema_entry, contact_schema_entry
+
+    reg = SchemaRegistry()
+    reg.register(account_schema_entry())
+    reg.register(contact_schema_entry())
+    df = decode_multiplexed(spark.createDataFrame([], ENVELOPE_SCHEMA), reg)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
