@@ -217,6 +217,13 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     unigram signatures collide pathologically (measured: 92 s -> ~5 s at
     sf0.1). Verification = exact shingle Jaccard on the candidate set only."""
     docs = load_table(spark, sf_dir, "documents")
+    return minhash_pairs(docs)
+
+
+def minhash_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """(doc_a, doc_b, jaccard >= threshold) near-dup pairs — the MinHash-LSH
+    candidates-then-verify pipeline shared by q_dedup_minhash and the
+    cluster assignment operator."""
     # shingle set is read twice (signatures, verify sets): persist instead of
     # recomputing the explode. At cluster scale this is the stage you'd
     # materialize to a shuffle-friendly layout.
@@ -267,7 +274,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         inter.select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.5)
+        .filter(F.col("jaccard") >= threshold)
     )
 
 
@@ -439,3 +446,83 @@ def embedding_dedup_pairs(
         .withColumn("cos", cos)
         .filter(F.col("cos") > threshold)
     )
+
+
+@query(
+    "q_dedup_cluster_exact",
+    oracle=r"""
+    WITH h AS (SELECT doc_id,
+                      sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+                        AS text_hash
+               FROM documents)
+    SELECT doc_id,
+           min(doc_id) OVER (PARTITION BY text_hash) AS cluster_id,
+           CAST(count(*) OVER (PARTITION BY text_hash) AS BIGINT) AS n_members
+    FROM h
+    """,
+)
+def q_dedup_cluster_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document exact-duplicate cluster assignment: cluster_id = min
+    doc_id sharing the normalized digest — the mapping a pipeline applies to
+    drop duplicates (keep rows where doc_id == cluster_id). Same
+    digest-shuffle shape as q_dedup_exact; the window adds no extra
+    exchange (both run on the digest partitioning)."""
+    docs = load_table(spark, sf_dir, "documents")
+    digest = F.sha2(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), 256)
+    w = Window.partitionBy("text_hash")
+    return (
+        docs.select("doc_id", digest.alias("text_hash"))
+        .withColumn("cluster_id", F.min("doc_id").over(w))
+        .withColumn("n_members", F.count("*").over(w))
+        .select("doc_id", "cluster_id", "n_members")
+    )
+
+
+@query("q_dedup_cluster_near")  # rows-only: iterative; candidates are engine-specific
+def q_dedup_cluster_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-duplicate cluster assignment: connected components over the
+    MinHash near-dup pair graph (jaccard >= 0.5), via iterative min-label
+    propagation — each round every node adopts the smallest label among
+    itself and its neighbors; at fixpoint the component id is the smallest
+    doc_id in the component.
+
+    This is the genuinely-iterative operator class (no SQL oracle): a
+    driver loop with a convergence check per round, each round ONE
+    edge-to-label join + min-agg (all JVM-side). Rounds needed = graph
+    diameter — near-dup components are tiny dense cliques, so 2-3 rounds in
+    practice; at web scale you'd switch to the large-star/small-star
+    alternation, which keeps the same join-per-round shape but contracts
+    high-degree stars. Only documents that HAVE a near-dup participate, so
+    the iteration state is |dup docs|, not |corpus|."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_pairs(docs).select("doc_a", "doc_b").persist()
+    # undirected edge list, both directions + self-loop via the node itself
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).persist()
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id")).distinct()
+        .withColumn("lbl", F.col("doc_id"))
+        .persist()
+    )
+    for _ in range(20):
+        nbr_min = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy(F.col("doc_a").alias("doc_id"))
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least("lbl", F.coalesce("nbr_lbl", "lbl")).alias("lbl"),
+                (F.coalesce("nbr_lbl", "lbl") < F.col("lbl")).alias("_chg"),
+            )
+            .persist()
+        )
+        changed = new_labels.filter("_chg").count()  # convergence check
+        labels.unpersist()
+        labels = new_labels.drop("_chg").persist()
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("lbl").alias("cluster_id")).orderBy("doc_id")

@@ -1,0 +1,65 @@
+"""Sampling operators for pipeline-scale corpus curation.
+
+A training-data pipeline downsamples by stratum (language, source, quality
+band) with REPRODUCIBLE membership: the same document must make the same
+in/out decision on every run, engine, and retry — so membership derives from
+a content-stable hash of the key, never from an RNG. md5 is the
+cross-engine choice here (Spark and DuckDB produce identical hex), and the
+comparison happens on the hex string itself, so no integer-parsing
+divergence can creep in: doc is kept iff its first two md5 hex digits sort
+below the stratum's threshold (256 buckets; threshold '33' ≈ 20%).
+
+Scale: the decision is a pure per-row projection — no shuffle, no sort, no
+RNG state; pushdown-friendly (a lang filter above it still prunes at the
+scan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_worker_spark.plans.registry import query
+from cdc_worker_spark.sources.tables import load_table
+
+#: per-language keep-rate as a 2-hex-digit threshold over 256 md5 buckets:
+#: 'en' keeps ~50% (0x80/0x100), everything else ~20% (0x33/0x100)
+SAMPLE_THRESHOLDS = {"en": "80"}
+DEFAULT_THRESHOLD = "33"
+
+
+def sample_bucket(key: Column) -> Column:
+    """Deterministic 2-hex-digit bucket of a key column (256 buckets)."""
+    return F.substring(F.md5(key.cast("string")), 1, 2)
+
+
+def stratified_sample(
+    df: DataFrame,
+    key: str,
+    stratum: str,
+    thresholds: dict[str, str],
+    default_threshold: str,
+) -> DataFrame:
+    """Keep rows whose key-bucket sorts below their stratum's threshold."""
+    thr = F.lit(default_threshold)
+    for value, t in sorted(thresholds.items()):
+        thr = F.when(F.col(stratum) == value, F.lit(t)).otherwise(thr)
+    return df.filter(sample_bucket(F.col(key)) < thr)
+
+
+@query(
+    "q_docs_sample_stratified",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+          < CASE WHEN lang = 'en' THEN '80' ELSE '33' END
+    """,
+)
+def q_docs_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible per-language downsampling: ~50% of 'en', ~20% of the
+    rest, membership stable across runs/engines (md5-hex bucket compare)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, "doc_id", "lang", SAMPLE_THRESHOLDS, DEFAULT_THRESHOLD
+    ).select("doc_id", "lang", "source", "n_chars")

@@ -172,3 +172,58 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: (acc * 1000003 + x) % 2147483647,
     )
     return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+@query(
+    "q_text_repetition",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         bg AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g
+                FROM w, LATERAL unnest(range(1, len(ws))) AS t(i)),
+         cnt AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+         top AS (SELECT doc_id, max(c) AS top_c, CAST(sum(c) AS BIGINT) AS n_bigrams
+                 FROM cnt GROUP BY 1)
+    SELECT w.doc_id,
+           CAST(len(ws) AS INT) AS n_words,
+           round(len(list_distinct(ws)) / CAST(len(ws) AS DOUBLE), 6)
+             AS distinct_word_frac,
+           n_bigrams,
+           round(top_c / CAST(n_bigrams AS DOUBLE), 6) AS top_bigram_frac
+    FROM w JOIN top USING (doc_id)
+    """,
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals (the Gopher/C4 quality-filter
+    family): distinct-word fraction and the most-frequent-bigram fraction —
+    high top-bigram share marks boilerplate/template text.
+
+    Bigram counts go through a (doc_id, bigram) groupBy, which Catalyst
+    partial-aggregates map-side; ratios are int/int divisions, exact on both
+    engines. At extreme scale the same signals compute shuffle-free as a
+    per-row fold over the sorted bigram array (mapInPandas) — the groupBy
+    form is the declarative default."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    n = F.greatest(F.size(ws) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(ws, 1, n), F.slice(ws, 2, n), lambda a, b: F.concat_ws(" ", a, b)
+    )
+    per_doc = docs.select(
+        "doc_id",
+        F.size(ws).alias("n_words"),
+        F.round(
+            F.size(F.array_distinct(ws)) / F.size(ws).cast("double"), 6
+        ).alias("distinct_word_frac"),
+        F.explode(bigrams).alias("g"),
+    )
+    cnt = per_doc.groupBy("doc_id", "n_words", "distinct_word_frac", "g").agg(
+        F.count("*").alias("c")
+    )
+    return cnt.groupBy("doc_id", "n_words", "distinct_word_frac").agg(
+        F.sum("c").alias("n_bigrams"),
+        F.round(
+            F.max("c") / F.sum("c").cast("double"), 6
+        ).alias("top_bigram_frac"),
+    ).select(
+        "doc_id", "n_words", "distinct_word_frac", "n_bigrams", "top_bigram_frac"
+    )

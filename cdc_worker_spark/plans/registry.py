@@ -51,6 +51,7 @@ _QUERY_MODULES = (
     "cdc_worker_spark.operators.similarity",
     "cdc_worker_spark.operators.text",
     "cdc_worker_spark.operators.multimodal",
+    "cdc_worker_spark.operators.sampling",
 )
 
 

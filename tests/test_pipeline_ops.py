@@ -1,0 +1,97 @@
+"""Tests for the round-2 pipeline-curation operators: repetition quality
+signals, deterministic stratified sampling, and duplicate cluster
+assignment (exact + near via connected components)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cdc_worker_spark.plans import all_queries
+
+
+def test_repetition_flags_boilerplate(spark, tmp_path):
+    """A templated doc (one repeated bigram) scores a high top_bigram_frac;
+    an all-distinct doc scores low."""
+    docs = spark.createDataFrame(
+        [
+            (1, "spam ham " * 20 + "spam ham", "en", "s", 0),
+            (2, " ".join(f"w{i}" for i in range(40)), "en", "s", 0),
+        ],
+        "doc_id: long, text: string, lang: string, source: string, n_chars: long",
+    )
+    path = str(tmp_path / "docs")
+    docs.write.parquet(path + "/documents.parquet")
+    out = {r.doc_id: r for r in all_queries()["q_text_repetition"](spark, path).collect()}
+    assert out[1].top_bigram_frac > 0.4  # "ham spam"/"spam ham" dominate
+    assert out[1].distinct_word_frac < 0.1
+    assert out[2].top_bigram_frac < 0.05
+    assert out[2].distinct_word_frac == 1.0
+
+
+def test_stratified_sample_deterministic_and_rated(spark, sf_dir):
+    q = all_queries()["q_docs_sample_stratified"]
+    a = sorted(r.doc_id for r in q(spark, sf_dir).collect())
+    b = sorted(r.doc_id for r in q(spark, sf_dir).collect())
+    assert a == b  # reproducible membership, no RNG
+    from cdc_worker_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    by_lang_all = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    by_lang_kept = {
+        r.lang: r.n
+        for r in q(spark, sf_dir).groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    # en keeps ~50% (0x80/256), others ~20% (0x33/256) — wide tolerance, the
+    # point is the strata get different deterministic rates
+    en_rate = by_lang_kept.get("en", 0) / by_lang_all["en"]
+    assert 0.3 < en_rate < 0.7
+    for lang, n in by_lang_all.items():
+        if lang != "en" and n >= 30:
+            rate = by_lang_kept.get(lang, 0) / n
+            assert rate < en_rate
+
+
+def test_exact_clusters_consistent_with_groups(spark, sf_dir):
+    """Cluster assignment agrees with the q_dedup_exact group view: every
+    multi-member digest group maps to one cluster keyed by its min doc_id."""
+    qs = all_queries()
+    clusters = qs["q_dedup_cluster_exact"](spark, sf_dir)
+    groups = {r.first_doc_id: r.n_dups for r in qs["q_dedup_exact"](spark, sf_dir).collect()}
+    multi = clusters.filter("n_members > 1").collect()
+    by_cluster: dict[int, int] = {}
+    for r in multi:
+        by_cluster[r.cluster_id] = by_cluster.get(r.cluster_id, 0) + 1
+        assert r.cluster_id <= r.doc_id
+    assert by_cluster == groups
+
+
+def test_near_clusters_match_union_find(spark, sf_dir):
+    """Connected components via min-label propagation == ground-truth
+    union-find over the same near-dup pairs."""
+    from cdc_worker_spark.operators.dedup import minhash_pairs
+    from cdc_worker_spark.sources.tables import load_table
+
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in minhash_pairs(load_table(spark, sf_dir, "documents")).collect()
+    ]
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    truth = {x: find(x) for x in parent}
+    got = {
+        r.doc_id: r.cluster_id
+        for r in all_queries()["q_dedup_cluster_near"](spark, sf_dir).collect()
+    }
+    assert got == truth
+    assert len(got) > 0  # the fixture plants near-dups
