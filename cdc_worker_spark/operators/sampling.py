@@ -63,3 +63,31 @@ def q_docs_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(
         docs, "doc_id", "lang", SAMPLE_THRESHOLDS, DEFAULT_THRESHOLD
     ).select("doc_id", "lang", "source", "n_chars")
+
+
+@query(
+    "q_docs_cap_per_source",
+    oracle="""
+    SELECT doc_id, source, n_chars, CAST(rn AS INT) AS rn
+    FROM (SELECT doc_id, source, n_chars,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY n_chars DESC, doc_id) AS rn
+          FROM documents)
+    WHERE rn <= 5
+    """,
+)
+def q_docs_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (domain balancing: no single crawl source may
+    dominate the corpus): keep the top-5 docs per source by length with a
+    deterministic tie-break. Plans as WindowGroupLimit partial+final — each
+    executor pre-prunes to its local top-5 per source BEFORE the shuffle, so
+    shuffle volume is O(sources x 5), not O(docs)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    return (
+        docs.select("doc_id", "source", "n_chars")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+    )

@@ -227,3 +227,36 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", "n_words", "distinct_word_frac", "n_bigrams", "top_bigram_frac"
     )
+
+
+#: PII scrub patterns (shared literally by the Spark builder and the DuckDB
+#: oracle — both engines' regex dialects accept this subset)
+_PII_EMAIL = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+_PII_LONG_NUM = "[0-9]{7,}"
+
+
+@query(
+    "q_text_scrub_pii",
+    oracle=f"""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+             '{_PII_LONG_NUM}', '<NUM>', 'g') AS text
+    FROM documents
+    """,
+)
+def q_text_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing as a pure projection: emails and long digit runs
+    replaced with placeholder tokens. Single-pass regexp_replace chain, no
+    shuffle, pushdown-transparent — the shape every redaction/normalization
+    stage should have at 100 TB (anything per-row and stateless belongs in
+    the scan projection)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace("text", _PII_EMAIL, "<EMAIL>"),
+            _PII_LONG_NUM,
+            "<NUM>",
+        ).alias("text"),
+    )

@@ -95,3 +95,31 @@ def test_near_clusters_match_union_find(spark, sf_dir):
     }
     assert got == truth
     assert len(got) > 0  # the fixture plants near-dups
+
+
+def test_pii_scrub_redacts(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [
+            (1, "contact me at jane.doe+x@example.co.uk or call 5551234567 now", "en", "s", 0),
+            (2, "clean text with short 123 number", "en", "s", 0),
+        ],
+        "doc_id: long, text: string, lang: string, source: string, n_chars: long",
+    )
+    path = str(tmp_path / "docs")
+    docs.write.parquet(path + "/documents.parquet")
+    out = {r.doc_id: r.text for r in all_queries()["q_text_scrub_pii"](spark, path).collect()}
+    assert out[1] == "contact me at <EMAIL> or call <NUM> now"
+    assert out[2] == "clean text with short 123 number"  # short numbers kept
+
+
+def test_cap_per_source_prunes_before_shuffle(spark, sf_dir):
+    """Top-5-per-source must plan as WindowGroupLimit partial+final: shuffle
+    volume O(sources x 5), not O(docs)."""
+    df = all_queries()["q_docs_cap_per_source"](spark, sf_dir)
+    qe = df._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = qe.explainString(mode)
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+    # each source contributes at most 5 rows
+    counts = df.groupBy("source").count().collect()
+    assert counts and all(r["count"] <= 5 for r in counts)
