@@ -109,6 +109,39 @@ class LatestWinsState:
         df = self.read_full(spark)
         return None if df is None else df.filter(F.col("change_type") != "DELETE")
 
+    def vacuum(self) -> list[str]:
+        """Delete version directories no manifest entry references (each
+        merge strands the touched buckets' PREVIOUS versions — the
+        copy-on-write garbage a Delta VACUUM would collect). Safe w.r.t. the
+        manifest: only wholly-unreferenced ``v{N}`` dirs are removed, and
+        within referenced dirs only bucket partitions the manifest no longer
+        points at. Returns the removed paths."""
+        import shutil
+
+        manifest = self._manifest()
+        live: dict[str, set[str]] = {}
+        for b, v in manifest["buckets"].items():
+            live.setdefault(f"v{v}", set()).add(f"_bucket={b}")
+        removed = []
+        try:
+            entries = os.listdir(self.path)
+        except FileNotFoundError:
+            return removed
+        for d in entries:
+            full = os.path.join(self.path, d)
+            if not (d.startswith("v") and os.path.isdir(full)):
+                continue
+            if d not in live:
+                shutil.rmtree(full)
+                removed.append(full)
+                continue
+            for sub in os.listdir(full):
+                if sub.startswith("_bucket=") and sub not in live[d]:
+                    subfull = os.path.join(full, sub)
+                    shutil.rmtree(subfull)
+                    removed.append(subfull)
+        return removed
+
     def write_buckets(self, df: DataFrame, touched: list[int]) -> None:
         """Commit ``df`` (rows of exactly the ``touched`` buckets) as a new
         version: write those bucket partitions, repoint their manifest

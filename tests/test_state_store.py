@@ -118,3 +118,25 @@ def test_touched_bucket_merge_is_latest_wins_within_bucket(spark, tmp_path):
     merge_latest_wins(state, batch(spark, [(400, 40, "A", "UPDATE", "stale")]))
     got = live(spark, state)
     assert got["A"].payload == "newer" and int(got["A"].replay_id) == 500
+
+
+def test_vacuum_removes_stranded_versions(spark, tmp_path):
+    """Each merge strands the touched buckets' previous versions; vacuum
+    removes exactly those and leaves every manifest-referenced path intact."""
+    root = str(tmp_path / "state")
+    state = LatestWinsState(root, n_buckets=4)
+    merge_latest_wins(state, batch(spark, [(i, i, f"K{i}", "CREATE", "v") for i in range(20)]))
+    for step in range(3):
+        merge_latest_wins(
+            state, batch(spark, [(100 + step, 100 + step, "K1", "UPDATE", f"u{step}")])
+        )
+    before = live(spark, state)
+    removed = state.vacuum()
+    assert removed  # v1/v2's K1-bucket copies are stranded
+    assert live(spark, state) == before  # reads unaffected
+    # idempotent: nothing left to collect
+    assert state.vacuum() == []
+    # every manifest-referenced bucket path still exists
+    m = state._manifest()
+    for b, v in m["buckets"].items():
+        assert os.path.exists(os.path.join(root, f"v{v}", f"_bucket={b}"))
