@@ -127,14 +127,37 @@ def _update_counters(
     )
 
 
-def running_counters(events: DataFrame) -> DataFrame:
+def running_counters(events: DataFrame, ttl_ms: int | None = None) -> DataFrame:
     """Reference C3 as an arbitrary stateful op: per-entity
     ``receivedEventCount`` and ``lastReplayId``, updated every micro-batch and
-    emitted in update mode (one row per touched key per batch)."""
+    emitted in update mode (one row per touched key per batch).
+
+    ``ttl_ms`` evicts state for keys idle longer than the TTL (processing
+    time) — the reference drops idle subscription bookkeeping the same way,
+    and at scale unbounded per-key state for dead topics is a leak. An
+    evicted key restarts its counters from zero on its next event."""
+    if ttl_ms is None:
+        return events.groupBy("entity").applyInPandasWithState(
+            _update_counters,
+            outputStructType=COUNTERS_SCHEMA,
+            stateStructType=_COUNTER_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    def update_with_ttl(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()  # idle past TTL: free the key's state, emit nothing
+            return
+        yield from _update_counters(key, pdfs, state)
+        state.setTimeoutDuration(ttl_ms)
+
     return events.groupBy("entity").applyInPandasWithState(
-        _update_counters,
+        update_with_ttl,
         outputStructType=COUNTERS_SCHEMA,
         stateStructType=_COUNTER_STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )

@@ -121,3 +121,71 @@ def test_running_counters_stateful(spark, stream, tmp_path):
         final[r.entity] = r
     assert final["Account"].received_event_count == 5
     assert final["Account"].last_replay_id == Decimal(5)
+
+
+def test_running_counters_ttl_evicts_idle_keys(spark, tmp_path):
+    """ttl_ms: a key idle past the TTL loses its state (the reference drops
+    idle subscription bookkeeping); its next event restarts from zero.
+
+    Processing-time timers keep a stream continuously triggerable, so this
+    drives ONE live query (no availableNow, which never terminates with
+    pending timers) and polls the sink between file drops."""
+    import time
+
+    in_dir = str(tmp_path / "in")
+    write_batch_file(in_dir, "b1.jsonl", [
+        make_envelope(1, record_id="A", commit_ts=T0),          # entity Account
+        make_envelope(2, record_id="A", commit_ts=T0 + MIN),
+    ])
+    stream = decode_envelope(
+        read_event_stream(spark, in_dir, max_files_per_trigger=None)
+    )
+    q = (
+        running_counters(stream, ttl_ms=500)
+        .writeStream.format("memory")
+        .queryName("ttl_sink")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .start()
+    )
+
+    def latest(deadline=60):
+        t0 = time.time()
+        while time.time() - t0 < deadline:
+            rows = spark.sql("select * from ttl_sink").collect()
+            if rows:
+                final = {}
+                for r in rows:
+                    final[r.entity] = r
+                return rows, final
+            time.sleep(0.5)
+        raise AssertionError("sink never produced rows")
+
+    try:
+        # phase 1: Account accumulates to 2
+        t0 = time.time()
+        while time.time() - t0 < 60:
+            _, final = latest()
+            if final.get("Account") and final["Account"].received_event_count == 2:
+                break
+            time.sleep(0.5)
+        assert final["Account"].received_event_count == 2
+
+        time.sleep(1.5)  # idle past the 500 ms TTL; timer fires, state evicts
+        # Account's next event must restart from zero
+        write_batch_file(in_dir, "b2.jsonl", [
+            make_envelope(4, record_id="A", commit_ts=T0 + 3 * MIN),
+        ])
+        t0 = time.time()
+        seen = None
+        while time.time() - t0 < 60:
+            rows = spark.sql("select * from ttl_sink").collect()
+            acct = [r for r in rows if r.entity == "Account"]
+            if acct and acct[-1].last_replay_id == Decimal(4):
+                seen = acct[-1]
+                break
+            time.sleep(0.5)
+        assert seen is not None, "replay 4 never surfaced"
+        assert seen.received_event_count == 1  # reset, not 3
+    finally:
+        q.stop()
