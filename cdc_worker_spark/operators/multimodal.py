@@ -151,3 +151,27 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     batches) -> typed metadata rows. Decode itself is the documented stub."""
     docs = load_table(spark, sf_dir, "documents")
     return decode_media_batch(with_media_column(docs))
+
+
+@query(
+    "q_multimodal_frames",
+    oracle="""
+    SELECT doc_id, CAST(i AS INT) AS frame_no,
+           substring(text, CAST(i * 64 + 1 AS INT), 16) AS frame_chunk
+    FROM documents,
+         LATERAL unnest(range(0, CAST(floor(len(text) / 64) AS BIGINT))) AS t(i)
+    """,
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over the opaque binary column: a 16-byte slice every
+    64 bytes via native binary substring (no Python, no decode) — the
+    video-frame / audio-window sampling shape. The oracle slices the text
+    twin (the payload bytes ARE the utf-8 text in the fixture), proving the
+    binary arithmetic exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    frames = sample_media_chunks(with_media_column(docs))
+    return frames.select(
+        "doc_id",
+        "frame_no",
+        F.decode(F.col("frame_bytes"), "utf-8").alias("frame_chunk"),
+    )
