@@ -37,6 +37,7 @@ HEADLINE = [
     "q_sim_ann_ivf",        # IVF-bucketed ANN scale path
     "q_udf_pandas",         # Arrow-batched pandas UDF path
     "q_udaf_grouped",       # Arrow grouped-map (applyInPandas) path
+    "q_pipeline_curation",  # composite scrub->filter->dedup->sample chain
 ]
 
 

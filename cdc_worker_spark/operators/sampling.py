@@ -91,3 +91,62 @@ def q_docs_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 5)
     )
+
+
+@query(
+    "q_pipeline_curation",
+    oracle=r"""
+    WITH scrub AS (
+      SELECT doc_id, lang, source, n_chars,
+             regexp_replace(
+               regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}',
+                              '<EMAIL>', 'g'),
+               '[0-9]{7,}', '<NUM>', 'g') AS text
+      FROM documents),
+    filt AS (
+      SELECT * FROM scrub
+      WHERE n_chars >= 100 AND len(string_split(text, ' ')) >= 20),
+    canon AS (
+      SELECT *, min(doc_id) OVER (
+               PARTITION BY sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+             ) AS cluster_id
+      FROM filt)
+    SELECT doc_id, lang, source, n_chars, text
+    FROM canon
+    WHERE doc_id = cluster_id
+      AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+          < CASE WHEN lang = 'en' THEN '80' ELSE '33' END
+    """,
+)
+def q_pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The operators composed as one curation pipeline — what a user of this
+    engine actually runs end-to-end: PII scrub (projection) -> length
+    filters (pushable) -> exact-dedup canonicalization (keep the min doc_id
+    per normalized digest; one digest shuffle) -> reproducible stratified
+    sample (projection). Every stage is a stage from this module family;
+    the whole chain stays in two Spark stages (scan+project, digest
+    window)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    scrubbed = docs.select(
+        "doc_id", "lang", "source", "n_chars",
+        F.regexp_replace(
+            F.regexp_replace(
+                "text", "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "<EMAIL>"
+            ),
+            "[0-9]{7,}",
+            "<NUM>",
+        ).alias("text"),
+    )
+    filt = scrubbed.filter(
+        (F.col("n_chars") >= 100) & (F.size(F.split("text", " ")) >= 20)
+    )
+    digest = F.sha2(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), 256)
+    canon = filt.withColumn(
+        "cluster_id", F.min("doc_id").over(Window.partitionBy(digest))
+    )
+    kept = canon.filter(F.col("doc_id") == F.col("cluster_id"))
+    return stratified_sample(
+        kept, "doc_id", "lang", SAMPLE_THRESHOLDS, DEFAULT_THRESHOLD
+    ).select("doc_id", "lang", "source", "n_chars", "text")
