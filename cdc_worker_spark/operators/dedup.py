@@ -525,4 +525,8 @@ def q_dedup_cluster_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels.drop("_chg").persist()
         if changed == 0:
             break
+    # labels is materialized (persist + the convergence-count action), so the
+    # intermediate caches can go; lineage through them stays recomputable
+    pairs.unpersist()
+    edges.unpersist()
     return labels.select("doc_id", F.col("lbl").alias("cluster_id")).orderBy("doc_id")

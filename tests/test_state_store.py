@@ -140,3 +140,32 @@ def test_vacuum_removes_stranded_versions(spark, tmp_path):
     m = state._manifest()
     for b, v in m["buckets"].items():
         assert os.path.exists(os.path.join(root, f"v{v}", f"_bucket={b}"))
+
+
+def test_crash_between_data_write_and_manifest_is_invisible(spark, tmp_path):
+    """write_buckets commits data FIRST, manifest LAST (atomic os.replace):
+    a crash in between leaves an orphaned version dir that readers never
+    see and vacuum collects."""
+    root = str(tmp_path / "state")
+    state = LatestWinsState(root, n_buckets=2)
+    merge_latest_wins(state, batch(spark, [(1, 0, "A", "CREATE", "v1")]))
+    before = live(spark, state)
+    manifest_before = state._manifest()
+
+    # simulate the torn write: data for a new version lands, manifest doesn't
+    v_next = manifest_before["version"] + 1
+    (
+        batch(spark, [(99, 9, "A", "UPDATE", "torn")])
+        .withColumn("_bucket", state.bucket_col())
+        .write.mode("overwrite")
+        .partitionBy("_bucket")
+        .parquet(os.path.join(root, f"v{v_next}"))
+    )
+
+    assert live(spark, state) == before          # readers see the old state
+    assert state._manifest() == manifest_before  # manifest untouched
+    removed = state.vacuum()
+    assert any(f"v{v_next}" in p for p in removed)  # orphan collected
+    # and a subsequent normal merge proceeds cleanly
+    merge_latest_wins(state, batch(spark, [(2, 1, "B", "CREATE", "v2")]))
+    assert set(live(spark, state)) == {"A", "B"}
