@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Streaming throughput bench: wire-form envelopes through the FULL pipeline
+(decode projection -> watermark dedup -> incremental bucketed latest-wins
+merge + DLQ) under availableNow, reporting events/s and wire MB/s.
+
+The reference's only published number is ~4 MB/s sustained CDC per worker
+(design doc:158); this measures the Spark engine's single-box equivalent on
+the same wire shape. Prints ONE JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+N_EVENTS = int(os.environ.get("STREAM_BENCH_EVENTS", "300000"))
+N_FILES = 10
+N_KEYS = 5000
+
+
+def gen_input(in_dir: str) -> int:
+    """Write N_EVENTS wire envelopes as jsonl; returns total bytes."""
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent / "tests"))
+    from tests.test_cdc_event_model import make_envelope
+
+    os.makedirs(in_dir)
+    t0 = 1696444513000
+    total = 0
+    per_file = N_EVENTS // N_FILES
+    for f_idx in range(N_FILES):
+        lines = []
+        for i in range(per_file):
+            rid = f_idx * per_file + i
+            e = make_envelope(
+                rid,
+                record_id=f"R{rid % N_KEYS}",
+                change_type="UPDATE" if rid % 10 else "CREATE",
+                commit_ts=t0 + rid,
+                city=f"City{rid % 97}",
+            )
+            lines.append(json.dumps(e))
+        blob = "\n".join(lines) + "\n"
+        total += len(blob)
+        with open(os.path.join(in_dir, f"b{f_idx:03d}.jsonl"), "w") as fh:
+            fh.write(blob)
+    return total
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("cdc-stream-bench")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from cdc_worker_spark.streaming import LatestWinsState, run_cdc_pipeline
+
+    work = tempfile.mkdtemp(prefix="stream_bench_")
+    try:
+        in_dir = os.path.join(work, "in")
+        wire_bytes = gen_input(in_dir)
+        t0 = time.perf_counter()
+        q = run_cdc_pipeline(
+            spark,
+            input_dir=in_dir,
+            state_dir=os.path.join(work, "state"),
+            dlq_dir=os.path.join(work, "dlq"),
+            checkpoint_dir=os.path.join(work, "chk"),
+            max_files_per_trigger=None,  # throughput mode: drain the backlog
+        )
+        q.awaitTermination(600)
+        wall = time.perf_counter() - t0
+        n_state = LatestWinsState(os.path.join(work, "state")).read(spark).count()
+        print(
+            json.dumps(
+                {
+                    "metric": "cdc_stream_wire_mb_per_sec",
+                    "value": round(wire_bytes / wall / 1e6, 2),
+                    "unit": "MB/s",
+                    "events_per_sec": round(N_EVENTS / wall),
+                    "wall_sec": round(wall, 2),
+                    "n_events": N_EVENTS,
+                    "wire_mb": round(wire_bytes / 1e6, 1),
+                    "state_rows": n_state,
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
