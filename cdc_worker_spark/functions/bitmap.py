@@ -162,28 +162,35 @@ def _positions_of(hex_col: Column, max_bits: int = 63) -> Column:
     way, digit-by-digit)."""
     h = F.regexp_replace(F.upper(hex_col), "^0X", "")
     length = F.length(h)
+    n_chunks = max(1, -(-max_bits // _CHUNK_BITS))
 
+    # Two-level HOF keeps the expensive work per-CHUNK, not per-bit: HOF
+    # lambdas have no common-subexpression elimination, so testing bit i
+    # against `conv(substr(...))` directly would re-run the regex + conv for
+    # EVERY i (measured in the streaming decode plan). Instead the chunk
+    # values materialize once into an array of (value, chunk_idx) structs;
+    # the per-bit lambda only does getbit on the lambda variable.
     # NB: helper closures, not default-arg lambdas — pyspark dispatches HOF
     # lambdas on their parameter COUNT, so `lambda i, v=value:` would be
     # (mis)read as the two-arg (element, index) form.
-    def chunk_positions(c: int, bits_here: int) -> Column:
+    def chunk_struct(c: Column) -> Column:
         ln = F.least(F.lit(_CHUNK_HEX), length - _CHUNK_HEX * c)
         start = F.greatest(length - _CHUNK_HEX * (c + 1) + 1, F.lit(1))
         chunk = F.when(ln > 0, F.substr(h, start, ln)).otherwise(F.lit("0"))
         value = F.coalesce(F.conv(chunk, 16, 10).cast("bigint"), F.lit(0))
-        pos = F.filter(
-            F.sequence(F.lit(0), F.lit(bits_here - 1)),
-            lambda i: F.getbit(value, i.cast("int")) == 1,
-        )
-        if c:
-            pos = F.transform(pos, lambda i: i + F.lit(_CHUNK_BITS * c))
-        return pos
+        return F.struct(value.alias("v"), (c * _CHUNK_BITS).alias("off"))
 
-    parts: list[Column] = []
-    n_chunks = max(1, -(-max_bits // _CHUNK_BITS))
-    for c in range(n_chunks):
-        bits_here = min(_CHUNK_BITS, max_bits - _CHUNK_BITS * c)
-        if bits_here <= 0:
-            break
-        parts.append(chunk_positions(c, bits_here))
-    return parts[0] if len(parts) == 1 else F.concat(*parts)
+    vals = F.transform(
+        F.sequence(F.lit(0), F.lit(n_chunks - 1)), chunk_struct
+    )
+
+    def chunk_positions(s: Column) -> Column:
+        bits = F.filter(
+            F.sequence(F.lit(0), F.lit(_CHUNK_BITS - 1)),
+            lambda i: F.getbit(s.getField("v"), i.cast("int")) == 1,
+        )
+        return F.transform(bits, lambda i: i + s.getField("off"))
+
+    flat = F.flatten(F.transform(vals, chunk_positions))
+    # bound to the dictionary width (the last chunk spans a full 60 bits)
+    return F.filter(flat, lambda i: i < F.lit(max_bits))
