@@ -256,6 +256,9 @@ def decode_envelope(
         _expand(hdr.nulledFields, fields, child_fields).alias("nulled_fields"),
         _expand(hdr.diffFields, fields, child_fields).alias("diff_fields"),
         event_out.alias("event"),
-        is_corrupt.alias("is_corrupt"),
+        # a NULL replay id (missing/malformed offset bytes) is corrupt too:
+        # it would otherwise vanish in NULL-valued offset predicates and
+        # collide in replay-id dedup — same trap as NULL schema_id
+        (is_corrupt | F.col("replay_id").isNull()).alias("is_corrupt"),
         raw_payload.alias("raw_payload"),
     )

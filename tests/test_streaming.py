@@ -182,3 +182,22 @@ def test_ordered_apply_within_batch(spark, dirs):
     state = read_state(spark, dirs)
     assert int(state["A"].replay_id) == 402
     assert state["A"].event.BillingAddress.City == "v2"
+
+
+def test_missing_replay_id_is_corrupt_not_silently_dropped(spark, dirs):
+    """An envelope whose replay id is missing or undecodable must surface as
+    corrupt (DLQ), not vanish in NULL-valued offset predicates or collide in
+    replay-id dedup."""
+    t0 = 1696444513000
+    good = make_envelope(500, record_id="A", commit_ts=t0)
+    no_rid = dict(make_envelope(501, record_id="B", commit_ts=t0 + 1))
+    no_rid["replay_id_b64"] = None
+    write_batch_file(dirs["input"], "b1.jsonl", [good, no_rid])
+    q = run_cdc_pipeline(
+        spark, dirs["input"], dirs["state"], dirs["dlq"], dirs["chk"],
+        start_after_replay_id=100,  # the NULL-trap filter path
+    )
+    q.awaitTermination(120)
+    assert set(read_state(spark, dirs)) == {"A"}
+    dlq = spark.read.parquet(dirs["dlq"]).collect()
+    assert len(dlq) == 1 and dlq[0].replay_id is None
