@@ -183,3 +183,49 @@ def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
     )
+
+
+@query(
+    "q_agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 4) AS sd_qty,
+           round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+           round(covar_samp(l_quantity, l_discount), 6) AS cov_qty_disc
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (stddev / correlation / covariance): all
+    single-pass mergeable moments — partial-aggregated map-side like any
+    sum, so the shuffle carries O(groups) moment tuples. Rounded because
+    moment accumulation order differs between engines in the last bits."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("cov_qty_disc"),
+    )
+
+
+@query(
+    "q_agg_percentiles",
+    oracle="""
+    SELECT event_type,
+           round(percentile_cont(0.5)  WITHIN GROUP (ORDER BY value), 6) AS p50,
+           round(percentile_cont(0.95) WITHIN GROUP (ORDER BY value), 6) AS p95
+    FROM events GROUP BY event_type
+    """,
+)
+def q_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (interpolated + discrete). Exact percentile sorts
+    within group — fine at per-group scale; the declared 100 TB path is
+    approx_percentile (t-digest-style mergeable sketch), exactly as
+    q_agg_approx_distinct stands in for exact COUNT DISTINCT."""
+    from cdc_worker_spark.sources.tables import load_events_ms
+
+    ev = load_events_ms(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
+    )

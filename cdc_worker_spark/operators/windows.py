@@ -146,3 +146,29 @@ def q_win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("value_last_hour"),
     )
+
+
+@query(
+    "q_win_distribution",
+    oracle=f"""
+    SELECT event_id, event_type,
+           CAST(ntile(4) OVER ({_BY_VALUE}) AS INT) AS quartile,
+           round(percent_rank() OVER ({_BY_VALUE}), 6) AS pct_rank,
+           round(cume_dist()    OVER ({_BY_VALUE}), 6) AS cdist
+    FROM events
+    """,
+)
+def q_win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: ntile / percent_rank / cume_dist —
+    ratios of integer rank counts, so both engines agree exactly after a
+    common rounding. Same single exchange as every other window on the
+    (event_type) key."""
+    ev = load_events_ms(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy(F.col("value").desc(), F.col("event_id"))
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
