@@ -28,7 +28,7 @@ from cdc_worker_spark.sources.tables import load_table
 
 def tokens_distinct(docs: DataFrame) -> DataFrame:
     """(doc_id, lang, w): distinct unigram tokens per document."""
-    return docs.select(
+    return ensure_parallelism(docs).select(
         "doc_id", "lang", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
     )
 
@@ -51,7 +51,9 @@ def shingles_distinct(docs: DataFrame) -> DataFrame:
         F.slice(ws, 3, n),
         lambda ab, c: F.concat_ws(" ", ab, c),
     )
-    return docs.select(
+    # per-row shingling fans out heavy array work: re-parallelize under-split
+    # single-file sources (no-op at scale, like the vector operators)
+    return ensure_parallelism(docs).select(
         "doc_id", "lang", F.explode(F.array_distinct(tri)).alias("g")
     )
 
