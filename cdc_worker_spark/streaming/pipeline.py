@@ -67,11 +67,23 @@ class LatestWinsState:
     def _manifest_file(self) -> str:
         return os.path.join(self.path, "_MANIFEST.json")
 
-    def _manifest(self) -> dict:
+    def _manifest(self, at_version: int | None = None) -> dict:
+        """Current manifest, or the snapshot taken when ``at_version`` was
+        committed (time travel — vacuum may have removed its data files)."""
+        path = (
+            self._manifest_file()
+            if at_version is None
+            else os.path.join(self.path, f"_MANIFEST.v{at_version}.json")
+        )
         try:
-            with open(self._manifest_file()) as f:
+            with open(path) as f:
                 return json.load(f)
         except FileNotFoundError:
+            if at_version is not None:
+                raise ValueError(
+                    f"no manifest snapshot for version {at_version} "
+                    f"(never committed, or beyond retention)"
+                ) from None
             return {"version": -1, "n_buckets": self.n_buckets, "buckets": {}}
 
     def _write_manifest(self, manifest: dict) -> None:
@@ -94,19 +106,24 @@ class LatestWinsState:
         return F.pmod(F.xxhash64("entity", "record_id"), F.lit(self.n_buckets))
 
     def read_full(
-        self, spark: SparkSession, buckets=None
+        self, spark: SparkSession, buckets=None, at_version: int | None = None
     ) -> DataFrame | None:
         """All stored rows (tombstones included) — optionally only the given
-        buckets (the merge path reads just the buckets a batch touches)."""
-        manifest = self._manifest()
+        buckets (the merge path reads just the buckets a batch touches), or
+        the table AS OF an earlier committed version (time travel via the
+        per-version manifest snapshot; valid until vacuum reclaims the old
+        files, exactly the Delta VACUUM contract)."""
+        manifest = self._manifest(at_version)
         paths = self._bucket_paths(manifest, buckets)
         if not paths:
             return None
         return spark.read.parquet(*paths)
 
-    def read(self, spark: SparkSession) -> DataFrame | None:
+    def read(
+        self, spark: SparkSession, at_version: int | None = None
+    ) -> DataFrame | None:
         """Live view: tombstoned (deleted) keys filtered out."""
-        df = self.read_full(spark)
+        df = self.read_full(spark, at_version=at_version)
         return None if df is None else df.filter(F.col("change_type") != "DELETE")
 
     def vacuum(self) -> list[str]:
@@ -115,10 +132,19 @@ class LatestWinsState:
         copy-on-write garbage a Delta VACUUM would collect). Safe w.r.t. the
         manifest: only wholly-unreferenced ``v{N}`` dirs are removed, and
         within referenced dirs only bucket partitions the manifest no longer
-        points at. Returns the removed paths."""
+        points at. Time travel truncates to the current version (old
+        manifest snapshots are dropped with their files — the Delta VACUUM
+        contract). Returns the removed paths."""
         import shutil
 
         manifest = self._manifest()
+        if os.path.isdir(self.path):
+            for d in os.listdir(self.path):
+                if (
+                    d.startswith("_MANIFEST.v")
+                    and d != f"_MANIFEST.v{manifest['version']}.json"
+                ):
+                    os.remove(os.path.join(self.path, d))
         live: dict[str, set[str]] = {}
         for b, v in manifest["buckets"].items():
             live.setdefault(f"v{v}", set()).add(f"_bucket={b}")
@@ -162,6 +188,9 @@ class LatestWinsState:
         for b in touched:
             manifest["buckets"][str(b)] = v
         self._write_manifest(manifest)
+        # per-version snapshot (tiny JSON) enables AS-OF reads until vacuum
+        with open(os.path.join(self.path, f"_MANIFEST.v{v}.json"), "w") as f:
+            json.dump(manifest, f)
 
 
 def _latest_per_key(df: DataFrame) -> DataFrame:

@@ -169,3 +169,24 @@ def test_crash_between_data_write_and_manifest_is_invisible(spark, tmp_path):
     # and a subsequent normal merge proceeds cleanly
     merge_latest_wins(state, batch(spark, [(2, 1, "B", "CREATE", "v2")]))
     assert set(live(spark, state)) == {"A", "B"}
+
+
+def test_time_travel_reads_earlier_version(spark, tmp_path):
+    """AS-OF reads: each merge snapshots its manifest, so the table can be
+    read at any earlier committed version until vacuum reclaims it."""
+    import pytest
+
+    state = LatestWinsState(str(tmp_path / "state"), n_buckets=2)
+    merge_latest_wins(state, batch(spark, [(1, 0, "A", "CREATE", "v1")]))
+    v0 = state._manifest()["version"]
+    merge_latest_wins(state, batch(spark, [(2, 1, "A", "UPDATE", "v2")]))
+    merge_latest_wins(state, batch(spark, [(3, 2, "A", "DELETE", None)]))
+
+    assert live(spark, state) == {}  # current: deleted
+    past = {r.record_id: r for r in state.read(spark, at_version=v0).collect()}
+    assert past["A"].payload == "v1" and int(past["A"].replay_id) == 1
+
+    state.vacuum()  # truncates time travel to the current version
+    with pytest.raises(ValueError, match="beyond retention|never committed"):
+        state.read(spark, at_version=v0)
+    assert live(spark, state) == {}  # current reads unaffected
