@@ -245,3 +245,31 @@ def q_cdc_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
     )
+
+
+#: AS-OF cutoff: 2024-01-16 00:00 UTC — mid-range of the fixture's event
+#: window at every scale factor
+_ASOF_CUTOFF_MS = 1705363200000
+
+
+@query(
+    "q_cdc_state_asof",
+    oracle=f"""
+    SELECT user_id, last_event_id, last_ts_ms, last_event_type, last_value
+    FROM (
+      SELECT user_id, event_id AS last_event_id, epoch_ms(ts) AS last_ts_ms,
+             event_type AS last_event_type, value AS last_value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+      FROM events WHERE epoch_ms(ts) <= {_ASOF_CUTOFF_MS}) t
+    WHERE rn = 1
+    """,
+)
+def q_cdc_state_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal state reconstruction: the latest-wins state AS OF a past
+    point in time — the batch twin of the state store's manifest time travel
+    (audit: "what did this record look like on the 16th?"). The cutoff is a
+    pushed-down scan predicate, so the log read is bounded by time before
+    the same WindowGroupLimit-pruned latest-wins plan runs."""
+    ev = load_events_ms(spark, sf_dir).filter(F.col("ts_ms") <= _ASOF_CUTOFF_MS)
+    return latest_state(ev)
