@@ -28,7 +28,7 @@ from cdc_worker_spark.sources.tables import load_table
 
 def tokens_distinct(docs: DataFrame) -> DataFrame:
     """(doc_id, lang, w): distinct unigram tokens per document."""
-    return ensure_parallelism(docs).select(
+    return docs.select(
         "doc_id", "lang", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
     )
 
@@ -51,9 +51,13 @@ def shingles_distinct(docs: DataFrame) -> DataFrame:
         F.slice(ws, 3, n),
         lambda ab, c: F.concat_ws(" ", ab, c),
     )
-    # per-row shingling fans out heavy array work: re-parallelize under-split
-    # single-file sources (no-op at scale, like the vector operators)
-    return ensure_parallelism(docs).select(
+    # NB: deliberately NOT ensure_parallelism'd — the shingle table is read
+    # twice by its consumers (signatures+sets, df-window+join), and adding a
+    # round-robin exchange ahead of the explode measurably REGRESSED the
+    # full queries (minhash 1.1 -> 2.3 s at sf0.1) even though the isolated
+    # shingle stage got faster; the (lang, g)/doc_id shuffles right after
+    # already spread the heavy work.
+    return docs.select(
         "doc_id", "lang", F.explode(F.array_distinct(tri)).alias("g")
     )
 
