@@ -30,8 +30,9 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
 
 
 def test_lsh_recall_vs_exact(spark, sf_dir):
+    # 1-bit multi-probe lifted recall 0.10 -> 0.73 (sf0.001) / 0.63 (sf0.01)
     recall, n = _recall(spark, sf_dir, "q_sim_ann_lsh")
-    assert recall >= 0.05
+    assert recall >= 0.4
     assert n <= 30
 
 
