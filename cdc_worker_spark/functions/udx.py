@@ -69,11 +69,13 @@ def q_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").applyInPandas(_zscore_group, _ZSCORE_SCHEMA)
 
 
-@udtf(returnType="sent_idx int, sentence string")
+@udtf(returnType="sent_idx int, sentence string", useArrow=True)
 class SplitSentences:
     """Python UDTF: one input row -> N output rows (sentence segmentation).
-    Arrow-streamed, no shuffle; the lateral-join shape of the reference's
-    per-event fan-out callbacks."""
+    Arrow-optimized (useArrow — without it a Python UDTF evaluates
+    row-at-a-time as BatchEvalPythonUDTF; caught by the registry audit), no
+    shuffle; the lateral-join shape of the reference's per-event fan-out
+    callbacks."""
 
     def eval(self, text: str):  # noqa: D102
         if text is None:
