@@ -66,3 +66,13 @@ class Catalog:
         if name.startswith("_"):
             raise AttributeError(name)
         return load_table(self._spark, self._sf_dir, name)
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view so the engine is usable
+    from plain ``spark.sql`` — the same names the driver pre-registers in
+    DuckDB, so any oracle SQL in this repo also runs verbatim via
+    ``spark.sql`` (modulo dialect). Views are lazy scans; pushdown and
+    pruning behave exactly as the DataFrame loaders."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -88,3 +88,20 @@ def test_publish_dataframe_distributed(spark, tmp_path):
     assert sorted(r.replay_id for r in rows) == [Decimal(1), Decimal(big)]
     # payload is the to_json of the selected columns (reference B4)
     assert {r.raw_payload for r in rows} == {'{"name":"A"}', '{"name":"B"}'}
+
+
+def test_register_views_sql_surface(spark, sf_dir):
+    """Plain-SQL usability: every fixture table queryable via spark.sql."""
+    from cdc_worker_spark.sources.tables import TABLES, register_views
+
+    register_views(spark, sf_dir)
+    for t in TABLES:
+        assert spark.sql(f"SELECT count(*) AS n FROM {t}").collect()[0].n > 0
+    joined = spark.sql(
+        """
+        SELECT r_name, count(*) AS n_nations
+        FROM region JOIN nation ON r_regionkey = n_regionkey
+        GROUP BY r_name ORDER BY r_name
+        """
+    ).collect()
+    assert len(joined) == 5 and all(r.n_nations == 5 for r in joined)
