@@ -229,3 +229,18 @@ def q_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
         F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
     )
+
+
+@query("q_agg_approx_percentile")  # rows-only: t-digest-style sketch is engine-specific
+def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The declared 100 TB percentile path: approx_percentile's mergeable
+    sketch (map-side partials of bounded size, like approx_count_distinct's
+    HLL) — the exact twin q_agg_percentiles is the small-scale oracle."""
+    from cdc_worker_spark.sources.tables import load_events_ms
+
+    ev = load_events_ms(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, 10000).alias("p50_approx"),
+        F.percentile_approx("value", 0.95, 10000).alias("p95_approx"),
+        F.percentile_approx("value", 0.99, 10000).alias("p99_approx"),
+    )

@@ -27,6 +27,7 @@ from cdc_worker_spark.streaming.windows import (
     session_counts,
     sliding_counts,
     stream_static_enrich,
+    stream_stream_interval_join,
     tumbling_counts,
 )
 
@@ -54,5 +55,6 @@ __all__ = [
     "sliding_counts",
     "stale_topics",
     "stream_static_enrich",
+    "stream_stream_interval_join",
     "tumbling_counts",
 ]

@@ -161,3 +161,41 @@ def running_counters(events: DataFrame, ttl_ms: int | None = None) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "record_id",
+    interval: str = "10 minutes",
+    watermark: str = "10 minutes",
+    ts_col: str = "commit_ts",
+) -> DataFrame:
+    """Watermarked stream-stream join: rows of two live streams pair when
+    they share ``key`` and their event times fall within ``interval`` of
+    each other. Both sides carry a watermark AND the join carries the time
+    bound, so Spark can size and EVICT the join state — without the
+    interval condition, stream-stream join state grows forever (the classic
+    unbounded-state trap). State per side is O(events within watermark +
+    interval), the same bound as the windowed aggs."""
+    l = left.select(
+        F.col(key).alias("l_key"),
+        F.col(ts_col).alias("l_ts"),
+        F.col("replay_id").alias("l_replay_id"),
+        F.col("change_type").alias("l_change_type"),
+    ).withWatermark("l_ts", watermark)
+    r = right.select(
+        F.col(key).alias("r_key"),
+        F.col(ts_col).alias("r_ts"),
+        F.col("replay_id").alias("r_replay_id"),
+        F.col("change_type").alias("r_change_type"),
+    ).withWatermark("r_ts", watermark)
+    return l.join(
+        r,
+        F.expr(
+            f"""
+            l_key = r_key AND
+            r_ts BETWEEN l_ts - INTERVAL {interval} AND l_ts + INTERVAL {interval}
+            """
+        ),
+    )

@@ -189,3 +189,28 @@ def test_running_counters_ttl_evicts_idle_keys(spark, tmp_path):
         assert seen.received_event_count == 1  # reset, not 3
     finally:
         q.stop()
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Two live streams join on key within a time interval; pairs outside
+    the interval never materialize (state evicted by watermark + bound)."""
+    from cdc_worker_spark.streaming.windows import stream_stream_interval_join
+
+    left_dir, right_dir = str(tmp_path / "l"), str(tmp_path / "r")
+    write_batch_file(left_dir, "b1.jsonl", [
+        make_envelope(1, record_id="A", commit_ts=T0),
+        make_envelope(2, record_id="B", commit_ts=T0 + 5 * MIN),
+    ])
+    write_batch_file(right_dir, "b1.jsonl", [
+        make_envelope(10, record_id="A", commit_ts=T0 + 3 * MIN),   # within 10min of 1
+        make_envelope(11, record_id="A", commit_ts=T0 + 40 * MIN),  # outside
+        make_envelope(12, record_id="B", commit_ts=T0 + 6 * MIN),   # within
+        make_envelope(13, record_id="C", commit_ts=T0 + 1 * MIN),   # no left key
+    ])
+    l = decode_envelope(read_event_stream(spark, left_dir, max_files_per_trigger=None))
+    r = decode_envelope(read_event_stream(spark, right_dir, max_files_per_trigger=None))
+    out = drain(
+        stream_stream_interval_join(l, r), tmp_path, mode="append"
+    ).collect()
+    pairs = {(int(x.l_replay_id), int(x.r_replay_id)) for x in out}
+    assert pairs == {(1, 10), (2, 12)}
