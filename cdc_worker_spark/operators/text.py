@@ -260,3 +260,46 @@ def q_text_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
             "<NUM>",
         ).alias("text"),
     )
+
+
+#: chunking layout: 40-token windows advancing 30 tokens (10-token overlap)
+_CHUNK_TOKENS = 40
+_CHUNK_STRIDE = 30
+
+
+@query(
+    "q_text_chunks",
+    oracle=f"""
+    SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+           array_to_string(list_slice(ws, i * {_CHUNK_STRIDE} + 1,
+                                      i * {_CHUNK_STRIDE} + {_CHUNK_TOKENS}), ' ')
+             AS chunk_text,
+           CAST(least(len(ws) - i * {_CHUNK_STRIDE}, {_CHUNK_TOKENS}) AS INT)
+             AS n_tokens
+    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         LATERAL unnest(range(0, CAST(ceil(len(ws) / {_CHUNK_STRIDE}.0) AS BIGINT)))
+           AS t(i)
+    """,
+)
+def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking for training-sequence prep: fixed token windows
+    with overlap (40-token chunks, 30-token stride). Pure per-row array
+    slicing + explode — no shuffle, no Python; the chunk table is the unit
+    downstream tokenize/pack stages consume."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    n_chunks = F.ceil(F.size(ws) / F.lit(float(_CHUNK_STRIDE))).cast("int")
+    idx = F.sequence(F.lit(0), n_chunks - 1)
+    return (
+        docs.select("doc_id", ws.alias("ws"), F.explode(idx).alias("chunk_idx"))
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.concat_ws(
+                " ", F.slice("ws", F.col("chunk_idx") * _CHUNK_STRIDE + 1, _CHUNK_TOKENS)
+            ).alias("chunk_text"),
+            F.least(
+                F.size("ws") - F.col("chunk_idx") * _CHUNK_STRIDE, F.lit(_CHUNK_TOKENS)
+            ).cast("int").alias("n_tokens"),
+        )
+    )
