@@ -58,3 +58,31 @@ def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXCEPT (distinct semantics; Spark's subtract)."""
     left, right = _cust_sides(spark, sf_dir)
     return left.subtract(right)
+
+
+_PRICY_SQL = "SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000"
+
+
+@query("q_intersect_all", oracle=f"{_RIGHT_SQL} INTERSECT ALL {_PRICY_SQL}")
+def q_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (bag semantics: each row kept min(count_l, count_r)
+    times — Spark plans a count-based aggregation, one shuffle on the full
+    row). BOTH sides are multisets (urgent orders x pricy orders, repeated
+    custkeys), so min-count duplicates genuinely survive, unlike the
+    DISTINCT variant."""
+    o = load_table(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    pricy = o.filter(F.col("o_totalprice") > 150000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return urgent.intersectAll(pricy)
+
+
+@query("q_except_all", oracle=f"{_RIGHT_SQL} EXCEPT ALL {_LEFT_SQL}")
+def q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (bag semantics: count_l - count_r occurrences survive —
+    driven from the multiset side so the arithmetic is visible)."""
+    left, right = _cust_sides(spark, sf_dir)
+    return right.exceptAll(left)
