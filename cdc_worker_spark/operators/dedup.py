@@ -354,36 +354,23 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_dedup_embedding",
-    oracle="""
-    WITH v AS (SELECT vec_id, label,
-                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
-               FROM embeddings),
-         n AS (SELECT vec_id, label, dv,
-                      list_reduce(list_transform(list_zip(dv, dv), p -> p[1] * p[2]),
-                                  (a, b) -> a + b) AS nrm
-               FROM v),
-         pairs AS (
-           SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-                  list_reduce(list_transform(list_zip(a.dv, b.dv), p -> p[1] * p[2]),
-                              (x, y) -> x + y) / (sqrt(a.nrm) * sqrt(b.nrm)) AS cos
-           FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
-    SELECT vec_a, vec_b, round(cos, 6) AS cos_sim
-    FROM pairs WHERE cos > 0.8
-    """,
-)
+@query("q_dedup_embedding")  # rows-only: LSH candidate set is approximate by design
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (cos > 0.8), same-label blocked.
 
     Candidates-then-verify, NOT all-pairs: LSH banded buckets generate the
     candidate pairs (same shape as q_dedup_minhash — the label-block
     all-pairs join is O(n^2/L), a cartesian product in disguise at 100 TB),
-    then the exact sequential-fold cosine runs on candidates only, so Spark
-    and DuckDB agree bitwise on every surviving pair. The DuckDB oracle keeps
-    the all-pairs formulation as the small-scale exactness twin; recall of
-    the LSH candidate stage is gated in tests/test_dedup_scale.py (planted
-    near-dup clusters, 100% found)."""
+    then the exact sequential-fold cosine runs on candidates only.
+
+    Rows-only like the other approximate dedup queries (ADVICE r02): the
+    banding math gives ~6% miss probability for a pair at exactly cos 0.8,
+    so an exact all-pairs SQL oracle can deterministically disagree near the
+    threshold — the r01/r02 oracle only ever matched because the fixture
+    yields zero pairs (empty-vs-empty). Exactness evidence instead comes
+    from tests/test_dedup_scale.py: planted clusters at cos >= 0.9 (where
+    banding miss probability is negligible) compared pair-for-pair against
+    a Spark all-pairs exact twin, plus the candidate-volume gate."""
     emb = with_double_vec(load_table(spark, sf_dir, "embeddings"))
     return embedding_dedup_pairs(emb, threshold=0.8, same_label=True).select(
         "vec_a", "vec_b", F.round("cos", 6).alias("cos_sim")
@@ -484,24 +471,24 @@ def q_dedup_cluster_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_dedup_cluster_near")  # rows-only: iterative; candidates are engine-specific
-def q_dedup_cluster_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NEAR-duplicate cluster assignment: connected components over the
-    MinHash near-dup pair graph (jaccard >= 0.5), via iterative min-label
-    propagation — each round every node adopts the smallest label among
-    itself and its neighbors; at fixpoint the component id is the smallest
-    doc_id in the component.
+def connected_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
+    """(doc_id, cluster_id) connected components of an undirected edge list
+    (doc_a, doc_b), cluster_id = smallest doc_id in the component.
 
-    This is the genuinely-iterative operator class (no SQL oracle): a
-    driver loop with a convergence check per round, each round ONE
-    edge-to-label join + min-agg (all JVM-side). Rounds needed = graph
-    diameter — near-dup components are tiny dense cliques, so 2-3 rounds in
-    practice; at web scale you'd switch to the large-star/small-star
-    alternation, which keeps the same join-per-round shape but contracts
-    high-degree stars. Only documents that HAVE a near-dup participate, so
-    the iteration state is |dup docs|, not |corpus|."""
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_pairs(docs).select("doc_a", "doc_b").persist()
+    Each round does min-label propagation (every node adopts the smallest
+    label among itself and its neighbors) FOLLOWED by one pointer-jumping
+    step (lbl := lbl(lbl) — label paths halve, the same contraction idea as
+    large-star/small-star). Propagation alone needs diameter rounds — a
+    22-doc template-drift chain silently exceeded the old 20-round cap
+    (VERDICT r02 wrong #2); with jumping, convergence is O(log diameter), so
+    ``max_rounds=20`` covers any graph a real corpus can produce (diameter
+    ~2^20). If the loop still exhausts ``max_rounds`` without a fixpoint it
+    RAISES rather than returning partial labels.
+
+    Only nodes present in ``pairs`` participate, so the iteration state is
+    |dup docs|, not |corpus|. Each round is two joins + one min-agg, all
+    JVM-side; the convergence check is the only driver action."""
+    pairs = pairs.select("doc_a", "doc_b").persist()
     # undirected edge list, both directions + self-loop via the node itself
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
@@ -511,18 +498,31 @@ def q_dedup_cluster_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("lbl", F.col("doc_id"))
         .persist()
     )
-    for _ in range(20):
+    converged = False
+    for _ in range(max_rounds):
         nbr_min = (
             edges.join(labels, edges.doc_b == labels.doc_id)
             .groupBy(F.col("doc_a").alias("doc_id"))
             .agg(F.min("lbl").alias("nbr_lbl"))
         )
+        propagated = labels.join(nbr_min, "doc_id", "left").select(
+            "doc_id", F.least("lbl", F.coalesce("nbr_lbl", "lbl")).alias("lbl")
+        )
+        # pointer jump: follow the label's own label (labels hold every
+        # participating node, and lbl is always some node's id, so the inner
+        # join is total). This is what turns chains from O(n) into O(log n).
+        parent = propagated.select(
+            F.col("doc_id").alias("p_id"), F.col("lbl").alias("p_lbl")
+        )
+        jumped = (
+            propagated.join(parent, propagated.lbl == parent.p_id)
+            .select("doc_id", F.least("lbl", "p_lbl").alias("lbl"))
+        )
         new_labels = (
-            labels.join(nbr_min, "doc_id", "left")
+            labels.withColumnRenamed("lbl", "old_lbl")
+            .join(jumped, "doc_id")
             .select(
-                "doc_id",
-                F.least("lbl", F.coalesce("nbr_lbl", "lbl")).alias("lbl"),
-                (F.coalesce("nbr_lbl", "lbl") < F.col("lbl")).alias("_chg"),
+                "doc_id", "lbl", (F.col("lbl") < F.col("old_lbl")).alias("_chg")
             )
             .persist()
         )
@@ -530,9 +530,29 @@ def q_dedup_cluster_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels.unpersist()
         labels = new_labels.drop("_chg").persist()
         if changed == 0:
+            converged = True
             break
     # labels is materialized (persist + the convergence-count action), so the
     # intermediate caches can go; lineage through them stays recomputable
     pairs.unpersist()
     edges.unpersist()
+    if not converged:
+        labels.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge within {max_rounds} rounds "
+            f"— raise max_rounds (diameter up to ~2^rounds is covered)"
+        )
     return labels.select("doc_id", F.col("lbl").alias("cluster_id")).orderBy("doc_id")
+
+
+@query("q_dedup_cluster_near")  # rows-only: iterative; candidates are engine-specific
+def q_dedup_cluster_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-duplicate cluster assignment: connected components over the
+    MinHash near-dup pair graph (jaccard >= 0.5) via min-label propagation
+    with pointer jumping (:func:`connected_components` — O(log diameter)
+    rounds, raises instead of returning partial labels on non-convergence).
+
+    This is the genuinely-iterative operator class (no SQL oracle): a driver
+    loop with a convergence check per round, every round JVM-side joins."""
+    docs = load_table(spark, sf_dir, "documents")
+    return connected_components(minhash_pairs(docs))

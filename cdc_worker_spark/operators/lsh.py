@@ -41,19 +41,29 @@ def _sig_udf(planes: list[list[float]], n_tables: int, n_bits: int):
     import pandas as pd
 
     P = np.asarray(planes, dtype=np.float64)  # (T*B, dim)
+    dim = P.shape[1]
     weights = 1 << np.arange(n_bits)
 
     @F.pandas_udf("array<long>")
     def sigs(dv: pd.Series) -> pd.Series:
+        # NULL / wrong-length vectors get NULL signatures (one bad row must
+        # not fail the whole Arrow batch — ADVICE r02); the posexplode in
+        # with_lsh_buckets then yields no bucket rows for them, i.e. a
+        # vector that cannot be hashed never becomes a candidate.
+        out = pd.Series([None] * len(dv), dtype=object)
         if not len(dv):
-            return pd.Series([], dtype=object)
-        V = np.stack(dv.to_numpy())  # (n, dim)
-        bits = (V @ P.T) > 0  # (n, T*B)
+            return out
+        ok = dv.map(lambda v: v is not None and len(v) == dim).to_numpy()
+        if not ok.any():
+            return out
+        V = np.stack(dv[ok].to_numpy())  # (n_ok, dim)
+        bits = (V @ P.T) > 0  # (n_ok, T*B)
         per_table = [
             bits[:, t * n_bits : (t + 1) * n_bits] @ weights for t in range(n_tables)
         ]
-        sig_mat = np.stack(per_table, axis=1)  # (n, T)
-        return pd.Series([row.tolist() for row in sig_mat])
+        sig_mat = np.stack(per_table, axis=1)  # (n_ok, T)
+        out[ok] = [row.tolist() for row in sig_mat]
+        return out
 
     return sigs
 

@@ -37,14 +37,15 @@ class QuerySpec:
 REGISTRY: dict[str, QuerySpec] = {}
 
 #: modules whose import registers queries (kept explicit so import order and
-#: the resulting registry are deterministic)
+#: the resulting registry are deterministic).
+#:
+#: ORDER MATTERS for the driver's CORRECTNESS artifact, which snapshots the
+#: first 50 registry-insertion-order entries: the extension set (scalar
+#: functions, UDx, dedup, similarity, text, multimodal, sampling — 37 queries)
+#: and the CDC suite (10) register first so they land inside that window; the
+#: relational core already has two rounds of green driver artifacts
+#: (CORRECTNESS_r01/r02) and rotates to the tail.
 _QUERY_MODULES = (
-    "cdc_worker_spark.operators.relational",
-    "cdc_worker_spark.operators.joins",
-    "cdc_worker_spark.operators.aggregates",
-    "cdc_worker_spark.operators.windows",
-    "cdc_worker_spark.operators.setops",
-    "cdc_worker_spark.operators.cdc",
     "cdc_worker_spark.functions.scalar_queries",
     "cdc_worker_spark.functions.udx",
     "cdc_worker_spark.operators.dedup",
@@ -52,6 +53,12 @@ _QUERY_MODULES = (
     "cdc_worker_spark.operators.text",
     "cdc_worker_spark.operators.multimodal",
     "cdc_worker_spark.operators.sampling",
+    "cdc_worker_spark.operators.cdc",
+    "cdc_worker_spark.operators.relational",
+    "cdc_worker_spark.operators.joins",
+    "cdc_worker_spark.operators.aggregates",
+    "cdc_worker_spark.operators.windows",
+    "cdc_worker_spark.operators.setops",
 )
 
 

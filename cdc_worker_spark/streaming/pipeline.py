@@ -102,6 +102,20 @@ class LatestWinsState:
             os.path.join(self.path, f"v{v}", f"_bucket={b}") for b, v in items
         ]
 
+    def sync_layout(self) -> None:
+        """Adopt the STORED layout's bucket count before any bucket math.
+
+        A non-empty store's n_buckets is part of its on-disk layout: opening
+        it with a different constructor default and hashing with the wrong
+        modulus would read the wrong bucket subset (latest-wins could lose to
+        unread stored rows) and repoint manifest entries at data-less bucket
+        dirs. Called at the top of merge_latest_wins — BEFORE bucket_col()
+        and read_full() — so the whole merge runs under one layout
+        (ADVICE r02)."""
+        manifest = self._manifest()
+        if manifest["buckets"] and manifest["n_buckets"] != self.n_buckets:
+            self.n_buckets = manifest["n_buckets"]
+
     def bucket_col(self) -> Column:
         return F.pmod(F.xxhash64("entity", "record_id"), F.lit(self.n_buckets))
 
@@ -173,9 +187,15 @@ class LatestWinsState:
         version: write those bucket partitions, repoint their manifest
         entries, leave every other bucket untouched."""
         manifest = self._manifest()
-        if manifest["n_buckets"] != self.n_buckets and manifest["buckets"]:
-            # the store's layout wins over the constructor default
-            self.n_buckets = manifest["n_buckets"]
+        if manifest["buckets"] and manifest["n_buckets"] != self.n_buckets:
+            # layout mismatch mid-commit means bucket_col()/read_full already
+            # ran with the wrong modulus — refusing beats corrupting the
+            # store; callers go through merge_latest_wins, which syncs first
+            raise ValueError(
+                f"store at {self.path} has n_buckets="
+                f"{manifest['n_buckets']}, writer has {self.n_buckets}; "
+                f"call sync_layout() before computing buckets"
+            )
         v = manifest["version"] + 1
         (
             df.withColumn("_bucket", self.bucket_col())
@@ -187,10 +207,15 @@ class LatestWinsState:
         manifest["n_buckets"] = self.n_buckets
         for b in touched:
             manifest["buckets"][str(b)] = v
-        self._write_manifest(manifest)
-        # per-version snapshot (tiny JSON) enables AS-OF reads until vacuum
-        with open(os.path.join(self.path, f"_MANIFEST.v{v}.json"), "w") as f:
+        # per-version snapshot FIRST (tmp + atomic replace), THEN the main
+        # manifest: every version the main manifest can ever point at has a
+        # live AS-OF snapshot — the reverse order left a crash window where
+        # read(at_version=current) raised on a committed version (ADVICE r02)
+        snap = os.path.join(self.path, f"_MANIFEST.v{v}.json")
+        with open(snap + ".tmp", "w") as f:
             json.dump(manifest, f)
+        os.replace(snap + ".tmp", snap)
+        self._write_manifest(manifest)
 
 
 def _latest_per_key(df: DataFrame) -> DataFrame:
@@ -227,6 +252,7 @@ def merge_latest_wins(
     that key can still arrive).
     """
     spark = batch_df.sparkSession
+    state.sync_layout()  # stored layout wins BEFORE any bucket hashing
     batch_latest = _latest_per_key(batch_df).withColumn(
         "_bucket", state.bucket_col()
     )

@@ -111,6 +111,69 @@ def test_embedding_same_label_block(spark, planted):
         assert labels[r.vec_a] == labels[r.vec_b]
 
 
+def test_embedding_fixture_has_no_threshold_pairs(spark, sf_dir):
+    """The EXACT all-pairs ground truth at fixture scale is empty: no
+    same-label pair exceeds cos 0.8 — which is WHY q_dedup_embedding is
+    rows-only (ADVICE r02: an all-pairs oracle over an empty result proves
+    nothing, and near-threshold fixture pairs could deterministically
+    diverge from the ~6%-miss LSH candidates). If a fixture regen ever
+    plants such pairs, this fails and the query's evidence strategy must be
+    revisited."""
+    import numpy as np
+
+    rows = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    by_label: dict[int, list] = {}
+    for r in rows:
+        by_label.setdefault(r.label, []).append(r.embedding)
+    n_pairs = 0
+    for vecs in by_label.values():
+        if len(vecs) < 2:
+            continue
+        mat = np.array(vecs, dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        cos = (mat @ mat.T) / np.outer(norms, norms)
+        iu = np.triu_indices(len(vecs), k=1)
+        n_pairs += int((cos[iu] > 0.8).sum())
+    assert n_pairs == 0
+
+
+def test_lsh_null_and_malformed_vectors_tolerated(spark, planted):
+    """A NULL or wrong-length embedding row must not fail the Arrow batch
+    (ADVICE r02): bad rows get NULL signatures (so they never enter a
+    bucket), and results over the good rows are unchanged."""
+    rows, df = planted
+    bad = spark.createDataFrame(
+        [(90001, 0, None), (90002, 0, [1.0, 2.0])],
+        "vec_id: long, label: int, dv: array<double>",
+    ).withColumn("nrm", F.lit(1.0))
+    mixed = df.select("vec_id", "label", "dv", "nrm").unionByName(bad)
+    keyed = with_lsh_buckets(mixed, 4, 8)
+    assert keyed.filter(F.col("vec_id") >= 90001).count() == 0  # no bucket rows
+    clean_pairs = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_dedup_pairs(df, threshold=0.9).collect()
+    }
+    mixed_pairs = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_dedup_pairs(mixed, threshold=0.9).collect()
+    }
+    assert mixed_pairs == clean_pairs
+
+
+def test_ivf_assignment_null_vector_tolerated(spark):
+    """centroid_dists_udf NULL-guards the batch: NULL vectors get NULL
+    buckets instead of crashing the whole partition."""
+    from cdc_worker_spark.operators.ivf import assign_buckets
+
+    df = spark.createDataFrame(
+        [(1, [1.0] * 4), (2, None), (3, [0.0, 1.0, 0.0, 1.0])],
+        "vec_id: long, dv: array<double>",
+    )
+    cents = [[1.0, 1.0, 1.0, 1.0], [0.0, 1.0, 0.0, 1.0]]
+    got = {r.vec_id: r.bucket for r in assign_buckets(df, cents).collect()}
+    assert got[1] == 0 and got[3] == 1 and got[2] is None
+
+
 def _docs_with_hot_shingle(spark, n_docs=60):
     """Every doc shares one stop-phrase trigram; docs 0/1 are true near-dups."""
     base = "quick brown fox jumps over the lazy dog again and again"

