@@ -493,10 +493,16 @@ def connected_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).persist()
+    # localCheckpoint (not persist) for the iteration state: the jump step
+    # references `propagated` twice, so without lineage TRUNCATION the
+    # logical plan doubles per round and the driver OOMs just generating the
+    # plan string (VERDICT r03 wrong #2 — persist caches data, not lineage).
+    # Each round therefore restarts from a leaf plan; state is |dup docs|
+    # rows of (long, long), so the checkpoint blocks are tiny.
     labels = (
         edges.select(F.col("doc_a").alias("doc_id")).distinct()
         .withColumn("lbl", F.col("doc_id"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     converged = False
     for _ in range(max_rounds):
@@ -524,20 +530,18 @@ def connected_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
             .select(
                 "doc_id", "lbl", (F.col("lbl") < F.col("old_lbl")).alias("_chg")
             )
-            .persist()
+            .localCheckpoint(eager=True)  # truncate lineage each round
         )
         changed = new_labels.filter("_chg").count()  # convergence check
-        labels.unpersist()
-        labels = new_labels.drop("_chg").persist()
+        labels = new_labels.drop("_chg")
         if changed == 0:
             converged = True
             break
-    # labels is materialized (persist + the convergence-count action), so the
-    # intermediate caches can go; lineage through them stays recomputable
+    # labels is materialized (checkpoint blocks + the convergence count), so
+    # the edge caches can go; labels no longer depends on their lineage
     pairs.unpersist()
     edges.unpersist()
     if not converged:
-        labels.unpersist()
         raise RuntimeError(
             f"connected_components did not converge within {max_rounds} rounds "
             f"— raise max_rounds (diameter up to ~2^rounds is covered)"

@@ -52,7 +52,7 @@ def centroid_dists_udf(cents: list[list[float]]):
         # must not fail the whole Arrow batch — ADVICE r02); downstream
         # argmin then yields a NULL bucket, so unassignable vectors drop out
         # of the inverted lists instead of crashing the build.
-        out = pd.Series([None] * len(dv), dtype=object)
+        out = pd.Series([None] * len(dv), dtype=object, index=dv.index)
         if not len(dv):
             return out
         ok = dv.map(lambda v: v is not None and len(v) == dim).to_numpy()
@@ -60,8 +60,13 @@ def centroid_dists_udf(cents: list[list[float]]):
             return out
         V = np.stack(dv[ok].to_numpy())
         D = (V * V).sum(axis=1)[:, None] + c_nrm[None, :] - 2.0 * (V @ C.T)
-        out[ok] = [row.tolist() for row in D]
-        return out
+        # Assign by position into an object ndarray — a pandas boolean-mask
+        # __setitem__ with a list-of-lists routes through putmask, which
+        # mangles the rows into scalars and breaks Arrow conversion
+        # (VERDICT r03 wrong #1).
+        vals = np.empty(len(dv), dtype=object)
+        vals[np.flatnonzero(ok)] = [row.tolist() for row in D]
+        return pd.Series(vals, index=dv.index)
 
     return dists
 

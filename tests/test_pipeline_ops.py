@@ -46,7 +46,10 @@ def test_exact_dedup_planted_duplicates(spark, tmp_path):
     }
     con = duckdb.connect()
     con.execute(
-        f"CREATE VIEW documents AS SELECT * FROM '{path}/documents.parquet'"
+        # Spark writes documents.parquet as a DIRECTORY of part files;
+        # DuckDB needs the glob (VERDICT r03 wrong #3)
+        f"CREATE VIEW documents AS SELECT * "
+        f"FROM read_parquet('{path}/documents.parquet/*.parquet')"
     )
     duck_rows = {
         (h, int(n), int(d))
