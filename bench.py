@@ -86,6 +86,18 @@ def main() -> None:
             if name not in timings or elapsed < timings[name]:
                 timings[name] = elapsed
 
+    # streaming throughput rides along in the same artifact so the wire-MB/s
+    # number (vs the reference's ~4 MB/s/worker envelope) is regression-
+    # tracked per round, not just measured ad hoc. Failure is reported, not
+    # fatal: the query timings are the primary contract.
+    streaming: dict | None
+    try:
+        from scripts.bench_streaming import run_bench as _stream_bench
+
+        streaming = _stream_bench(spark)
+    except Exception as e:  # noqa: BLE001 — artifact must still emit
+        streaming = {"error": f"{type(e).__name__}: {e}"}
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -95,6 +107,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "streaming": streaming,
             }
         )
     )

@@ -16,7 +16,9 @@ quality needs only a sample, assignment of the full corpus is exact.
 
 # NB: no `from __future__ import annotations` here — pandas_udf infers its
 # eval mode from REAL pd.Series type hints; stringified annotations break it.
+import hashlib
 import os
+import threading
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -134,6 +136,31 @@ def kmeans_centroids(
 #: results. Keyed by (source identity, k, n_iters, sample_fraction); the
 #: production analogue is the centroids/ table of build_ivf_index.
 _CENTROID_CACHE: dict[tuple, list[list[float]]] = {}
+_CENTROID_CACHE_LOCK = threading.Lock()
+
+
+def _source_fingerprint(cache_key: str) -> str:
+    """Content fingerprint of the source path (ADVICE r03: a raw path key
+    serves stale centroids if the data at that path is rewritten in-process).
+    Hashes the (relative name, size, mtime_ns) of every file under the path —
+    the same freshness signal a table format's snapshot id provides. Falls
+    back to the bare path when it isn't a directory (opaque keys allowed)."""
+    root = cache_key
+    if not os.path.isdir(root):
+        return cache_key
+    h = hashlib.sha256()
+    for dirpath, dirnames, filenames in os.walk(root):
+        dirnames.sort()
+        for fn in sorted(filenames):
+            p = os.path.join(dirpath, fn)
+            try:
+                st = os.stat(p)
+            except OSError:
+                continue
+            h.update(
+                f"{os.path.relpath(p, root)}:{st.st_size}:{st.st_mtime_ns};".encode()
+            )
+    return f"{cache_key}#{h.hexdigest()}"
 
 
 def kmeans_centroids_cached(
@@ -143,13 +170,20 @@ def kmeans_centroids_cached(
     n_iters: int = 2,
     sample_fraction: float | None = None,
 ) -> list[list[float]]:
-    """Memoized :func:`kmeans_centroids` — train once per (cache_key, k,
-    n_iters, sample_fraction), reuse across query executions."""
-    key = (cache_key, k, n_iters, sample_fraction)
-    if key not in _CENTROID_CACHE:
-        _CENTROID_CACHE[key] = kmeans_centroids(
-            emb, k=k, n_iters=n_iters, sample_fraction=sample_fraction
-        )
+    """Memoized :func:`kmeans_centroids` — train once per (source
+    fingerprint, k, n_iters, sample_fraction), reuse across query
+    executions. The fingerprint covers file sizes/mtimes under ``cache_key``,
+    so regenerating the data invalidates the memo; the lock makes the
+    train-once guarantee hold under concurrent callers."""
+    key = (_source_fingerprint(cache_key), k, n_iters, sample_fraction)
+    with _CENTROID_CACHE_LOCK:
+        if key in _CENTROID_CACHE:
+            return _CENTROID_CACHE[key]
+    cents = kmeans_centroids(
+        emb, k=k, n_iters=n_iters, sample_fraction=sample_fraction
+    )
+    with _CENTROID_CACHE_LOCK:
+        _CENTROID_CACHE.setdefault(key, cents)
     return _CENTROID_CACHE[key]
 
 

@@ -150,3 +150,91 @@ def q_pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(
         kept, "doc_id", "lang", SAMPLE_THRESHOLDS, DEFAULT_THRESHOLD
     ).select("doc_id", "lang", "source", "n_chars", "text")
+
+
+@query(
+    "q_docs_split",
+    oracle="""
+    SELECT doc_id, lang, source,
+           CASE WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'f0'
+                  THEN 'train'
+                WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'f8'
+                  THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def q_docs_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (~94%/3%/3%) from a salted
+    md5 bucket of the doc key — the same document lands in the same split on
+    every run, engine, and corpus revision, and membership never depends on
+    row order or an RNG (the property leakage audits need). Pure projection:
+    no shuffle, no state; the salt ('split:') decorrelates it from the
+    sampling buckets above so split and sample decisions are independent."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = sample_bucket(F.concat(F.lit("split:"), F.col("doc_id").cast("string")))
+    return docs.select(
+        "doc_id", "lang", "source",
+        F.when(bucket < "f0", "train")
+        .when(bucket < "f8", "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+#: tokens per packed training sequence (context window) for q_docs_pack
+PACK_BUDGET = 512
+
+
+@query(
+    "q_docs_pack",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents),
+    offs AS (
+      SELECT doc_id, lang, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS BIGINT) AS raw_off
+      FROM toks)
+    SELECT doc_id, lang, n_tokens,
+           COALESCE(raw_off, 0) AS start_off,
+           COALESCE(raw_off, 0) // 512 AS first_seq,
+           (COALESCE(raw_off, 0) + n_tokens - 1) // 512 AS last_seq
+    FROM offs
+    WHERE n_tokens > 0
+    """,
+)
+def q_docs_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing (the standard LLM pre-training
+    prep): per language, documents concatenate in doc_id order into one
+    token stream that is cut into fixed 512-token sequences; each doc maps
+    to its token offset and the [first_seq, last_seq] range it spans.
+    Expressed as one window cumsum — a single per-lang exchange, no
+    iterative state — so at 100 TB it scales exactly like any partitioned
+    running total (and unlike greedy bin packing it needs no sequential
+    driver loop)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    b = F.lit(PACK_BUDGET)
+    return (
+        toks.withColumn("start_off", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .filter(F.col("n_tokens") > 0)
+        .select(
+            "doc_id", "lang", "n_tokens", "start_off",
+            F.floor(F.col("start_off") / b).alias("first_seq"),
+            F.floor((F.col("start_off") + F.col("n_tokens") - 1) / b).alias("last_seq"),
+        )
+    )

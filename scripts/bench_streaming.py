@@ -53,19 +53,10 @@ def gen_input(in_dir: str) -> int:
     return total
 
 
-def main() -> None:
-    from pyspark.sql import SparkSession
-
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    spark = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName("cdc-stream-bench")
-        .config("spark.sql.shuffle.partitions", "32")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
-        .getOrCreate()
-    )
-    spark.sparkContext.setLogLevel("ERROR")
+def run_bench(spark) -> dict:
+    """Run the streaming throughput bench on an existing session; returns the
+    metric dict. Importable so bench.py can embed the streaming number in the
+    per-round BENCH artifact (VERDICT r02 item 8 / r03 next #7)."""
     from cdc_worker_spark.streaming import LatestWinsState, run_cdc_pipeline
 
     work = tempfile.mkdtemp(prefix="stream_bench_")
@@ -84,22 +75,34 @@ def main() -> None:
         q.awaitTermination(600)
         wall = time.perf_counter() - t0
         n_state = LatestWinsState(os.path.join(work, "state")).read(spark).count()
-        print(
-            json.dumps(
-                {
-                    "metric": "cdc_stream_wire_mb_per_sec",
-                    "value": round(wire_bytes / wall / 1e6, 2),
-                    "unit": "MB/s",
-                    "events_per_sec": round(N_EVENTS / wall),
-                    "wall_sec": round(wall, 2),
-                    "n_events": N_EVENTS,
-                    "wire_mb": round(wire_bytes / 1e6, 1),
-                    "state_rows": n_state,
-                }
-            )
-        )
+        return {
+            "metric": "cdc_stream_wire_mb_per_sec",
+            "value": round(wire_bytes / wall / 1e6, 2),
+            "unit": "MB/s",
+            "events_per_sec": round(N_EVENTS / wall),
+            "wall_sec": round(wall, 2),
+            "n_events": N_EVENTS,
+            "wire_mb": round(wire_bytes / 1e6, 1),
+            "state_rows": n_state,
+        }
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("cdc-stream-bench")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    print(json.dumps(run_bench(spark)))
     spark.stop()
 
 

