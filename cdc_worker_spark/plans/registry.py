@@ -62,6 +62,8 @@ _QUERY_MODULES = (
     "cdc_worker_spark.functions.udx",
     "cdc_worker_spark.operators.multimodal",
     "cdc_worker_spark.operators.sampling",
+    # new modules APPEND here (tail — keeps the frozen first-50 window intact)
+    "cdc_worker_spark.operators.corpus",
 )
 
 

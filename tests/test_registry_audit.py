@@ -19,9 +19,9 @@ def test_registry_size_matches_docs():
     these numbers; update both together."""
     qs = all_queries()
     oracles = all_oracles()
-    assert len(qs) == 91, f"registry has {len(qs)} queries, docs say 91"
-    assert len(oracles) == 82, (
-        f"{len(oracles)} oracle-checked queries, docs say 82 "
+    assert len(qs) == 93, f"registry has {len(qs)} queries, docs say 93"
+    assert len(oracles) == 84, (
+        f"{len(oracles)} oracle-checked queries, docs say 84 "
         f"({len(qs) - len(oracles)} rows-only by design)"
     )
 
