@@ -226,21 +226,21 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_pairs(docs)
 
 
-def minhash_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
-    """(doc_a, doc_b, jaccard >= threshold) near-dup pairs — the MinHash-LSH
-    candidates-then-verify pipeline shared by q_dedup_minhash and the
-    cluster assignment operator."""
-    # shingle set is read twice (signatures, verify sets): persist instead of
-    # recomputing the explode. At cluster scale this is the stage you'd
-    # materialize to a shuffle-friendly layout.
-    tok = shingles_distinct(docs).withColumnRenamed("g", "w").persist()
-    sig = tok.groupBy("doc_id").agg(
+def minhash_signatures_from_tokens(tok: DataFrame) -> DataFrame:
+    """(doc_id, h0..h{K-1}) MinHash signature per doc from a (doc_id, w)
+    token/shingle table: min of K seeded xxhash64 permutations."""
+    return tok.groupBy("doc_id").agg(
         *[F.min(F.xxhash64(F.col("w"), F.lit(k))).alias(f"h{k}") for k in range(_MINHASH_K)]
     )
+
+
+def minhash_band_table(sig: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, band_val) long-format LSH band table from a
+    signature frame. Long format means candidates come from ONE equi-join
+    on the band key instead of one self-join per band — a single shuffle,
+    and the shape that scales (bucket join, never a doc x doc cross
+    product)."""
     rows_per_band = _MINHASH_K // _MINHASH_BANDS
-    # long format (doc_id, band_idx, band_val): candidates from ONE equi-join
-    # on the band key instead of one self-join per band — a single shuffle,
-    # and the shape that scales (bucket join, never a doc x doc cross product)
     band_structs = F.array(
         *[
             F.struct(
@@ -253,9 +253,22 @@ def minhash_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
             for b in range(_MINHASH_BANDS)
         ]
     )
-    long = sig.select("doc_id", F.explode(band_structs).alias("band")).select(
+    return sig.select("doc_id", F.explode(band_structs).alias("band")).select(
         "doc_id", "band.band_idx", "band.band_val"
     )
+
+
+def minhash_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """(doc_a, doc_b, jaccard >= threshold) near-dup pairs — the MinHash-LSH
+    candidates-then-verify pipeline shared by q_dedup_minhash and the
+    cluster assignment operator."""
+    # shingle set is read twice (signatures, verify sets): persist instead of
+    # recomputing the explode. At cluster scale this is the stage you'd
+    # materialize to a shuffle-friendly layout (operators/dedup_index.py is
+    # exactly that materialization).
+    tok = shingles_distinct(docs).withColumnRenamed("g", "w").persist()
+    sig = minhash_signatures_from_tokens(tok)
+    long = minhash_band_table(sig)
     x = long.select("band_idx", "band_val", F.col("doc_id").alias("doc_a"))
     y = long.select("band_idx", "band_val", F.col("doc_id").alias("doc_b"))
     cand = (

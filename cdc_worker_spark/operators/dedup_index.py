@@ -1,0 +1,134 @@
+"""Materialized dedup index: build once over the corpus, probe with each
+incoming batch — the incremental-ingest form of exact + MinHash dedup.
+
+This is the dedup analogue of the IVF build/probe layout (operators/ivf.py):
+at 100 TB you cannot re-shingle the whole corpus every time a crawl batch
+arrives. The index stores three COMPACT tables (never document text):
+
+- ``digests/``    (doc_id, text_hash)            — exact dedup
+- ``signatures/`` (doc_id, h0..h{K-1})           — MinHash verify estimates
+- ``bands/``      (doc_id, band_idx, band_val)   — LSH candidate generation
+
+Probing a new batch broadcasts the BATCH side (small by construction — it is
+one ingest increment), so the corpus-scale index tables stream through the
+joins map-side with no index shuffle; candidate verification uses the stored
+signatures (estimated Jaccard = fraction of agreeing minhash components),
+which is what keeps the index O(K) per doc instead of O(shingles) per doc.
+
+``extend_dedup_index`` appends the accepted batch's rows, so the index stays
+current without a rebuild — the incremental contract.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_worker_spark.operators.dedup import (
+    _MINHASH_K,
+    minhash_band_table,
+    minhash_signatures_from_tokens,
+    shingles_distinct,
+)
+
+
+def _digest(col: str = "text"):
+    return F.sha2(F.lower(F.trim(F.regexp_replace(col, r"\s+", " "))), 256)
+
+
+def _index_frames(docs: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(digests, signatures, bands) for a document batch."""
+    digests = docs.select("doc_id", _digest().alias("text_hash"))
+    tok = shingles_distinct(docs).withColumnRenamed("g", "w")
+    sigs = minhash_signatures_from_tokens(tok)
+    bands = minhash_band_table(sigs)
+    return digests, sigs, bands
+
+
+def build_dedup_index(docs: DataFrame, path: str) -> None:
+    """Materialize the dedup index for a corpus. Stores digests, MinHash
+    signatures, and LSH band keys — compact per-doc derivatives only."""
+    digests, sigs, bands = _index_frames(docs)
+    digests.write.mode("overwrite").parquet(os.path.join(path, "digests"))
+    sigs.write.mode("overwrite").parquet(os.path.join(path, "signatures"))
+    bands.write.mode("overwrite").parquet(os.path.join(path, "bands"))
+
+
+def extend_dedup_index(docs: DataFrame, path: str) -> None:
+    """Append a batch's derivatives to an existing index (the accept step
+    after :func:`probe_dedup_index` filtered the batch)."""
+    digests, sigs, bands = _index_frames(docs)
+    digests.write.mode("append").parquet(os.path.join(path, "digests"))
+    sigs.write.mode("append").parquet(os.path.join(path, "signatures"))
+    bands.write.mode("append").parquet(os.path.join(path, "bands"))
+
+
+def probe_dedup_index(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    est_threshold: float = 0.5,
+) -> DataFrame:
+    """Match an incoming batch against the indexed corpus.
+
+    Returns one row per (doc_id, match_id) with ``kind`` ('exact' | 'near')
+    and ``score`` (1.0 for exact; estimated Jaccard — the fraction of the K
+    minhash components that agree — for near). A batch doc with no row is
+    novel. Exact matches suppress the near row for the same pair.
+
+    Scale shape: every join builds the BATCH side as the broadcast hash
+    side, so the corpus-scale index is only ever scanned, never shuffled."""
+    b_digests, b_sigs, b_bands = _index_frames(batch)
+
+    idx_digests = spark.read.parquet(os.path.join(path, "digests"))
+    exact = (
+        idx_digests.join(F.broadcast(b_digests.withColumnRenamed("doc_id", "b_id")),
+                         "text_hash")
+        .select(
+            F.col("b_id").alias("doc_id"),
+            F.col("doc_id").alias("match_id"),
+            F.lit("exact").alias("kind"),
+            F.lit(1.0).alias("score"),
+        )
+    )
+
+    idx_bands = spark.read.parquet(os.path.join(path, "bands"))
+    cand = (
+        idx_bands.join(
+            F.broadcast(
+                b_bands.select(
+                    F.col("doc_id").alias("b_id"), "band_idx", "band_val"
+                )
+            ),
+            ["band_idx", "band_val"],
+        )
+        .select(F.col("b_id").alias("doc_id"), F.col("doc_id").alias("match_id"))
+        .distinct()
+    )
+    idx_sigs = spark.read.parquet(os.path.join(path, "signatures"))
+    agree = sum(
+        F.when(F.col(f"h{k}") == F.col(f"bh{k}"), 1).otherwise(0)
+        for k in range(_MINHASH_K)
+    )
+    b_sigs_r = b_sigs.select(
+        F.col("doc_id").alias("b_id"),
+        *[F.col(f"h{k}").alias(f"bh{k}") for k in range(_MINHASH_K)],
+    )
+    near = (
+        idx_sigs.withColumnRenamed("doc_id", "match_id")
+        .join(F.broadcast(cand), "match_id")
+        .join(F.broadcast(b_sigs_r), F.col("doc_id") == F.col("b_id"))
+        .withColumn("score", (agree / F.lit(float(_MINHASH_K))).cast("double"))
+        .filter(F.col("score") >= est_threshold)
+        .select("doc_id", "match_id", F.lit("near").alias("kind"), "score")
+    )
+    # exact wins over near for the same (doc, match) pair; the exact set is
+    # bounded by batch size, so it broadcasts too
+    near_only = near.join(
+        F.broadcast(exact.select("doc_id", "match_id")),
+        ["doc_id", "match_id"],
+        "left_anti",
+    )
+    return exact.unionByName(near_only)

@@ -1,0 +1,81 @@
+"""Incremental dedup index: build over a base corpus, probe an incoming
+batch, extend, probe again — the ingest loop a 100 TB pipeline runs."""
+
+from __future__ import annotations
+
+from cdc_worker_spark.operators.dedup_index import (
+    build_dedup_index,
+    extend_dedup_index,
+    probe_dedup_index,
+)
+
+SCHEMA = "doc_id: long, text: string, lang: string, source: string, n_chars: long"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+BASE = [
+    (1, "the quick brown fox jumps over the lazy dog tonight in the park", "en", "s", 0),
+    (2, "completely different document about financial markets and trading", "en", "s", 0),
+    (3, "a third unrelated text concerning astronomy and telescopes today", "en", "s", 0),
+]
+
+
+def test_probe_classifies_exact_near_novel(spark, tmp_path):
+    idx = str(tmp_path / "idx")
+    build_dedup_index(_docs(spark, BASE), idx)
+
+    batch = _docs(spark, [
+        # exact dup of 1 (case/whitespace normalize)
+        (100, "The  quick brown fox jumps over the lazy dog tonight in the park", "en", "s", 0),
+        # near dup of 1 (one word changed)
+        (101, "the quick brown fox jumps over the lazy cat tonight in the park", "en", "s", 0),
+        # novel
+        (102, "entirely new content about cooking pasta with fresh tomatoes", "en", "s", 0),
+    ])
+    hits = {
+        (r.doc_id, r.match_id): (r.kind, r.score)
+        for r in probe_dedup_index(spark, idx, batch).collect()
+    }
+    assert hits[(100, 1)][0] == "exact" and hits[(100, 1)][1] == 1.0
+    assert (101, 1) in hits and hits[(101, 1)][0] == "near"
+    assert 0.0 < hits[(101, 1)][1] <= 1.0
+    assert all(d != 102 for d, _ in hits), f"novel doc flagged: {hits}"
+    # exact suppresses the near row for the same pair
+    assert sum(1 for (d, m) in hits if d == 100 and m == 1) == 1
+
+
+def test_extend_then_reprobe_catches_new_dups(spark, tmp_path):
+    idx = str(tmp_path / "idx")
+    build_dedup_index(_docs(spark, BASE), idx)
+    first_batch = _docs(spark, [
+        (200, "entirely new content about cooking pasta with fresh tomatoes", "en", "s", 0),
+    ])
+    assert probe_dedup_index(spark, idx, first_batch).count() == 0
+    extend_dedup_index(first_batch, idx)
+
+    second_batch = _docs(spark, [
+        (300, "entirely new content about cooking pasta with fresh tomatoes", "en", "s", 0),
+    ])
+    hits = {
+        (r.doc_id, r.match_id): r.kind
+        for r in probe_dedup_index(spark, idx, second_batch).collect()
+    }
+    # the doc accepted in batch 1 is now part of the corpus: its copy matches
+    assert hits[(300, 200)] == "exact"
+
+
+def test_probe_broadcasts_batch_side(spark, tmp_path):
+    """The corpus-scale index must never shuffle: every probe join builds
+    the batch side as the broadcast hash side."""
+    idx = str(tmp_path / "idx")
+    build_dedup_index(_docs(spark, BASE), idx)
+    batch = _docs(spark, [(100, BASE[0][1], "en", "s", 0)])
+    plan = (
+        probe_dedup_index(spark, idx, batch)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
