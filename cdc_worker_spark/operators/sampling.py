@@ -186,6 +186,66 @@ def q_docs_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 PACK_BUDGET = 512
 
 
+def distributed_prefix_sum(
+    df: DataFrame,
+    part_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    out_col: str,
+) -> DataFrame:
+    """EXCLUSIVE running sum of ``value_col`` per ``part_cols`` group in
+    ``order_cols`` order — the two-phase distributed prefix sum.
+
+    A plain ``Window.partitionBy(part_cols)`` cumsum funnels each group
+    through ONE task, so parallelism is bounded by group cardinality (5
+    languages -> 5 tasks at 100 TB). Here rows range-partition on
+    (part_cols, order_cols) — globally ordered partitions — then:
+
+    1. local exclusive cumsum per (group, partition) window: parallel across
+       ALL partitions;
+    2. per-(group, partition) totals (tiny: one row per partition per
+       group present in it) get their own exclusive cumsum over partition id
+       — the cross-partition offsets;
+    3. offsets broadcast-join back; final = local + offset.
+
+    Values are boundary-independent (where the range partitioner cuts never
+    changes any prefix), so results are identical to the single-window form
+    — only the physical parallelism changes."""
+    from pyspark.sql import Window
+
+    n_parts = max(
+        df.sparkSession.sparkContext.defaultParallelism * 2,
+        df.rdd.getNumPartitions(),
+    )
+    ranged = df.repartitionByRange(n_parts, *part_cols, *order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = (
+        Window.partitionBy(*part_cols, "_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = ranged.withColumn(
+        "_local", F.coalesce(F.sum(value_col).over(w_local), F.lit(0))
+    )
+    w_off = (
+        Window.partitionBy(*part_cols)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        ranged.groupBy(*part_cols, "_pid")
+        .agg(F.sum(value_col).alias("_ptot"))
+        .withColumn("_off", F.coalesce(F.sum("_ptot").over(w_off), F.lit(0)))
+        .select(*part_cols, "_pid", "_off")
+    )
+    return (
+        local.join(F.broadcast(offsets), [*part_cols, "_pid"])
+        .withColumn(out_col, F.col("_local") + F.col("_off"))
+        .drop("_pid", "_local", "_off")
+    )
+
+
 @query(
     "q_docs_pack",
     oracle="""
@@ -212,25 +272,20 @@ def q_docs_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep): per language, documents concatenate in doc_id order into one
     token stream that is cut into fixed 512-token sequences; each doc maps
     to its token offset and the [first_seq, last_seq] range it spans.
-    Expressed as one window cumsum — a single per-lang exchange, no
-    iterative state — so at 100 TB it scales exactly like any partitioned
-    running total (and unlike greedy bin packing it needs no sequential
-    driver loop)."""
-    from pyspark.sql import Window
 
+    The running total uses :func:`distributed_prefix_sum`, NOT a plain
+    per-lang window — a per-lang window funnels each language through one
+    task (parallelism 5 at 100 TB); the two-phase form keeps every
+    partition busy and produces identical values (oracle-checked against
+    the single-window SQL)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", "lang",
         F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
     )
-    w = (
-        Window.partitionBy("lang")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
     b = F.lit(PACK_BUDGET)
     return (
-        toks.withColumn("start_off", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        distributed_prefix_sum(toks, ["lang"], ["doc_id"], "n_tokens", "start_off")
         .filter(F.col("n_tokens") > 0)
         .select(
             "doc_id", "lang", "n_tokens", "start_off",

@@ -219,3 +219,27 @@ def test_cap_per_source_prunes_before_shuffle(spark, sf_dir):
     # each source contributes at most 5 rows
     counts = df.groupBy("source").count().collect()
     assert counts and all(r["count"] <= 5 for r in counts)
+
+
+def test_distributed_prefix_sum_matches_single_window(spark):
+    """The two-phase range-partitioned prefix sum must produce values
+    identical to the naive one-task-per-group window, and its plan must
+    actually range-partition (the property that gives >per-group
+    parallelism at scale)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from cdc_worker_spark.operators.sampling import distributed_prefix_sum
+
+    df = spark.createDataFrame(
+        [(i % 3, i, (i * 7) % 13) for i in range(5000)], "g: int, i: long, v: long"
+    )
+    fast = distributed_prefix_sum(df, ["g"], ["i"], "v", "run")
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower()
+
+    w = Window.partitionBy("g").orderBy("i").rowsBetween(Window.unboundedPreceding, -1)
+    naive = df.withColumn("run", F.coalesce(F.sum("v").over(w), F.lit(0)))
+    got = {(r.g, r.i): r.run for r in fast.collect()}
+    want = {(r.g, r.i): r.run for r in naive.collect()}
+    assert got == want
