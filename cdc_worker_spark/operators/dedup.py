@@ -380,8 +380,11 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     banding math gives ~6% miss probability for a pair at exactly cos 0.8,
     so an exact all-pairs SQL oracle can deterministically disagree near the
     threshold — the r01/r02 oracle only ever matched because the fixture
-    yields zero pairs (empty-vs-empty). Exactness evidence instead comes
-    from tests/test_dedup_scale.py: planted clusters at cos >= 0.9 (where
+    yields zero pairs (empty-vs-empty). The fixture's 0 rows is VERIFIED
+    truthful, not an LSH miss: a DuckDB all-pairs sweep at sf0.01 shows the
+    max cosine between any two fixture embeddings is 0.513, far below the
+    0.8 threshold (checked r4). Exactness evidence instead comes from
+    tests/test_dedup_scale.py: planted clusters at cos >= 0.9 (where
     banding miss probability is negligible) compared pair-for-pair against
     a Spark all-pairs exact twin, plus the candidate-volume gate."""
     emb = with_double_vec(load_table(spark, sf_dir, "embeddings"))
