@@ -64,6 +64,7 @@ _QUERY_MODULES = (
     "cdc_worker_spark.operators.sampling",
     # new modules APPEND here (tail — keeps the frozen first-50 window intact)
     "cdc_worker_spark.operators.corpus",
+    "cdc_worker_spark.functions.sketches",
 )
 
 
