@@ -243,3 +243,30 @@ def test_distributed_prefix_sum_matches_single_window(spark):
     got = {(r.g, r.i): r.run for r in fast.collect()}
     want = {(r.g, r.i): r.run for r in naive.collect()}
     assert got == want
+
+
+def test_text_ops_tolerate_null_and_empty_text(spark, tmp_path):
+    """Real crawls contain NULL and empty text; every text/curation query
+    must run (not crash) and never emit a row for the NULL doc with
+    fabricated stats."""
+    docs = spark.createDataFrame(
+        [
+            (1, None, "en", "s", 0),
+            (2, "", "en", "s", 0),
+            (3, "a perfectly normal document with several words", "en", "s", 46),
+            (4, None, None, None, None),
+        ],
+        "doc_id: long, text: string, lang: string, source: string, n_chars: long",
+    )
+    path = str(tmp_path / "docs")
+    docs.write.parquet(path + "/documents.parquet")
+    qs = all_queries()
+    for name in [
+        "q_text_langid", "q_text_quality", "q_text_token_count",
+        "q_text_fingerprint", "q_text_repetition", "q_text_scrub_pii",
+        "q_text_chunks", "q_dedup_exact", "q_dedup_cluster_exact",
+        "q_docs_split", "q_docs_pack", "q_docs_decontaminate",
+        "q_pipeline_curation",
+    ]:
+        rows = qs[name](spark, path).collect()  # must not raise
+        assert isinstance(rows, list), name

@@ -133,3 +133,32 @@ def test_multiplexed_decode_stays_native(spark):
     df = decode_multiplexed(spark.createDataFrame([], ENVELOPE_SCHEMA), reg)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_decontaminate_broadcasts_eval_side(spark, sf_dir):
+    """The eval/benchmark shingle side must broadcast: the corpus-scale side
+    streams through the match map-side and only (doc, eval) hits shuffle."""
+    plan = plan_of(spark, "q_docs_decontaminate", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_split_and_quantize_are_pure_projections(spark, sf_dir):
+    """Deterministic split and int8 quantization must not shuffle: both are
+    per-row decisions (Exchange only appears if something regressed). The
+    quantize plan tolerates the ensure_parallelism round-robin (a repartition
+    of an under-split source), but never a hash/range exchange."""
+    plan = tree_of(spark, "q_docs_split", sf_dir)
+    assert "Exchange" not in plan
+    qplan = plan_of(spark, "q_emb_quantize", sf_dir)
+    assert "hashpartitioning" not in qplan and "rangepartitioning" not in qplan
+
+
+def test_heavy_hitters_aggregates_partially(spark, sf_dir):
+    """The sketch build must map-side combine (ObjectHashAggregate partial
+    then final) — one bounded-size partial per partition, not a row shuffle."""
+    plan = plan_of(spark, "q_agg_heavy_hitters", sf_dir)
+    assert "ObjectHashAggregate" in plan or "SortAggregate" in plan
+    # the token explode's rows must NOT all shuffle to one reducer: the only
+    # single-partition exchange allowed is for the final 1-row sketch merge
+    assert plan.count("Exchange SinglePartition") <= 1
