@@ -38,6 +38,9 @@ HEADLINE = [
     "q_udf_pandas",         # Arrow-batched pandas UDF path
     "q_udaf_grouped",       # Arrow grouped-map (applyInPandas) path
     "q_pipeline_curation",  # composite scrub->filter->dedup->sample chain
+    "q_docs_pack",          # distributed prefix sum (r4)
+    "q_docs_decontaminate", # broadcast n-gram overlap vs eval set (r4)
+    "q_agg_heavy_hitters",  # mergeable frequent-items sketch (r4)
 ]
 
 
