@@ -70,6 +70,52 @@ def q_docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_docs_quality_band",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, lang,
+             round(
+               (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                  / greatest(length(text), 1))
+               * ln(1 + len(string_split(text, ' '))), 6) AS score
+      FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+    r AS (
+      SELECT doc_id, lang, score,
+             round(percent_rank() OVER (PARTITION BY lang
+                                        ORDER BY score, doc_id), 6) AS band
+      FROM s)
+    SELECT doc_id, lang, score, band FROM r WHERE band >= 0.5
+    """,
+)
+def q_docs_quality_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality banding: score = alpha-character ratio x
+    log(1 + word count) (a cheap monotone quality proxy — real pipelines
+    plug a model score into the same shape), percent_rank within language,
+    keep the top half. Banding WITHIN strata is the point: an absolute
+    threshold starves low-resource languages, a per-stratum percentile
+    doesn't. One window exchange per lang; (score, doc_id) makes the rank
+    total-ordered, so both engines agree exactly."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    score = F.round(
+        (
+            F.length(F.regexp_replace("text", "[^a-zA-Z]", "")).cast("double")
+            / F.greatest(F.length("text"), F.lit(1))
+        )
+        * F.log(F.lit(1) + F.size(F.split("text", " "))),
+        6,
+    )
+    w = Window.partitionBy("lang").orderBy("score", "doc_id")
+    return (
+        docs.filter(F.col("text").isNotNull() & (F.length("text") > 0))
+        .select("doc_id", "lang", score.alias("score"))
+        .withColumn("band", F.round(F.percent_rank().over(w), 6))
+        .filter(F.col("band") >= 0.5)
+    )
+
+
+@query(
     "q_emb_quantize",
     oracle="""
     WITH v AS (SELECT vec_id,

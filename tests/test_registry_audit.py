@@ -19,9 +19,9 @@ def test_registry_size_matches_docs():
     these numbers; update both together."""
     qs = all_queries()
     oracles = all_oracles()
-    assert len(qs) == 95, f"registry has {len(qs)} queries, docs say 95"
-    assert len(oracles) == 84, (
-        f"{len(oracles)} oracle-checked queries, docs say 84 "
+    assert len(qs) == 96, f"registry has {len(qs)} queries, docs say 96"
+    assert len(oracles) == 85, (
+        f"{len(oracles)} oracle-checked queries, docs say 85 "
         f"({len(qs) - len(oracles)} rows-only by design)"
     )
 
