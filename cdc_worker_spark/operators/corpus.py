@@ -90,12 +90,18 @@ def q_docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_docs_quality_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language quality banding: score = alpha-character ratio x
     log(1 + word count) (a cheap monotone quality proxy — real pipelines
-    plug a model score into the same shape), percent_rank within language,
+    plug a model score into the same shape), percentile within language,
     keep the top half. Banding WITHIN strata is the point: an absolute
     threshold starves low-resource languages, a per-stratum percentile
-    doesn't. One window exchange per lang; (score, doc_id) makes the rank
-    total-ordered, so both engines agree exactly."""
-    from pyspark.sql import Window
+    doesn't.
+
+    percent_rank is computed as (rank-1)/(n-1) with the rank coming from
+    :func:`~cdc_worker_spark.operators.sampling.distributed_prefix_sum`
+    over a column of ones — the same two-phase range-partitioned form as
+    q_docs_pack, so parallelism is not bounded by language cardinality the
+    way a per-lang percent_rank window is. (score, doc_id) totally orders
+    the rank, so both engines agree exactly."""
+    from cdc_worker_spark.operators.sampling import distributed_prefix_sum
 
     docs = load_table(spark, sf_dir, "documents")
     score = F.round(
@@ -106,12 +112,23 @@ def q_docs_quality_band(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.log(F.lit(1) + F.size(F.split("text", " "))),
         6,
     )
-    w = Window.partitionBy("lang").orderBy("score", "doc_id")
-    return (
+    scored = (
         docs.filter(F.col("text").isNotNull() & (F.length("text") > 0))
         .select("doc_id", "lang", score.alias("score"))
-        .withColumn("band", F.round(F.percent_rank().over(w), 6))
+        .withColumn("_one", F.lit(1).cast("long"))
+    )
+    counts = scored.groupBy("lang").agg(F.count("*").alias("_n"))
+    ranked = distributed_prefix_sum(
+        scored, ["lang"], ["score", "doc_id"], "_one", "_rank0"
+    )
+    band = F.when(F.col("_n") == 1, F.lit(0.0)).otherwise(
+        F.round(F.col("_rank0") / (F.col("_n") - 1), 6)
+    )
+    return (
+        ranked.join(F.broadcast(counts), "lang")
+        .withColumn("band", band)
         .filter(F.col("band") >= 0.5)
+        .select("doc_id", "lang", "score", "band")
     )
 
 
