@@ -208,6 +208,24 @@ def build_ivf_index(
     )
 
 
+def extend_ivf_index(emb: DataFrame, path: str) -> None:
+    """Append new vectors to an existing index WITHOUT retraining: read the
+    stored centroids, assign each new vector (pure projection — no shuffle),
+    and append into the bucket-partitioned lists. The incremental-ingest
+    contract: centroids drift only on an explicit rebuild, exactly like a
+    production IVF serving layout. ``emb`` must carry vec_id/dv/nrm."""
+    spark = emb.sparkSession
+    cent_rows = (
+        spark.read.parquet(os.path.join(path, "centroids"))
+        .orderBy("bucket")
+        .collect()
+    )
+    cents = [list(r.c_dv) for r in cent_rows]
+    assign_buckets(emb, cents).write.mode("append").partitionBy("bucket").parquet(
+        os.path.join(path, "lists")
+    )
+
+
 def probe_ivf_index(
     spark: SparkSession,
     path: str,
