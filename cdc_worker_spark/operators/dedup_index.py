@@ -65,6 +65,29 @@ def extend_dedup_index(docs: DataFrame, path: str) -> None:
     bands.write.mode("append").parquet(os.path.join(path, "bands"))
 
 
+def compact_dedup_index(
+    spark: SparkSession, path: str, target_rows_per_file: int = 4_000_000
+) -> None:
+    """Rewrite each index table into right-sized files. Every
+    :func:`extend_dedup_index` call appends a few small files; after many
+    ingest batches the probe scan pays per-file open cost (the classic
+    small-files tax). Compaction is an offline rewrite — read, coalesce to
+    ceil(rows / target) files, atomically swap via a temp dir + rename.
+    Run it on whatever cadence keeps file counts sane (e.g. nightly)."""
+    import shutil
+
+    for table in ("digests", "signatures", "bands"):
+        src = os.path.join(path, table)
+        df = spark.read.parquet(src)
+        n_files = max(1, -(-df.count() // target_rows_per_file))
+        tmp = src + "._compact_tmp"
+        df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
+        old = src + "._compact_old"
+        os.rename(src, old)
+        os.rename(tmp, src)
+        shutil.rmtree(old, ignore_errors=True)
+
+
 def probe_dedup_index(
     spark: SparkSession,
     path: str,

@@ -79,3 +79,38 @@ def test_probe_broadcasts_batch_side(spark, tmp_path):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_compact_preserves_content_and_shrinks_files(spark, tmp_path):
+    """After many appends, compaction must collapse the part files to the
+    target count without changing a single row, and probing still works."""
+    import glob
+
+    from cdc_worker_spark.operators.dedup_index import compact_dedup_index
+
+    idx = str(tmp_path / "idx")
+    build_dedup_index(_docs(spark, BASE), idx)
+    for i in range(5):  # five tiny appends => many small part files
+        extend_dedup_index(
+            _docs(spark, [(500 + i, f"unique appended doc number {i} here", "en", "s", 0)]),
+            idx,
+        )
+    before = {
+        t: sorted(
+            tuple(r) for r in spark.read.parquet(f"{idx}/{t}").collect()
+        )
+        for t in ("digests", "signatures", "bands")
+    }
+    n_files_before = len(glob.glob(f"{idx}/digests/*.parquet"))
+    assert n_files_before > 1
+
+    compact_dedup_index(spark, idx)
+    for t, rows in before.items():
+        after = sorted(tuple(r) for r in spark.read.parquet(f"{idx}/{t}").collect())
+        assert after == rows, t
+    assert len(glob.glob(f"{idx}/digests/*.parquet")) == 1
+
+    batch = _docs(spark, [(900, BASE[0][1], "en", "s", 0)])
+    hits = {(r.doc_id, r.match_id): r.kind
+            for r in probe_dedup_index(spark, idx, batch).collect()}
+    assert hits[(900, 1)] == "exact"
