@@ -180,3 +180,120 @@ def q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("qv_csv"),
         )
     )
+
+
+@query(
+    "q_pipeline_train_export",
+    oracle="""
+    WITH tri AS (
+      SELECT DISTINCT doc_id, lang,
+             ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+      FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents) d,
+           LATERAL unnest(range(1, greatest(len(ws) - 1, 1))) AS t(i)
+    ),
+    flagged AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT c.doc_id, e.doc_id AS eid
+        FROM tri c JOIN tri e ON c.g = e.g AND c.lang = e.lang
+        WHERE e.doc_id < 25 AND c.doc_id >= 25
+        GROUP BY 1, 2 HAVING count(*) >= 3)
+    ),
+    clean AS (
+      SELECT doc_id, lang, text FROM documents
+      WHERE doc_id >= 25 AND text IS NOT NULL AND length(text) > 0
+        AND doc_id NOT IN (SELECT doc_id FROM flagged)
+    ),
+    scored AS (
+      SELECT doc_id, lang,
+             round(
+               (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                  / greatest(length(text), 1))
+               * ln(1 + len(string_split(text, ' '))), 6) AS score,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM clean
+    ),
+    banded AS (
+      SELECT * FROM (
+        SELECT doc_id, lang, n_tokens,
+               round(percent_rank() OVER (PARTITION BY lang
+                                          ORDER BY score, doc_id), 6) AS band
+        FROM scored)
+      WHERE band >= 0.5
+    ),
+    train AS (
+      SELECT doc_id, lang, n_tokens FROM banded
+      WHERE substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'f0'
+        AND n_tokens > 0
+    ),
+    offs AS (
+      SELECT doc_id, lang, n_tokens,
+             COALESCE(CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+                      0) AS start_off
+      FROM train
+    )
+    SELECT doc_id, lang, n_tokens, start_off, start_off // 512 AS first_seq
+    FROM offs
+    """,
+)
+def q_pipeline_train_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-4 curation ops composed end-to-end — the query a training
+    run actually executes to materialize its data: benchmark decontamination
+    (broadcast anti-join) -> per-language quality banding (top half via the
+    distributed prefix-sum percentile) -> deterministic train split (salted
+    md5 bucket) -> sequence packing offsets (distributed prefix sum again).
+    Every stage is the same primitive its standalone query uses, so the
+    whole export is: one broadcast match, two range-partitioned prefix
+    sums, and pure projections — no per-group serialization anywhere."""
+    from cdc_worker_spark.operators.sampling import (
+        PACK_BUDGET,
+        distributed_prefix_sum,
+        sample_bucket,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    flagged = (
+        q_docs_decontaminate(spark, sf_dir).select("doc_id").distinct()
+    )
+    clean = (
+        docs.filter(
+            (F.col("doc_id") >= EVAL_MAX_ID)
+            & F.col("text").isNotNull()
+            & (F.length("text") > 0)
+        )
+        .join(F.broadcast(flagged), "doc_id", "left_anti")
+    )
+    score = F.round(
+        (
+            F.length(F.regexp_replace("text", "[^a-zA-Z]", "")).cast("double")
+            / F.greatest(F.length("text"), F.lit(1))
+        )
+        * F.log(F.lit(1) + F.size(F.split("text", " "))),
+        6,
+    )
+    scored = clean.select(
+        "doc_id", "lang", score.alias("score"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    ).withColumn("_one", F.lit(1).cast("long"))
+    counts = scored.groupBy("lang").agg(F.count("*").alias("_n"))
+    band = F.when(F.col("_n") == 1, F.lit(0.0)).otherwise(
+        F.round(F.col("_rank0") / (F.col("_n") - 1), 6)
+    )
+    banded = (
+        distributed_prefix_sum(scored, ["lang"], ["score", "doc_id"], "_one", "_rank0")
+        .join(F.broadcast(counts), "lang")
+        .withColumn("band", band)
+        .filter(F.col("band") >= 0.5)
+        .select("doc_id", "lang", "n_tokens")
+    )
+    split_bucket = sample_bucket(
+        F.concat(F.lit("split:"), F.col("doc_id").cast("string"))
+    )
+    train = banded.filter((split_bucket < "f0") & (F.col("n_tokens") > 0))
+    b = F.lit(PACK_BUDGET)
+    return distributed_prefix_sum(
+        train, ["lang"], ["doc_id"], "n_tokens", "start_off"
+    ).select(
+        "doc_id", "lang", "n_tokens", "start_off",
+        F.floor(F.col("start_off") / b).alias("first_seq"),
+    )
