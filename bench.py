@@ -41,6 +41,7 @@ HEADLINE = [
     "q_docs_pack",          # distributed prefix sum (r4)
     "q_docs_decontaminate", # broadcast n-gram overlap vs eval set (r4)
     "q_agg_heavy_hitters",  # mergeable frequent-items sketch (r4)
+    "q_pipeline_train_export",  # composite curation export (r4)
 ]
 
 

@@ -266,6 +266,7 @@ def test_text_ops_tolerate_null_and_empty_text(spark, tmp_path):
         "q_text_fingerprint", "q_text_repetition", "q_text_scrub_pii",
         "q_text_chunks", "q_dedup_exact", "q_dedup_cluster_exact",
         "q_docs_split", "q_docs_pack", "q_docs_decontaminate",
+        "q_docs_quality_band", "q_pipeline_train_export",
         "q_pipeline_curation",
     ]:
         rows = qs[name](spark, path).collect()  # must not raise
