@@ -213,10 +213,14 @@ def distributed_prefix_sum(
     — only the physical parallelism changes."""
     from pyspark.sql import Window
 
-    n_parts = max(
-        df.sparkSession.sparkContext.defaultParallelism * 2,
-        df.rdd.getNumPartitions(),
-    )
+    # NB: no df.rdd.getNumPartitions() here — under AQE, touching .rdd
+    # materializes the final plan by EXECUTING the upstream stages, so a
+    # composed pipeline would run its expensive prefix (e.g. the
+    # decontamination join) once per prefix-sum call just to read a
+    # partition count (measured: 5.9 s -> 2.6 s for q_pipeline_train_export
+    # at sf0.1). A fixed multiple of defaultParallelism gives the range
+    # partitioner all the spread it needs at any scale.
+    n_parts = df.sparkSession.sparkContext.defaultParallelism * 2
     ranged = df.repartitionByRange(n_parts, *part_cols, *order_cols).withColumn(
         "_pid", F.spark_partition_id()
     )
