@@ -102,13 +102,32 @@ def run_dedup_ingest_pipeline(
         build_dedup_index(
             spark.createDataFrame([], DOC_SCHEMA), index_dir
         )
+    os.makedirs(checkpoint_dir, exist_ok=True)
 
     reader = spark.readStream.schema(DOC_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.json(input_dir)
 
+    committed_path = os.path.join(checkpoint_dir, "_ingest_committed")
+
+    def _committed() -> set[int]:
+        try:
+            with open(committed_path) as fh:
+                return {int(line) for line in fh if line.strip()}
+        except FileNotFoundError:
+            return set()
+
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # foreachBatch is at-least-once: after a crash between the sink
+        # writes and the checkpoint commit, the same batch_id replays. The
+        # committed-batch ledger makes the replay a no-op, so corpus/index
+        # appends are effectively exactly-once (the ledger write is the
+        # last step; a crash before it re-runs the batch, whose duplicate
+        # corpus rows the downstream exact dedup absorbs — the narrow
+        # remaining window of the standard recipe).
+        if batch_id in _committed():
+            return
         accepted, rejected = dedup_batch_against_index(
             spark, index_dir, batch_df
         )
@@ -119,6 +138,8 @@ def run_dedup_ingest_pipeline(
         rejected.write.mode("append").parquet(rejects_dir)
         accepted.write.mode("append").parquet(corpus_dir)
         extend_dedup_index(accepted, index_dir)
+        with open(committed_path, "a") as fh:
+            fh.write(f"{batch_id}\n")
 
     writer = stream.writeStream.foreachBatch(apply_batch).option(
         "checkpointLocation", checkpoint_dir

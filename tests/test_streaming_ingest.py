@@ -66,3 +66,44 @@ def test_ingest_dedups_across_batches(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "idx" / "digests")).collect()
     }
     assert idx_ids == corpus
+
+
+def test_replayed_batches_do_not_double_append(spark, tmp_path):
+    """Crash-replay semantics: if the engine re-delivers already-committed
+    batch ids (fresh checkpoint, same inputs — the post-crash shape), the
+    committed-batch ledger turns the replays into no-ops."""
+    import shutil
+
+    in_dir = str(tmp_path / "in")
+    _write_batch(in_dir, "b0.jsonl", [
+        _doc(1, "first unique document about gardens and flowers today"),
+    ])
+    time.sleep(0.05)
+    _write_batch(in_dir, "b1.jsonl", [
+        _doc(2, "second unique document about mountains and rivers yesterday"),
+    ])
+    kw = dict(
+        input_dir=in_dir,
+        index_dir=str(tmp_path / "idx"),
+        corpus_dir=str(tmp_path / "corpus"),
+        rejects_dir=str(tmp_path / "rejects"),
+        checkpoint_dir=str(tmp_path / "chk"),
+    )
+    run_dedup_ingest_pipeline(spark, **kw).awaitTermination(120)
+    first = sorted(
+        r.doc_id for r in spark.read.parquet(str(tmp_path / "corpus")).collect()
+    )
+    assert first == [1, 2]
+
+    # simulate the crash window: Spark's checkpoint is gone (batch ids
+    # restart at 0 and everything re-delivers) but the ledger survived
+    ledger = (tmp_path / "chk" / "_ingest_committed").read_text()
+    shutil.rmtree(tmp_path / "chk")
+    (tmp_path / "chk").mkdir()
+    (tmp_path / "chk" / "_ingest_committed").write_text(ledger)
+
+    run_dedup_ingest_pipeline(spark, **kw).awaitTermination(120)
+    again = sorted(
+        r.doc_id for r in spark.read.parquet(str(tmp_path / "corpus")).collect()
+    )
+    assert again == [1, 2], f"replay double-appended: {again}"
