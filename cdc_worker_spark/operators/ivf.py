@@ -226,6 +226,31 @@ def extend_ivf_index(emb: DataFrame, path: str) -> None:
     )
 
 
+def compact_ivf_index(spark: SparkSession, path: str) -> None:
+    """Rewrite the bucket-partitioned lists to one file per bucket
+    directory. Every :func:`extend_ivf_index` appends small part files into
+    each touched bucket; compaction restores the one-file-per-partition
+    layout probes want (per-file open cost is the small-files tax).
+    Hash-repartitioning on ``bucket`` into |buckets| tasks gives each task
+    (at most a few) whole buckets, so every bucket dir is written by exactly
+    one task = one file. Atomic swap via temp dir + rename; the centroid
+    table is tiny and never needs compaction."""
+    import shutil
+
+    src = os.path.join(path, "lists")
+    df = spark.read.parquet(src)
+    n_buckets = max(df.select("bucket").distinct().count(), 1)
+    tmp = src + "._compact_tmp"
+    (
+        df.repartition(n_buckets, "bucket")
+        .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+    )
+    old = src + "._compact_old"
+    os.rename(src, old)
+    os.rename(tmp, src)
+    shutil.rmtree(old, ignore_errors=True)
+
+
 def probe_ivf_index(
     spark: SparkSession,
     path: str,

@@ -129,3 +129,44 @@ def test_extend_ivf_index_appends_and_probes(spark, sf_dir, tmp_path):
     probe = target.withColumn("vec_id", F.lit(99999).cast("long"))
     got = probe_ivf_index(spark, idx, probe, nprobe=2, topk=1).collect()
     assert got and got[0].c_id == 5 and got[0].cos_sim >= 0.999999
+
+
+def test_compact_ivf_index_preserves_lists_and_probes(spark, sf_dir, tmp_path):
+    """Compaction after incremental appends must preserve every (vec, bucket)
+    row, leave one file per bucket dir, and keep probes working."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from cdc_worker_spark.operators.dedup import with_double_vec
+    from cdc_worker_spark.operators.ivf import (
+        build_ivf_index, compact_ivf_index, extend_ivf_index, probe_ivf_index,
+    )
+    from cdc_worker_spark.sources.tables import load_table
+
+    idx = str(tmp_path / "ivf")
+    emb = with_double_vec(load_table(spark, sf_dir, "embeddings"))
+    build_ivf_index(emb.filter(F.col("vec_id") >= 100), idx, k=8, n_iters=1)
+    for lo in (0, 50):  # two appends => multiple part files per touched bucket
+        extend_ivf_index(
+            emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < lo + 50)), idx
+        )
+    before = sorted(
+        (r.vec_id, r.bucket)
+        for r in spark.read.parquet(idx + "/lists").select("vec_id", "bucket").collect()
+    )
+
+    compact_ivf_index(spark, idx)
+    after = sorted(
+        (r.vec_id, r.bucket)
+        for r in spark.read.parquet(idx + "/lists").select("vec_id", "bucket").collect()
+    )
+    assert after == before
+    for bdir in glob.glob(idx + "/lists/bucket=*"):
+        assert len(glob.glob(bdir + "/*.parquet")) == 1, bdir
+
+    probe = emb.filter(F.col("vec_id") == 7).withColumn(
+        "vec_id", F.lit(99999).cast("long")
+    )
+    got = probe_ivf_index(spark, idx, probe, nprobe=2, topk=1).collect()
+    assert got and got[0].c_id == 7
