@@ -297,3 +297,40 @@ def q_pipeline_train_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "n_tokens", "start_off",
         F.floor(F.col("start_off") / b).alias("first_seq"),
     )
+
+
+@query(
+    "q_docs_shuffle",
+    oracle="""
+    WITH k AS (
+      SELECT doc_id, lang,
+             md5('shuffle:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+      FROM documents)
+    SELECT doc_id, lang, shuffle_key,
+           CAST(row_number() OVER (ORDER BY shuffle_key, doc_id) - 1 AS BIGINT)
+             AS seq
+    FROM k
+    """,
+)
+def q_docs_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle for training order: every doc
+    gets a salted-md5 shuffle key and its GLOBAL position in that order —
+    reproducible across runs/engines (no RNG), and resumable (position is a
+    pure function of the corpus). The global sequence is the classic scale
+    trap (row_number over an empty partition = one task); here it comes
+    from :func:`~cdc_worker_spark.operators.sampling.distributed_prefix_sum`
+    with NO partition columns — range-partitioned local counts + broadcast
+    partition offsets — so the total order materializes with full
+    parallelism."""
+    from cdc_worker_spark.operators.sampling import distributed_prefix_sum
+
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id", "lang",
+        F.md5(F.concat(F.lit("shuffle:"), F.col("doc_id").cast("string"))).alias(
+            "shuffle_key"
+        ),
+    ).withColumn("_one", F.lit(1).cast("long"))
+    return distributed_prefix_sum(
+        keyed, [], ["shuffle_key", "doc_id"], "_one", "seq"
+    ).select("doc_id", "lang", "shuffle_key", "seq")
