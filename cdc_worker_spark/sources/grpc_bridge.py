@@ -86,6 +86,26 @@ class BridgeStatus:
     fetch_requests: list[int] = field(default_factory=list)
 
 
+def commit_offset(path: str, replay_id_b64: str) -> None:
+    """A6 managed-subscription commit (client.js:515-541 commitReplayId):
+    durably record the replay id to resume from. Atomic tmp-then-rename so
+    a crash mid-write never corrupts the stored offset."""
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(replay_id_b64)
+    os.rename(tmp, path)
+
+
+def load_committed_offset(path: str) -> str | None:
+    """Read the last committed replay id (None = no commit yet → the caller
+    falls back to its replay preset, the reference's subscribe default)."""
+    try:
+        with open(path) as fh:
+            return fh.read().strip() or None
+    except FileNotFoundError:
+        return None
+
+
 def run_subscribe_bridge(
     transport: SubscribeTransport,
     topic: str,

@@ -104,3 +104,32 @@ def test_bridged_inbox_feeds_full_cdc_pipeline(spark, tmp_path):
     assert set(rows) == {"A", "B"}
     assert int(rows["A"].replay_id) == 102  # latest wins
     assert rows["A"].event.BillingAddress.City == "Cairo"
+
+
+def test_commit_offset_roundtrip_and_resume(tmp_path):
+    """commitReplayId parity: the committed offset survives, loads, and is
+    what the next bridge run passes to the transport as its resume point."""
+    from cdc_worker_spark.sources.grpc_bridge import (
+        commit_offset,
+        load_committed_offset,
+    )
+
+    off = str(tmp_path / "offset")
+    assert load_committed_offset(off) is None
+
+    class RecordingTransport(FakeTransport):
+        def fetch(self, topic, replay_preset, replay_id_b64, num_requested):
+            self.seen = (replay_preset, replay_id_b64)
+            yield from self.batches
+
+    t = RecordingTransport([{"events": [_ev(7)]}])
+    status = run_subscribe_bridge(t, "topic", str(tmp_path / "in"), num_requested=5)
+    commit_offset(off, status.last_replay_id_b64)
+
+    assert load_committed_offset(off) == _b64(7)
+    t2 = RecordingTransport([])
+    run_subscribe_bridge(
+        t2, "topic", str(tmp_path / "in2"),
+        replay_preset="CUSTOM", replay_id_b64=load_committed_offset(off),
+    )
+    assert t2.seen == ("CUSTOM", _b64(7))
