@@ -271,3 +271,36 @@ def test_text_ops_tolerate_null_and_empty_text(spark, tmp_path):
     ]:
         rows = qs[name](spark, path).collect()  # must not raise
         assert isinstance(rows, list), name
+
+
+def test_distributed_prefix_sum_edge_shapes(spark):
+    """Boundary shapes for the prefix sum: one giant group spanning every
+    range partition, singleton groups, an empty frame, and the global
+    (no partition columns) form."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from cdc_worker_spark.operators.sampling import distributed_prefix_sum
+
+    # one giant group + many singletons
+    rows = [(0, i, 1) for i in range(3000)] + [(g, 0, 5) for g in range(1, 40)]
+    df = spark.createDataFrame(rows, "g: int, i: long, v: long")
+    w = Window.partitionBy("g").orderBy("i").rowsBetween(Window.unboundedPreceding, -1)
+    want = {
+        (r.g, r.i): r.run
+        for r in df.withColumn("run", F.coalesce(F.sum("v").over(w), F.lit(0))).collect()
+    }
+    got = {
+        (r.g, r.i): r.run
+        for r in distributed_prefix_sum(df, ["g"], ["i"], "v", "run").collect()
+    }
+    assert got == want
+
+    # empty input
+    empty = spark.createDataFrame([], "g: int, i: long, v: long")
+    assert distributed_prefix_sum(empty, ["g"], ["i"], "v", "run").count() == 0
+
+    # global form (no partition columns): exclusive cumsum over total order
+    small = spark.createDataFrame([(i, 2) for i in range(100)], "i: long, v: long")
+    out = {r.i: r.run for r in distributed_prefix_sum(small, [], ["i"], "v", "run").collect()}
+    assert out == {i: 2 * i for i in range(100)}
