@@ -51,6 +51,41 @@ def load_events_ms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "events").withColumn("ts_ms", ts_ms_col())
 
 
+#: interchange formats the engine reads/writes besides the parquet fixtures
+SUPPORTED_FORMATS = ("parquet", "orc", "json", "csv")
+
+
+def export_table(
+    spark: SparkSession, sf_dir: str, name: str, out_path: str, fmt: str
+) -> None:
+    """Materialize a fixture table in another storage format — the seam a
+    user with ORC/JSON/CSV data plugs into. CSV keeps a header; all formats
+    overwrite."""
+    if fmt not in SUPPORTED_FORMATS:
+        raise ValueError(f"format {fmt!r} not in {SUPPORTED_FORMATS}")
+    writer = load_table(spark, sf_dir, name).write.mode("overwrite").format(fmt)
+    if fmt == "csv":
+        writer = writer.option("header", "true")
+    writer.save(out_path)
+
+
+def load_path(
+    spark: SparkSession, path: str, fmt: str, schema=None
+) -> DataFrame:
+    """Read a table from any supported format. Pass the authoritative
+    ``schema`` for the text formats (JSON/CSV) — schema inference is a
+    sampling scan plus type guessing, both of which a 100 TB pipeline
+    avoids; columnar formats carry their own schema."""
+    if fmt not in SUPPORTED_FORMATS:
+        raise ValueError(f"format {fmt!r} not in {SUPPORTED_FORMATS}")
+    reader = spark.read.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    if fmt == "csv":
+        reader = reader.option("header", "true")
+    return reader.load(path)
+
+
 class Catalog:
     """Attribute-style access to the fixture tables of one scale factor.
 

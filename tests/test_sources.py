@@ -105,3 +105,19 @@ def test_register_views_sql_surface(spark, sf_dir):
         """
     ).collect()
     assert len(joined) == 5 and all(r.n_nations == 5 for r in joined)
+
+
+def test_format_round_trip_orc_json_csv(spark, sf_dir, tmp_path):
+    """customer survives a round trip through every supported interchange
+    format with identical rows and (given the authoritative schema for the
+    text formats) identical types."""
+    from cdc_worker_spark.sources.tables import export_table, load_path, load_table
+
+    orig = load_table(spark, sf_dir, "customer")
+    want = sorted(tuple(r) for r in orig.collect())
+    for fmt in ("orc", "json", "csv"):
+        out = str(tmp_path / fmt)
+        export_table(spark, sf_dir, "customer", out, fmt)
+        back = load_path(spark, out, fmt, schema=orig.schema)
+        assert back.schema == orig.schema, fmt
+        assert sorted(tuple(r) for r in back.collect()) == want, fmt
