@@ -69,6 +69,49 @@ def q_docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quality_score():
+    """The cheap monotone quality proxy shared by the standalone banding
+    query and the export pipeline: alpha-character ratio x log(1 + word
+    count). Real pipelines plug a model score into the same shape."""
+    return F.round(
+        (
+            F.length(F.regexp_replace("text", "[^a-zA-Z]", "")).cast("double")
+            / F.greatest(F.length("text"), F.lit(1))
+        )
+        * F.log(F.lit(1) + F.size(F.split("text", " "))),
+        6,
+    )
+
+
+def with_quality_band(scored: DataFrame, part_col: str = "lang") -> DataFrame:
+    """Append ``band`` = percent_rank of ``score`` within ``part_col``,
+    computed as (rank-1)/(n-1) with the rank coming from
+    :func:`~cdc_worker_spark.operators.sampling.distributed_prefix_sum`
+    over a column of ones — so parallelism is not bounded by stratum
+    cardinality the way a per-stratum percent_rank window is. ``scored``
+    must carry (part_col, score, doc_id); (score, doc_id) totally orders
+    the rank, so both engines agree exactly. All other columns pass
+    through."""
+    from cdc_worker_spark.operators.sampling import distributed_prefix_sum
+
+    counts = scored.groupBy(part_col).agg(F.count("*").alias("_n"))
+    ranked = distributed_prefix_sum(
+        scored.withColumn("_one", F.lit(1).cast("long")),
+        [part_col],
+        ["score", "doc_id"],
+        "_one",
+        "_rank0",
+    )
+    band = F.when(F.col("_n") == 1, F.lit(0.0)).otherwise(
+        F.round(F.col("_rank0") / (F.col("_n") - 1), 6)
+    )
+    return (
+        ranked.join(F.broadcast(counts), part_col)
+        .withColumn("band", band)
+        .drop("_one", "_rank0", "_n")
+    )
+
+
 @query(
     "q_docs_quality_band",
     oracle="""
@@ -95,38 +138,15 @@ def q_docs_quality_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold starves low-resource languages, a per-stratum percentile
     doesn't.
 
-    percent_rank is computed as (rank-1)/(n-1) with the rank coming from
-    :func:`~cdc_worker_spark.operators.sampling.distributed_prefix_sum`
-    over a column of ones — the same two-phase range-partitioned form as
-    q_docs_pack, so parallelism is not bounded by language cardinality the
-    way a per-lang percent_rank window is. (score, doc_id) totally orders
-    the rank, so both engines agree exactly."""
-    from cdc_worker_spark.operators.sampling import distributed_prefix_sum
-
+    Score and banding live in :func:`quality_score` /
+    :func:`with_quality_band`, shared verbatim with
+    q_pipeline_train_export so the two can never drift apart."""
     docs = load_table(spark, sf_dir, "documents")
-    score = F.round(
-        (
-            F.length(F.regexp_replace("text", "[^a-zA-Z]", "")).cast("double")
-            / F.greatest(F.length("text"), F.lit(1))
-        )
-        * F.log(F.lit(1) + F.size(F.split("text", " "))),
-        6,
-    )
-    scored = (
-        docs.filter(F.col("text").isNotNull() & (F.length("text") > 0))
-        .select("doc_id", "lang", score.alias("score"))
-        .withColumn("_one", F.lit(1).cast("long"))
-    )
-    counts = scored.groupBy("lang").agg(F.count("*").alias("_n"))
-    ranked = distributed_prefix_sum(
-        scored, ["lang"], ["score", "doc_id"], "_one", "_rank0"
-    )
-    band = F.when(F.col("_n") == 1, F.lit(0.0)).otherwise(
-        F.round(F.col("_rank0") / (F.col("_n") - 1), 6)
-    )
+    scored = docs.filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    ).select("doc_id", "lang", quality_score().alias("score"))
     return (
-        ranked.join(F.broadcast(counts), "lang")
-        .withColumn("band", band)
+        with_quality_band(scored)
         .filter(F.col("band") >= 0.5)
         .select("doc_id", "lang", "score", "band")
     )
@@ -263,26 +283,12 @@ def q_pipeline_train_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(flagged), "doc_id", "left_anti")
     )
-    score = F.round(
-        (
-            F.length(F.regexp_replace("text", "[^a-zA-Z]", "")).cast("double")
-            / F.greatest(F.length("text"), F.lit(1))
-        )
-        * F.log(F.lit(1) + F.size(F.split("text", " "))),
-        6,
-    )
     scored = clean.select(
-        "doc_id", "lang", score.alias("score"),
+        "doc_id", "lang", quality_score().alias("score"),
         F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
-    ).withColumn("_one", F.lit(1).cast("long"))
-    counts = scored.groupBy("lang").agg(F.count("*").alias("_n"))
-    band = F.when(F.col("_n") == 1, F.lit(0.0)).otherwise(
-        F.round(F.col("_rank0") / (F.col("_n") - 1), 6)
     )
     banded = (
-        distributed_prefix_sum(scored, ["lang"], ["score", "doc_id"], "_one", "_rank0")
-        .join(F.broadcast(counts), "lang")
-        .withColumn("band", band)
+        with_quality_band(scored)  # shared with q_docs_quality_band
         .filter(F.col("band") >= 0.5)
         .select("doc_id", "lang", "n_tokens")
     )

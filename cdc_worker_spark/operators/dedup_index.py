@@ -73,16 +73,26 @@ def compact_dedup_index(
     ingest batches the probe scan pays per-file open cost (the classic
     small-files tax). Compaction is an offline rewrite — read, coalesce to
     ceil(rows / target) files, atomically swap via a temp dir + rename.
-    Run it on whatever cadence keeps file counts sane (e.g. nightly)."""
+    Run it on whatever cadence keeps file counts sane (e.g. nightly).
+
+    Crash safety: the swap is two renames, so a crash can leave either a
+    stale temp/old dir (harmless) or — in the window between the renames —
+    the table moved aside but not replaced. Both states self-heal on the
+    next run: a surviving ``._compact_old`` with no live table is restored
+    before anything else, and stale temp/old dirs are cleared."""
     import shutil
 
     for table in ("digests", "signatures", "bands"):
         src = os.path.join(path, table)
+        tmp = src + "._compact_tmp"
+        old = src + "._compact_old"
+        if os.path.isdir(old) and not os.path.isdir(src):
+            os.rename(old, src)  # prior run died mid-swap: restore
+        shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)
         df = spark.read.parquet(src)
         n_files = max(1, -(-df.count() // target_rows_per_file))
-        tmp = src + "._compact_tmp"
         df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
-        old = src + "._compact_old"
         os.rename(src, old)
         os.rename(tmp, src)
         shutil.rmtree(old, ignore_errors=True)
@@ -93,17 +103,28 @@ def probe_dedup_index(
     path: str,
     batch: DataFrame,
     est_threshold: float = 0.5,
+    frames: tuple[DataFrame, DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Match an incoming batch against the indexed corpus.
 
-    Returns one row per (doc_id, match_id) with ``kind`` ('exact' | 'near')
-    and ``score`` (1.0 for exact; estimated Jaccard — the fraction of the K
-    minhash components that agree — for near). A batch doc with no row is
-    novel. Exact matches suppress the near row for the same pair.
+    Returns one row per (doc_id, match_id) with ``kind`` ('exact' | 'near' |
+    'replay') and ``score`` (1.0 for exact/replay; estimated Jaccard — the
+    fraction of the K minhash components that agree — for near). A batch doc
+    with no row is novel. Exact matches suppress the near row for the same
+    pair. A doc matching its OWN id ('replay') is already in the index —
+    the post-crash re-delivery shape — and must not be treated as a
+    duplicate of something else or re-ingested.
+
+    ``frames`` lets a caller that already computed the batch's
+    (digests, signatures, bands) derivatives pass them in instead of paying
+    the shingle/signature work again (the ingest loop computes them once for
+    its intra-batch passes).
 
     Scale shape: every join builds the BATCH side as the broadcast hash
     side, so the corpus-scale index is only ever scanned, never shuffled."""
-    b_digests, b_sigs, b_bands = _index_frames(batch)
+    b_digests, b_sigs, b_bands = (
+        frames if frames is not None else _index_frames(batch)
+    )
 
     idx_digests = spark.read.parquet(os.path.join(path, "digests"))
     exact = (
@@ -112,7 +133,9 @@ def probe_dedup_index(
         .select(
             F.col("b_id").alias("doc_id"),
             F.col("doc_id").alias("match_id"),
-            F.lit("exact").alias("kind"),
+            F.when(F.col("b_id") == F.col("doc_id"), "replay")
+            .otherwise("exact")
+            .alias("kind"),
             F.lit(1.0).alias("score"),
         )
     )
@@ -145,6 +168,7 @@ def probe_dedup_index(
         .join(F.broadcast(b_sigs_r), F.col("doc_id") == F.col("b_id"))
         .withColumn("score", (agree / F.lit(float(_MINHASH_K))).cast("double"))
         .filter(F.col("score") >= est_threshold)
+        .filter(F.col("doc_id") != F.col("match_id"))  # self: replay, not near
         .select("doc_id", "match_id", F.lit("near").alias("kind"), "score")
     )
     # exact wins over near for the same (doc, match) pair; the exact set is

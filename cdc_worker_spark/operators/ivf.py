@@ -143,9 +143,15 @@ def _source_fingerprint(cache_key: str) -> str:
     """Content fingerprint of the source path (ADVICE r03: a raw path key
     serves stale centroids if the data at that path is rewritten in-process).
     Hashes the (relative name, size, mtime_ns) of every file under the path —
-    the same freshness signal a table format's snapshot id provides. Falls
-    back to the bare path when it isn't a directory (opaque keys allowed)."""
+    the same freshness signal a table format's snapshot id provides. A single
+    file fingerprints by its own stat; a non-existent path stays the bare
+    opaque key. Callers should key on the NARROWEST input (the embeddings
+    table, not the whole sf_dir) so rewriting unrelated tables does not
+    spuriously retrain."""
     root = cache_key
+    if os.path.isfile(root):
+        st = os.stat(root)
+        return f"{cache_key}#file:{st.st_size}:{st.st_mtime_ns}"
     if not os.path.isdir(root):
         return cache_key
     h = hashlib.sha256()
@@ -238,14 +244,20 @@ def compact_ivf_index(spark: SparkSession, path: str) -> None:
     import shutil
 
     src = os.path.join(path, "lists")
+    tmp = src + "._compact_tmp"
+    old = src + "._compact_old"
+    # self-heal a prior crashed swap (see compact_dedup_index): restore a
+    # moved-aside table, then clear any stale temp/old dirs
+    if os.path.isdir(old) and not os.path.isdir(src):
+        os.rename(old, src)
+    shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(tmp, ignore_errors=True)
     df = spark.read.parquet(src)
     n_buckets = max(df.select("bucket").distinct().count(), 1)
-    tmp = src + "._compact_tmp"
     (
         df.repartition(n_buckets, "bucket")
         .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
     )
-    old = src + "._compact_old"
     os.rename(src, old)
     os.rename(tmp, src)
     shutil.rmtree(old, ignore_errors=True)

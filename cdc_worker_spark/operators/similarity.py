@@ -87,10 +87,19 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract exercises, with centroid TRAINING memoized per (sf_dir, k)
     (ivf.py _CENTROID_CACHE) — query-time cost is probe cost, the 100 TB
     story, not Lloyd-iteration cost (VERDICT r02 bench regression)."""
+    import os
+
     from cdc_worker_spark.operators.ivf import centroid_dists_udf, kmeans_centroids_cached
 
     emb = with_double_vec(load_table(spark, sf_dir, "embeddings"))
-    cents = kmeans_centroids_cached(emb, cache_key=sf_dir, k=_IVF_K, n_iters=2)
+    # memo keyed on the embeddings table itself (review r4): keying on the
+    # whole sf_dir would retrain whenever any unrelated table is rewritten
+    cents = kmeans_centroids_cached(
+        emb,
+        cache_key=os.path.join(sf_dir, "embeddings.parquet"),
+        k=_IVF_K,
+        n_iters=2,
+    )
     # ONE vectorized projection computes every vector's distance array; the
     # bucket assignment (argmin) and the query probe set (nprobe smallest)
     # both read it — a pure projection, zero shuffles until the probe join.

@@ -38,14 +38,43 @@ def dedup_batch_against_index(
 ) -> tuple[DataFrame, DataFrame]:
     """(accepted, rejected) split of a document batch.
 
-    Two passes: (1) intra-batch exact dedup (keep the smallest doc_id per
-    normalized digest — a batch can contain its own duplicates, which the
-    index cannot know about yet); (2) index probe for exact + near matches
-    against everything previously accepted. ``rejected`` carries the match
-    evidence (match_id, kind, score)."""
+    Three passes over the dedupable (non-NULL, non-empty text) docs:
+    (1) intra-batch EXACT dedup — keep the smallest doc_id per normalized
+    digest (a batch can contain its own duplicates, which the index cannot
+    know about yet); (2) intra-batch NEAR dedup — LSH band self-join +
+    signature-estimate verify among the exact survivors, keep the smaller
+    doc_id of each near pair (greedy: a chain A~B~C keeps A, rejects B
+    against A and C against B); (3) index probe for exact/near matches
+    against everything previously accepted. The batch's shingle/signature
+    derivatives are computed ONCE and shared by passes 2 and 3.
+
+    NULL/empty-text docs cannot be deduplicated (a NULL digest matches
+    nothing cross-batch) and pass straight through as accepted — grouping
+    their NULL digests would wrongly collapse distinct empty docs.
+
+    Probe hits of kind 'replay' (a doc matching its own id — the post-crash
+    re-delivery of an already-ingested batch) are dropped from BOTH sides:
+    the doc is already in the corpus, and it is not a duplicate of anything.
+
+    ``rejected`` carries the match evidence (match_id, kind, score)."""
+    from cdc_worker_spark.operators.dedup import (
+        _MINHASH_K,
+        minhash_band_table,
+        minhash_signatures_from_tokens,
+        shingles_distinct,
+    )
+
+    dedupable = batch.filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    passthrough = batch.filter(
+        F.col("text").isNull() | (F.length("text") == 0)
+    )
+
+    # pass 1: intra-batch exact
     w = Window.partitionBy("_h").orderBy("doc_id")
     intra = (
-        batch.withColumn("_h", _digest())
+        dedupable.withColumn("_h", _digest())
         .withColumn("_rn", F.row_number().over(w))
     )
     intra_dups = (
@@ -58,16 +87,90 @@ def dedup_batch_against_index(
             F.lit(1.0).alias("score"),
         )
     )
-    survivors = intra.filter(F.col("_rn") == 1).select(*batch.columns)
+    ex_survivors = intra.filter(F.col("_rn") == 1).select(*batch.columns, "_h")
 
-    hits = probe_dedup_index(spark, index_dir, survivors)
-    # one verdict per doc: best match (exact over near, then highest score)
+    # batch derivatives, computed once (review finding: probe recomputed
+    # the shingle/signature work per join branch)
+    b_digests = ex_survivors.select("doc_id", F.col("_h").alias("text_hash"))
+    ex_survivors = ex_survivors.drop("_h").localCheckpoint(eager=True)
+    tok = shingles_distinct(ex_survivors).withColumnRenamed("g", "w")
+    b_sigs = minhash_signatures_from_tokens(tok).localCheckpoint(eager=True)
+    b_bands = minhash_band_table(b_sigs)
+
+    # pass 2: intra-batch near (same banding + estimate as the index verify)
+    x = b_bands.select("band_idx", "band_val", F.col("doc_id").alias("doc_a"))
+    y = b_bands.select("band_idx", "band_val", F.col("doc_id").alias("doc_b"))
+    pairs = (
+        x.join(y, ["band_idx", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    agree = sum(
+        F.when(F.col(f"ha{k}") == F.col(f"hb{k}"), 1).otherwise(0)
+        for k in range(_MINHASH_K)
+    )
+    sa = b_sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{k}").alias(f"ha{k}") for k in range(_MINHASH_K)],
+    )
+    sb = b_sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{k}").alias(f"hb{k}") for k in range(_MINHASH_K)],
+    )
+    near_pairs = (
+        pairs.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("score", (agree / F.lit(float(_MINHASH_K))).cast("double"))
+        .filter(F.col("score") >= 0.5)
+    )
+    near_best = (
+        near_pairs.withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("doc_b").orderBy(
+                    F.col("score").desc(), F.col("doc_a")
+                )
+            ),
+        )
+        .filter(F.col("_rk") == 1)
+        .select(
+            F.col("doc_b").alias("doc_id"),
+            F.col("doc_a").alias("match_id"),
+            "score",
+        )
+        .localCheckpoint(eager=True)
+    )
+    intra_near = ex_survivors.join(F.broadcast(near_best), "doc_id").select(
+        *batch.columns,
+        "match_id",
+        F.lit("near").alias("kind"),
+        "score",
+    )
+    survivors = ex_survivors.join(
+        F.broadcast(near_best.select("doc_id")), "doc_id", "left_anti"
+    )
+    kept_ids = F.broadcast(survivors.select("doc_id"))
+
+    # pass 3: index probe, reusing the derivatives restricted to survivors
+    hits = probe_dedup_index(
+        spark,
+        index_dir,
+        survivors,
+        frames=(
+            b_digests.join(kept_ids, "doc_id"),
+            b_sigs.join(kept_ids, "doc_id"),
+            b_bands.join(kept_ids, "doc_id"),
+        ),
+    )
+    # one verdict per doc: replay beats exact beats near, then best score
     best = (
         hits.withColumn(
             "_rk",
             F.row_number().over(
                 Window.partitionBy("doc_id").orderBy(
-                    F.when(F.col("kind") == "exact", 0).otherwise(1),
+                    F.when(F.col("kind") == "replay", 0)
+                    .when(F.col("kind") == "exact", 1)
+                    .otherwise(2),
                     F.col("score").desc(),
                     F.col("match_id"),
                 )
@@ -76,13 +179,15 @@ def dedup_batch_against_index(
         .filter(F.col("_rk") == 1)
         .drop("_rk")
     )
-    index_rejects = survivors.join(
-        F.broadcast(best), "doc_id"
-    ).select(*batch.columns, "match_id", "kind", "score")
+    index_rejects = (
+        survivors.join(F.broadcast(best), "doc_id")
+        .filter(F.col("kind") != "replay")  # already ingested: not a dup
+        .select(*batch.columns, "match_id", "kind", "score")
+    )
     accepted = survivors.join(
         F.broadcast(best.select("doc_id")), "doc_id", "left_anti"
-    )
-    return accepted, intra_dups.unionByName(index_rejects)
+    ).unionByName(passthrough)
+    return accepted, intra_dups.unionByName(intra_near).unionByName(index_rejects)
 
 
 def run_dedup_ingest_pipeline(

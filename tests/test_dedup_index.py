@@ -114,3 +114,26 @@ def test_compact_preserves_content_and_shrinks_files(spark, tmp_path):
     hits = {(r.doc_id, r.match_id): r.kind
             for r in probe_dedup_index(spark, idx, batch).collect()}
     assert hits[(900, 1)] == "exact"
+
+
+def test_compact_self_heals_from_crashed_swap(spark, tmp_path):
+    """A crash between the two swap renames leaves the table moved aside;
+    the next compaction must restore it and complete normally."""
+    import os
+
+    from cdc_worker_spark.operators.dedup_index import compact_dedup_index
+
+    idx = str(tmp_path / "idx")
+    build_dedup_index(_docs(spark, BASE), idx)
+    rows_before = sorted(
+        tuple(r) for r in spark.read.parquet(f"{idx}/digests").collect()
+    )
+    # simulate the mid-swap crash state
+    os.rename(f"{idx}/digests", f"{idx}/digests._compact_old")
+    compact_dedup_index(spark, idx)
+    rows_after = sorted(
+        tuple(r) for r in spark.read.parquet(f"{idx}/digests").collect()
+    )
+    assert rows_after == rows_before
+    assert not os.path.exists(f"{idx}/digests._compact_old")
+    assert not os.path.exists(f"{idx}/digests._compact_tmp")

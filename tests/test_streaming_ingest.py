@@ -58,7 +58,9 @@ def test_ingest_dedups_across_batches(spark, tmp_path):
     assert corpus == {1, 2, 12}, f"corpus={corpus} rejects={rejects}"
     assert rejects[3] == (1, "exact")      # intra-batch
     assert rejects[10] == (1, "exact")     # cross-batch exact
-    assert rejects[11][0] == 1 and rejects[11][1] == "near"  # cross-batch near
+    # doc 11 is near BOTH its batch-mate 10 and indexed doc 1; the
+    # intra-batch pass runs first, so the evidence points at 10
+    assert rejects[11] == (10, "near")
 
     # the extended index now contains exactly the accepted docs
     idx_ids = {
@@ -107,3 +109,91 @@ def test_replayed_batches_do_not_double_append(spark, tmp_path):
         r.doc_id for r in spark.read.parquet(str(tmp_path / "corpus")).collect()
     )
     assert again == [1, 2], f"replay double-appended: {again}"
+
+
+def test_intra_batch_near_dups_collapse(spark, tmp_path):
+    """Two near-duplicates arriving in the SAME batch (neither indexed yet)
+    must not both be accepted: the batch-internal LSH pass keeps the
+    smaller doc_id and rejects the other with 'near' evidence."""
+    base = "the quick brown fox jumps over the lazy dog tonight in the park"
+    in_dir = str(tmp_path / "in")
+    _write_batch(in_dir, "b0.jsonl", [
+        _doc(20, base),
+        _doc(21, base.replace("dog", "cat")),   # near dup of 20, same batch
+        _doc(22, "completely unrelated text about sailing ships and harbors"),
+    ])
+    run_dedup_ingest_pipeline(
+        spark,
+        input_dir=in_dir,
+        index_dir=str(tmp_path / "idx"),
+        corpus_dir=str(tmp_path / "corpus"),
+        rejects_dir=str(tmp_path / "rejects"),
+        checkpoint_dir=str(tmp_path / "chk"),
+    ).awaitTermination(120)
+    corpus = {r.doc_id for r in spark.read.parquet(str(tmp_path / "corpus")).collect()}
+    rejects = {
+        r.doc_id: (r.match_id, r.kind)
+        for r in spark.read.parquet(str(tmp_path / "rejects")).collect()
+    }
+    assert corpus == {20, 22}, f"corpus={corpus} rejects={rejects}"
+    assert rejects[21] == (20, "near")
+
+
+def test_null_text_docs_pass_through_distinct(spark, tmp_path):
+    """Distinct NULL/empty-text docs in one batch must NOT collapse into
+    each other (a NULL digest is not a duplicate relation)."""
+    in_dir = str(tmp_path / "in")
+    _write_batch(in_dir, "b0.jsonl", [
+        {"doc_id": 1, "text": None, "lang": "en", "source": "s", "n_chars": 0},
+        {"doc_id": 2, "text": None, "lang": "en", "source": "s", "n_chars": 0},
+        {"doc_id": 3, "text": "", "lang": "en", "source": "s", "n_chars": 0},
+        _doc(4, "one normal document with plenty of regular words inside"),
+    ])
+    run_dedup_ingest_pipeline(
+        spark,
+        input_dir=in_dir,
+        index_dir=str(tmp_path / "idx"),
+        corpus_dir=str(tmp_path / "corpus"),
+        rejects_dir=str(tmp_path / "rejects"),
+        checkpoint_dir=str(tmp_path / "chk"),
+    ).awaitTermination(120)
+    corpus = {r.doc_id for r in spark.read.parquet(str(tmp_path / "corpus")).collect()}
+    assert corpus == {1, 2, 3, 4}
+    import glob
+
+    assert not glob.glob(str(tmp_path / "rejects") + "/*.parquet") or (
+        spark.read.parquet(str(tmp_path / "rejects")).count() == 0
+    )
+
+
+def test_crash_before_ledger_write_is_absorbed_by_replay_detection(spark, tmp_path):
+    """The narrowest crash window: sinks written, ledger NOT written. On
+    replay the batch's docs match their own ids in the index ('replay') and
+    are dropped from both corpus and rejects — no self-match audit
+    corruption, no double corpus append."""
+    import shutil
+
+    in_dir = str(tmp_path / "in")
+    _write_batch(in_dir, "b0.jsonl", [
+        _doc(1, "first unique document about gardens and flowers today"),
+    ])
+    kw = dict(
+        input_dir=in_dir,
+        index_dir=str(tmp_path / "idx"),
+        corpus_dir=str(tmp_path / "corpus"),
+        rejects_dir=str(tmp_path / "rejects"),
+        checkpoint_dir=str(tmp_path / "chk"),
+    )
+    run_dedup_ingest_pipeline(spark, **kw).awaitTermination(120)
+    # simulate: crash lost BOTH Spark's checkpoint and the ledger, so the
+    # batch fully replays against an index that already contains it
+    shutil.rmtree(tmp_path / "chk")
+    run_dedup_ingest_pipeline(spark, **kw).awaitTermination(120)
+
+    corpus = [r.doc_id for r in spark.read.parquet(str(tmp_path / "corpus")).collect()]
+    assert sorted(corpus) == [1], f"double append: {corpus}"
+    import glob
+
+    if glob.glob(str(tmp_path / "rejects") + "/*.parquet"):
+        rej = spark.read.parquet(str(tmp_path / "rejects")).collect()
+        assert not rej, f"self-match rows in audit: {rej}"
