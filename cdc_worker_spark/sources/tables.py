@@ -30,9 +30,11 @@ TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar scan of one fixture table (SURVEY §2.3 q_scan_*).
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark rejects by default;
-    ``nanosAsLong`` reads it as int64 nanoseconds (the replay-offset-style raw
-    form — see ``functions.exprs.ts_ms_col`` for the epoch-ms view).
+    ``events.ts`` has shipped as parquet TIMESTAMP(NANOS) — which Spark
+    rejects unless ``nanosAsLong`` reads it as int64 nanoseconds — and as
+    TIMESTAMP(MICROS) (read natively as TIMESTAMP_NTZ). The flag is harmless
+    when no nanos column exists; ``functions.exprs.ts_ms_col`` branches on
+    the actual type for the epoch-ms view.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
@@ -48,7 +50,8 @@ def load_events_ms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from cdc_worker_spark.functions.exprs import ts_ms_col
 
-    return load_table(spark, sf_dir, "events").withColumn("ts_ms", ts_ms_col())
+    ev = load_table(spark, sf_dir, "events")
+    return ev.withColumn("ts_ms", ts_ms_col(ev.schema["ts"].dataType))
 
 
 #: interchange formats the engine reads/writes besides the parquet fixtures

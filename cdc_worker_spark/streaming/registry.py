@@ -69,10 +69,18 @@ class SchemaRegistry:
         return sorted(self._entries)
 
 
-def decode_topic(raw: DataFrame, registry: SchemaRegistry, schema_id: str) -> DataFrame:
+def decode_topic(
+    raw: DataFrame,
+    registry: SchemaRegistry,
+    schema_id: str,
+    codec: str = "json",
+) -> DataFrame:
     """One topic's fully-typed decoded stream (C2 per-topic demux): filter on
     schema_id, decode with that topic's schema. Raises KeyError for an id the
-    registry cannot resolve — at subscribe time, like the reference."""
+    registry cannot resolve — at subscribe time, like the reference.
+    ``codec`` selects the payload decode per envelope.decode_envelope
+    ("json" | "avro" | "avro_py") — the avro paths decode each topic's bytes
+    against ITS registry schema, the reference's per-schemaId fromBuffer."""
     entry = registry.resolve(schema_id)
     if entry is None:
         raise KeyError(f"schema_id {schema_id!r} not in registry and not resolvable")
@@ -81,16 +89,23 @@ def decode_topic(raw: DataFrame, registry: SchemaRegistry, schema_id: str) -> Da
         payload_schema=entry.payload_schema,
         fields=entry.fields,
         child_fields=entry.child_fields,
+        codec=codec,
     )
 
 
 def decode_multiplexed(
-    raw: DataFrame, registry: SchemaRegistry, schema_ids: list[str] | None = None
+    raw: DataFrame,
+    registry: SchemaRegistry,
+    schema_ids: list[str] | None = None,
+    codec: str = "json",
 ) -> DataFrame:
     """All topics in ONE stream: common envelope columns per schema, payload
     kept as JSON text (schemas differ, so the typed struct stays per-topic —
     use decode_topic for it). Unknown schema ids pass through flagged
     ``is_corrupt`` so the DLQ, not an exception, handles them (C4).
+    ``codec`` selects the per-topic payload decode; with an avro codec the
+    DLQ's raw_payload column is the base64 of the undecodable bytes (same
+    stringly form decode_envelope emits).
     """
     ids = schema_ids if schema_ids is not None else registry.known_ids()
     parts = []
@@ -104,6 +119,7 @@ def decode_multiplexed(
                 payload_schema=entry.payload_schema,
                 fields=entry.fields,
                 child_fields=entry.child_fields,
+                codec=codec,
             ).withColumn("event_json", F.to_json("event")).drop("event")
         )
     known = [sid for sid in ids if registry.resolve(sid) is not None]
@@ -124,7 +140,9 @@ def decode_multiplexed(
         *[F.lit(None).cast("array<string>").alias(c)
           for c in ("changed_fields", "nulled_fields", "diff_fields")],
         F.lit(True).alias("is_corrupt"),
-        F.col("payload").alias("raw_payload"),
+        (
+            F.base64("payload") if codec in ("avro", "avro_py") else F.col("payload")
+        ).alias("raw_payload"),
         F.lit(None).cast("string").alias("event_json"),
     )
     out = unknown

@@ -202,3 +202,44 @@ def test_unresolvable_topic_raises_at_subscribe(spark):
         raise AssertionError("expected KeyError")
     except KeyError:
         pass
+
+
+def test_multiplexed_avro_py_demux_with_dlq(spark):
+    """Per-topic Avro decode through the demux (reference: per-schemaId
+    fromBuffer, client.js:760-763): two topics' payloads Avro-encoded
+    against THEIR registry schemas in one bus + one unknown schema id ->
+    typed rows per topic, unknown row dead-lettered with base64 raw bytes."""
+    from cdc_worker_spark.functions.avro_codec import encode as avro_encode, parse_schema
+    from cdc_worker_spark.streaming.envelope import (
+        AVRO_ENVELOPE_SCHEMA,
+        avro_schema_json,
+    )
+
+    reg = SchemaRegistry()
+    reg.register(account_schema_entry())
+    reg.register(contact_schema_entry())
+    acct_sch = parse_schema(avro_schema_json(account_payload_schema()))
+    cont_sch = parse_schema(avro_schema_json(contact_payload_schema()))
+
+    a = make_envelope(11, record_id="AA")
+    c = make_contact_envelope(12, "x@y.z")
+    rows = [
+        {"replay_id_b64": a["replay_id_b64"], "schema_id": a["schema_id"],
+         "payload": bytearray(avro_encode(json.loads(a["payload"]), acct_sch))},
+        {"replay_id_b64": c["replay_id_b64"], "schema_id": c["schema_id"],
+         "payload": bytearray(avro_encode(json.loads(c["payload"]), cont_sch))},
+        {"replay_id_b64": a["replay_id_b64"], "schema_id": "mystery-v9",
+         "payload": bytearray(b"\x01\x02")},
+    ]
+    raw = spark.createDataFrame(rows, AVRO_ENVELOPE_SCHEMA)
+    out = decode_multiplexed(raw, reg, codec="avro_py").collect()
+    by_sid = {r.schema_id: r for r in out}
+    assert len(out) == 3
+    assert by_sid["account-cdc-v1"].record_id == "AA"
+    assert not by_sid["account-cdc-v1"].is_corrupt
+    assert json.loads(by_sid["contact-cdc-v1"].event_json)["Email"] == "x@y.z"
+    dlq = by_sid["mystery-v9"]
+    assert dlq.is_corrupt and base64.b64decode(dlq.raw_payload) == b"\x01\x02"
+
+    typed = decode_topic(raw, reg, "contact-cdc-v1", codec="avro_py").collect()
+    assert len(typed) == 1 and typed[0].event.Email == "x@y.z"
