@@ -97,9 +97,58 @@ def run_bench(spark, rounds: int = 2) -> dict:
             "wire_mb": round(wire_bytes / 1e6, 1),
             "state_rows": n_state,
             "rounds": rounds,
+            "avro_decode": _avro_decode_bench(spark, work),
         }
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+AVRO_N = int(os.environ.get("STREAM_BENCH_AVRO_EVENTS", "50000"))
+
+
+def _avro_decode_bench(spark, work: str) -> dict:
+    """True-wire-format decode throughput: Avro binary payloads through
+    ``decode_envelope(codec="avro_py")`` (the offline pure-Python decoder —
+    the jar path would be strictly faster, so this is the floor). Directly
+    comparable to the reference's ~4 MB/s/worker envelope (BASELINE.md),
+    whose per-event cost is dominated by the same schema-driven decode."""
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent / "tests"))
+    from tests.test_cdc_event_model import make_envelope
+
+    from cdc_worker_spark.functions.avro_codec import encode as avro_encode, parse_schema
+    from cdc_worker_spark.streaming.envelope import (
+        AVRO_ENVELOPE_SCHEMA,
+        account_payload_schema,
+        avro_schema_json,
+        decode_envelope,
+    )
+
+    sch = parse_schema(avro_schema_json(account_payload_schema()))
+    rows, total = [], 0
+    for i in range(AVRO_N):
+        e = make_envelope(i, record_id=f"R{i % N_KEYS}", city=f"City{i % 97}")
+        payload = avro_encode(json.loads(e["payload"]), sch)
+        total += len(payload)
+        rows.append(
+            {
+                "replay_id_b64": e["replay_id_b64"],
+                "schema_id": e["schema_id"],
+                "payload": bytearray(payload),
+            }
+        )
+    src = os.path.join(work, "avro_src")
+    spark.createDataFrame(rows, AVRO_ENVELOPE_SCHEMA).repartition(8).write.parquet(src)
+    raw = spark.read.parquet(src)
+    decode_envelope(raw, codec="avro_py").write.format("noop").mode("overwrite").save()  # warmup
+    t0 = time.perf_counter()
+    decode_envelope(raw, codec="avro_py").write.format("noop").mode("overwrite").save()
+    wall = time.perf_counter() - t0
+    return {
+        "payload_mb_per_sec": round(total / wall / 1e6, 2),
+        "events_per_sec": round(AVRO_N / wall),
+        "wall_sec": round(wall, 2),
+        "n_events": AVRO_N,
+    }
 
 
 def main() -> None:

@@ -258,3 +258,51 @@ def test_avro_py_big_long_precision(spark):
     df = spark.createDataFrame(rows, AVRO_ENVELOPE_SCHEMA)
     out = decode_envelope(df, codec="avro_py").collect()[0]
     assert out.commit_number == big and not out.is_corrupt
+
+
+def test_avro_py_roundtrip_property():
+    """Property: any record drawn from the golden schema's value space
+    round-trips exactly (hypothesis fuzz over the null-union field lattice,
+    unicode strings, extreme longs/doubles)."""
+    from hypothesis import given, settings, strategies as st
+
+    sch = parse_schema(json.dumps({
+        "type": "record", "name": "t", "fields": [
+            {"name": "s", "type": ["null", "string"]},
+            {"name": "l", "type": ["null", "long"]},
+            {"name": "d", "type": ["null", "double"]},
+            {"name": "b", "type": ["null", "boolean"]},
+            {"name": "arr", "type": ["null", {"type": "array", "items": "string"}]},
+            {"name": "rec", "type": ["null", {
+                "type": "record", "name": "inner", "fields": [
+                    {"name": "x", "type": ["null", "int"]},
+                ]}]},
+        ],
+    }))
+    longs = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+    # NaN compares unequal to itself — exclude from the == round-trip check
+    doubles = st.floats(allow_nan=False)
+    rec_strat = st.fixed_dictionaries({
+        "s": st.none() | st.text(max_size=50),
+        "l": st.none() | longs,
+        "d": st.none() | doubles,
+        "b": st.none() | st.booleans(),
+        "arr": st.none() | st.lists(st.text(max_size=20), max_size=8),
+        "rec": st.none() | st.fixed_dictionaries(
+            {"x": st.none() | st.integers(min_value=-(2**31), max_value=2**31 - 1)}
+        ),
+    })
+
+    from cdc_worker_spark.functions.avro_codec import compile_decoder
+
+    compiled = compile_decoder(sch)
+
+    @given(rec_strat)
+    @settings(max_examples=300, deadline=None)
+    def check(rec):
+        wire = avro_encode(rec, sch)
+        assert avro_decode(wire, sch) == rec
+        # the hot-path compiled decoder is value-equal to the reference one
+        assert compiled(wire) == rec
+
+    check()
