@@ -2,11 +2,14 @@
 typed metadata, decode / feature-extract plumbing as Arrow-batched Pandas UDFs.
 
 Design: media is an opaque ``binary`` column + metadata struct; all Spark-side
-plumbing (schema, partitioning, batch shape) is real. The actual image/audio
-decode is STUBBED (this container has no media libraries): the default
-"decoder" derives deterministic fake metadata from the bytes, and
+plumbing (schema, partitioning, batch shape) is real. PNG decode is REAL
+(functions/png_codec.py — the format needs only stdlib zlib/struct):
+payloads carrying the PNG signature yield actual IHDR geometry and pixel
+statistics, oracle-checked end-to-end by q_multimodal_decode_png. JPEG/audio/
+video decode remain STUBBED (no media libraries in this container): the
+default "decoder" derives deterministic fake metadata from the bytes, and
 ``decode_media_batch(..., strict=True)`` raises NotImplementedError where a
-real libjpeg/ffmpeg call would go.
+real libjpeg/soundfile/ffmpeg call would go.
 
 At 100 TB: binary payloads dominate bytes — mapInPandas streams Arrow batches
 through the decoder without materializing the whole partition; metadata-only
@@ -22,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -62,31 +66,53 @@ def decode_media_batch(df: DataFrame, strict: bool = False) -> DataFrame:
     """Decode media payloads to typed metadata via mapInPandas (Arrow batch
     transfer — the real-decoder integration point).
 
+    Payloads with a PNG signature ALWAYS decode for real (stdlib codec —
+    actual width/height). For everything else:
     strict=False: deterministic fake decode (metadata derived from byte
     length) so the plumbing is testable without media libraries.
-    strict=True: the real-decode path — raises NotImplementedError exactly
-    where libjpeg/soundfile/ffmpeg would be invoked.
+    strict=True: raises NotImplementedError exactly where
+    libjpeg/soundfile/ffmpeg would be invoked.
     """
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from cdc_worker_spark.functions.png_codec import _SIGNATURE, decode_png
+
         for pdf in batches:
-            if strict:
-                raise NotImplementedError(
-                    "real media decode requires image/audio libraries not present "
-                    "in this environment; wire libjpeg/soundfile/ffmpeg here"
-                )
-            n = pdf["media"].map(len)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "media_type": pdf["media_type"],
-                    "n_bytes": n.astype("int64"),
+            rows = []
+            for doc_id, media, mtype in zip(
+                pdf["doc_id"], pdf["media"], pdf["media_type"]
+            ):
+                raw = bytes(media)
+                if raw[:8] == _SIGNATURE:
+                    # REAL decode: PNG needs only stdlib zlib/struct
+                    # (functions/png_codec.py), so image/png payloads get
+                    # actual IHDR geometry, not derived fakes
+                    img = decode_png(raw)
+                    rows.append(
+                        (doc_id, mtype, len(raw), img["width"], img["height"], 1)
+                    )
+                elif strict:
+                    raise NotImplementedError(
+                        "real decode for non-PNG media requires libraries not "
+                        "present in this environment; wire "
+                        "libjpeg/soundfile/ffmpeg here"
+                    )
+                else:
+                    n = len(raw)
                     # fake decode: dimensions derived deterministically from size
-                    "width": (n % 640 + 1).astype("int32"),
-                    "height": (n % 480 + 1).astype("int32"),
-                    "n_frames": ((n % 24) + 1).astype("int32"),
-                }
+                    rows.append(
+                        (doc_id, mtype, n, n % 640 + 1, n % 480 + 1, n % 24 + 1)
+                    )
+            out = pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "media_type", "n_bytes", "width", "height", "n_frames",
+                ],
             )
+            out["n_bytes"] = out["n_bytes"].astype("int64")
+            for c in ("width", "height", "n_frames"):
+                out[c] = out[c].astype("int32")
+            yield out
 
     return df.mapInPandas(decode, MEDIA_META_SCHEMA)
 
@@ -151,6 +177,77 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     batches) -> typed metadata rows. Decode itself is the documented stub."""
     docs = load_table(spark, sf_dir, "documents")
     return decode_media_batch(with_media_column(docs))
+
+
+#: decoded-PNG feature rows (what the real image feature extractor emits)
+PNG_FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("mean_intensity", DoubleType()),
+        StructField("min_intensity", IntegerType()),
+        StructField("max_intensity", IntegerType()),
+    ]
+)
+
+
+@query(
+    "q_multimodal_decode_png",
+    oracle="""
+    SELECT doc_id,
+           CAST(doc_id % 13 + 4 AS INT) AS width,
+           CAST(doc_id % 7 + 3 AS INT) AS height,
+           1 AS channels,
+           round(avg((doc_id * 7 + i * 31) % 256), 6) AS mean_intensity,
+           CAST(min((doc_id * 7 + i * 31) % 256) AS INT) AS min_intensity,
+           CAST(max((doc_id * 7 + i * 31) % 256) AS INT) AS max_intensity
+    FROM documents,
+         LATERAL unnest(range(0, (doc_id % 13 + 4) * (doc_id % 7 + 3))) AS t(i)
+    GROUP BY doc_id
+    """,
+)
+def q_multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end, oracle-checked: per doc a deterministic
+    grayscale PNG (geometry and pixels pure functions of doc_id, scanline
+    filter cycling through all five PNG filter types) is ENCODED to actual
+    PNG bytes and DECODED back (functions/png_codec.py — stdlib-only codec),
+    emitting geometry + pixel statistics. The DuckDB oracle computes the
+    same statistics from the generating formula directly, so a hash match
+    proves the full encode -> deflate -> un-filter -> decode loop is exact —
+    the multimodal decode step is no longer a stub for PNG.
+
+    Scale shape: one Arrow-batched mapInPandas projection, no shuffle; at
+    100 TB the decoder runs where the bytes live (reference analogue: the
+    per-event decode in eventParser.js:13 — here per-media-payload)."""
+    from cdc_worker_spark.functions.png_codec import encode_png, png_features
+
+    def gen_and_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for raw_id in pdf["doc_id"]:
+                doc_id = int(raw_id)
+                w = doc_id % 13 + 4
+                h = doc_id % 7 + 3
+                px = bytes((doc_id * 7 + i * 31) % 256 for i in range(w * h))
+                data = encode_png(w, h, px, color_type=0, filter_type=doc_id % 5)
+                f = png_features(data)
+                rows.append(
+                    (
+                        doc_id, f["width"], f["height"], f["channels"],
+                        round(f["mean_intensity"], 6),
+                        f["min_intensity"], f["max_intensity"],
+                    )
+                )
+            out = pd.DataFrame(rows, columns=[f.name for f in PNG_FEATURES_SCHEMA])
+            out["doc_id"] = out["doc_id"].astype("int64")
+            for c in ("width", "height", "channels", "min_intensity", "max_intensity"):
+                out[c] = out[c].astype("int32")
+            yield out
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(gen_and_decode, PNG_FEATURES_SCHEMA)
 
 
 @query(

@@ -19,9 +19,9 @@ def test_registry_size_matches_docs():
     these numbers; update both together."""
     qs = all_queries()
     oracles = all_oracles()
-    assert len(qs) == 98, f"registry has {len(qs)} queries, docs say 98"
-    assert len(oracles) == 87, (
-        f"{len(oracles)} oracle-checked queries, docs say 87 "
+    assert len(qs) == 99, f"registry has {len(qs)} queries, docs say 99"
+    assert len(oracles) == 88, (
+        f"{len(oracles)} oracle-checked queries, docs say 88 "
         f"({len(qs) - len(oracles)} rows-only by design)"
     )
 
