@@ -76,6 +76,7 @@ def decode_media_batch(df: DataFrame, strict: bool = False) -> DataFrame:
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from cdc_worker_spark.functions.png_codec import _SIGNATURE, decode_png
+        from cdc_worker_spark.functions.wav_codec import decode_wav
 
         for pdf in batches:
             rows = []
@@ -90,6 +91,17 @@ def decode_media_batch(df: DataFrame, strict: bool = False) -> DataFrame:
                     img = decode_png(raw)
                     rows.append(
                         (doc_id, mtype, len(raw), img["width"], img["height"], 1)
+                    )
+                elif raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
+                    # REAL decode for PCM WAV (functions/wav_codec.py);
+                    # audio mapping into the media-meta shape: width=channels,
+                    # height=bit depth, n_frames=per-channel sample frames
+                    clip = decode_wav(raw)
+                    rows.append(
+                        (
+                            doc_id, mtype, len(raw),
+                            clip["n_channels"], clip["bits"], clip["n_samples"],
+                        )
                     )
                 elif strict:
                     raise NotImplementedError(
@@ -248,6 +260,77 @@ def q_multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return docs.mapInPandas(gen_and_decode, PNG_FEATURES_SCHEMA)
+
+
+#: decoded-WAV feature rows (what the real audio feature extractor emits)
+WAV_FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_channels", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_ms", LongType()),
+        StructField("mean_sample", DoubleType()),
+        StructField("peak", IntegerType()),
+        StructField("energy", LongType()),
+    ]
+)
+
+
+@query(
+    "q_multimodal_decode_wav",
+    oracle="""
+    SELECT doc_id,
+           1 AS n_channels,
+           8000 AS sample_rate,
+           CAST(doc_id % 50 + 20 AS BIGINT) AS n_samples,
+           CAST((doc_id % 50 + 20) * 1000 // 8000 AS BIGINT) AS duration_ms,
+           round(avg((doc_id * 13 + i * 97) % 2001 - 1000), 6) AS mean_sample,
+           CAST(max(abs((doc_id * 13 + i * 97) % 2001 - 1000)) AS INT) AS peak,
+           CAST(sum(((doc_id * 13 + i * 97) % 2001 - 1000)
+                    * ((doc_id * 13 + i * 97) % 2001 - 1000)) AS BIGINT) AS energy
+    FROM documents,
+         LATERAL unnest(range(0, doc_id % 50 + 20)) AS t(i)
+    GROUP BY doc_id
+    """,
+)
+def q_multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end, oracle-checked (companion to
+    q_multimodal_decode_png): per doc a deterministic mono 16-bit PCM clip
+    (samples a pure function of doc_id) is ENCODED as an actual RIFF/WAV
+    file and DECODED back (functions/wav_codec.py — stdlib-only), emitting
+    the audio metadata + sample statistics a feature extractor starts from.
+    The oracle computes the same statistics from the generating formula, so
+    a hash match proves the container parse + sample decode exact. Energy
+    stays an exact integer sum of squares — no float tolerance anywhere.
+
+    Scale shape: one Arrow-batched mapInPandas projection, no shuffle."""
+    from cdc_worker_spark.functions.wav_codec import encode_wav, wav_features
+
+    def gen_and_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for raw_id in pdf["doc_id"]:
+                doc_id = int(raw_id)
+                n = doc_id % 50 + 20
+                samples = [(doc_id * 13 + i * 97) % 2001 - 1000 for i in range(n)]
+                f = wav_features(encode_wav(samples, sample_rate=8000))
+                rows.append(
+                    (
+                        doc_id, f["n_channels"], f["sample_rate"],
+                        f["n_samples"], f["duration_ms"],
+                        round(f["mean_sample"], 6), f["peak"], f["energy"],
+                    )
+                )
+            out = pd.DataFrame(rows, columns=[f.name for f in WAV_FEATURES_SCHEMA])
+            for c in ("doc_id", "n_samples", "duration_ms", "energy"):
+                out[c] = out[c].astype("int64")
+            for c in ("n_channels", "sample_rate", "peak"):
+                out[c] = out[c].astype("int32")
+            yield out
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(gen_and_decode, WAV_FEATURES_SCHEMA)
 
 
 @query(
