@@ -36,15 +36,36 @@ from pyspark.sql import functions as F
 from cdc_worker_spark.streaming.envelope import ENVELOPE_SCHEMA, decode_envelope
 
 
+#: wire form of an Avro-payload envelope file: the binary payload ships as
+#: base64 text inside the JSON line (file sources are text; the gRPC bridge
+#: writes the same shape — grpc_bridge.py hands bytes off base64-encoded)
+AVRO_WIRE_SCHEMA = (
+    "replay_id_b64 STRING, schema_id STRING, payload_b64 STRING"
+)
+
+
 def read_event_stream(
-    spark: SparkSession, input_dir: str, max_files_per_trigger: int | None = 1
+    spark: SparkSession,
+    input_dir: str,
+    max_files_per_trigger: int | None = 1,
+    codec: str = "json",
 ) -> DataFrame:
-    """File-source CDC stream of JSON-line envelopes (A1; A5 backpressure via
-    maxFilesPerTrigger)."""
-    reader = spark.readStream.schema(ENVELOPE_SCHEMA)
+    """File-source CDC stream of wire envelopes (A1; A5 backpressure via
+    maxFilesPerTrigger). ``codec="json"`` reads JSON-text payloads;
+    ``"avro"``/``"avro_py"`` reads base64-wrapped Avro binary payloads and
+    surfaces them as the BINARY ``payload`` column decode_envelope's avro
+    branch expects."""
+    if codec == "json":
+        reader = spark.readStream.schema(ENVELOPE_SCHEMA)
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        return reader.json(input_dir)
+    reader = spark.readStream.schema(AVRO_WIRE_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return reader.json(input_dir)
+    return reader.json(input_dir).select(
+        "replay_id_b64", "schema_id", F.unbase64("payload_b64").alias("payload")
+    )
 
 
 @dataclass
@@ -341,15 +362,21 @@ def run_cdc_pipeline(
     max_files_per_trigger: int | None = 1,
     available_now: bool = True,
     start_after_replay_id: int | None = None,
+    codec: str = "json",
 ):
     """Wire the full pipeline and start it (availableNow for tests — drains
     the backlog then stops; drop it for a continuous trigger).
 
     Flow: stream -> decode (one native projection) -> [A3 offset filter] ->
     DLQ split -> watermark + dropDuplicatesWithinWatermark on replay_id (D4)
-    -> foreachBatch merge (D1).
+    -> foreachBatch merge (D1). ``codec`` selects the payload wire format
+    (json | avro | avro_py — the reference's actual Avro wire, A8); every
+    stage downstream of the decode is codec-identical.
     """
-    decoded = decode_envelope(read_event_stream(spark, input_dir, max_files_per_trigger))
+    decoded = decode_envelope(
+        read_event_stream(spark, input_dir, max_files_per_trigger, codec=codec),
+        codec=codec,
+    )
     if start_after_replay_id is not None:
         # A3 subscribeFromReplayId: corrupt rows pass through (their offset
         # still decodes, but they must reach the DLQ regardless of position)
@@ -381,7 +408,9 @@ def run_cdc_pipeline(
                     "replay_id",
                     F.col("schema_id"),
                     F.col("raw_payload"),
-                    F.lit("payload JSON decode failed").alias("error"),
+                    F.lit(
+                        f"payload {'JSON' if codec == 'json' else codec} decode failed"
+                    ).alias("error"),
                     F.current_timestamp().alias("failed_at"),
                 )
                 .write.mode("append")
