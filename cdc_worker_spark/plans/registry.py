@@ -65,6 +65,7 @@ _QUERY_MODULES = (
     # new modules APPEND here (tail — keeps the frozen first-50 window intact)
     "cdc_worker_spark.operators.corpus",
     "cdc_worker_spark.functions.sketches",
+    "cdc_worker_spark.operators.reshape",
 )
 
 

@@ -162,3 +162,22 @@ def test_heavy_hitters_aggregates_partially(spark, sf_dir):
     # the token explode's rows must NOT all shuffle to one reducer: the only
     # single-partition exchange allowed is for the final 1-row sketch merge
     assert plan.count("Exchange SinglePartition") <= 1
+
+
+def test_unpivot_is_exchange_free_projection(spark, sf_dir):
+    """Unpivot must compile to an Expand projection — no shuffle, no Python:
+    wide->long is a per-row rewrite."""
+    plan = tree_of(spark, "q_unpivot_orders", sf_dir)
+    assert "Expand" in plan
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_pivot_single_aggregation_no_discovery_job(spark, sf_dir):
+    """The pivot lowering is ONE conditional hash agg: one scan, one
+    exchange, partial+final — no pivotfirst pre-agg, no category-discovery
+    job, no self-join."""
+    plan = tree_of(spark, "q_pivot_events", sf_dir)
+    assert "HashAggregate" in plan
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan and "pivotfirst" not in plan
