@@ -1,0 +1,172 @@
+"""SQL-surface depth operators: listagg, correlated subqueries, ignore-nulls
+window navigation, median/mode — the long tail of warehouse SQL a user
+switching engines reaches for first.
+
+Cross-engine determinism notes (these are the queries where engines love to
+diverge):
+- listagg/string_agg: concatenation order is engine-arbitrary — sort the
+  collected array by value before joining, and the result is total-ordered
+  text on both sides.
+- first/last IGNORE NULLS: Spark `first(col, ignorenulls=True)` over an
+  ordered window == DuckDB's `first_value(col IGNORE NULLS) OVER (...)`
+  given identical frames and total order.
+- median: Spark `median` == DuckDB `median` for even counts only under the
+  same interpolation; both interpolate the middle pair for DOUBLE inputs.
+- mode: ties broken by taking the smallest value (explicit min over the
+  max-count set) — neither engine's bare mode() is deterministic under ties.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cdc_worker_spark.plans.registry import query
+from cdc_worker_spark.sources.tables import load_events_ms, load_table
+
+
+@query(
+    "q_listagg_per_group",
+    oracle="""
+    SELECT n_name,
+           string_agg(s_name, ',' ORDER BY s_name) AS suppliers,
+           CAST(count(*) AS BIGINT) AS n_sup
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def q_listagg_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """listagg/string_agg with deterministic order: collect, sort, join —
+    the order-insensitive formulation both engines agree on. One hash agg;
+    the sort is per-group over collected arrays (bounded by group size, not
+    a global sort)."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("s_name")), ",").alias("suppliers"),
+            F.count(F.lit(1)).alias("n_sup"),
+        )
+    )
+
+
+@query(
+    "q_exists_correlated",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+    """,
+)
+def q_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS — expressed via Spark SQL so Catalyst
+    performs the standard decorrelation to a left-semi + left-anti join
+    (same plan the DataFrame formulation would build, but proving the SQL
+    front door handles correlation)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM customer_v c
+        WHERE EXISTS (SELECT 1 FROM orders_v o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+          AND NOT EXISTS (SELECT 1 FROM orders_v o
+                          WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+        """
+    )
+
+
+@query(
+    "q_scalar_subquery",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           round(o_totalprice - (SELECT avg(o_totalprice) FROM orders), 6) AS vs_avg
+    FROM orders
+    WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+    """,
+)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery (global average referenced twice): Catalyst computes
+    the subquery once and broadcasts the scalar — no per-row re-evaluation.
+    SQL front door again, since scalar subqueries are the textbook form."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_sq_v")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice,
+               round(o_totalprice - (SELECT avg(o_totalprice) FROM orders_sq_v), 6)
+                 AS vs_avg
+        FROM orders_sq_v
+        WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders_sq_v)
+        """
+    )
+
+
+@query(
+    "q_win_ignore_nulls",
+    oracle="""
+    SELECT event_id, user_id,
+           last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS last_purchase_value
+    FROM events
+    """,
+)
+def q_win_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """last_value IGNORE NULLS over an ordered frame — the carry-forward /
+    fill-down pattern (CDC: latest non-null observation per key as of each
+    event). Same single exchange as any window on the entity key."""
+    ev = load_events_ms(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ms", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pv = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.last(pv, ignorenulls=True).over(w).alias("last_purchase_value"),
+    )
+
+
+@query(
+    "q_agg_median_mode",
+    oracle="""
+    SELECT event_type,
+           round(median(value), 6) AS med_value,
+           CAST(min(m) AS BIGINT) AS mode_user
+    FROM events
+    JOIN (
+      SELECT event_type AS et, user_id AS m
+      FROM (SELECT event_type, user_id, count(*) AS c,
+                   max(count(*)) OVER (PARTITION BY event_type) AS mx
+            FROM events GROUP BY 1, 2)
+      WHERE c = mx
+    ) t ON t.et = event_type
+    GROUP BY event_type
+    """,
+)
+def q_agg_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median (exact interpolated) and deterministic mode (most frequent
+    user per event type, ties -> smallest id — bare mode() is
+    nondeterministic under ties in BOTH engines, so the tie-break is
+    explicit). The mode side is counts-only (two aggs + a window over tiny
+    (type, user) counts); the join keys are the 5 event types."""
+    ev = load_events_ms(spark, sf_dir)
+    med = ev.groupBy("event_type").agg(F.round(F.median("value"), 6).alias("med_value"))
+    counts = ev.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("c"))
+    mx = Window.partitionBy("event_type")
+    mode = (
+        counts.withColumn("mx", F.max("c").over(mx))
+        .filter(F.col("c") == F.col("mx"))
+        .groupBy("event_type")
+        .agg(F.min("user_id").alias("mode_user"))
+    )
+    return med.join(mode, "event_type")

@@ -66,6 +66,7 @@ _QUERY_MODULES = (
     "cdc_worker_spark.operators.corpus",
     "cdc_worker_spark.functions.sketches",
     "cdc_worker_spark.operators.reshape",
+    "cdc_worker_spark.operators.sqlsurface",
 )
 
 
