@@ -170,3 +170,106 @@ def q_agg_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("user_id").alias("mode_user"))
     )
     return med.join(mode, "event_type")
+
+
+@query(
+    "q_recursive_tree",
+    oracle="""
+    WITH RECURSIVE tree(c_custkey, depth) AS (
+      SELECT c_custkey, 0 FROM customer WHERE c_custkey = 1
+      UNION ALL
+      SELECT c.c_custkey, t.depth + 1
+      FROM customer c JOIN tree t ON c.c_custkey // 2 = t.c_custkey
+      WHERE c.c_custkey > 1
+    )
+    SELECT depth,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(min(c_custkey) AS BIGINT) AS min_key,
+           CAST(max(c_custkey) AS BIGINT) AS max_key
+    FROM tree GROUP BY depth
+    """,
+)
+def q_recursive_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4's WITH RECURSIVE): BFS over the implicit
+    binary tree parent(k)=k/2 rooted at custkey 1 — per-depth node counts
+    and key ranges. Both engines genuinely iterate (depth ~log2 of the key
+    space); each recursion step is a broadcast-able equi-join against the
+    previous frontier, the same loop shape as connected components
+    (operators/dedup.py) but driven by the engine's own fixpoint operator
+    instead of a hand-rolled driver loop."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_rc_v")
+    return spark.sql(
+        """
+        WITH RECURSIVE tree(c_custkey, depth) AS (
+          SELECT c_custkey, 0 AS depth FROM customer_rc_v WHERE c_custkey = 1
+          UNION ALL
+          SELECT c.c_custkey, t.depth + 1
+          FROM customer_rc_v c JOIN tree t ON c.c_custkey DIV 2 = t.c_custkey
+          WHERE c.c_custkey > 1
+        )
+        SELECT depth,
+               CAST(count(*) AS BIGINT) AS n_nodes,
+               CAST(min(c_custkey) AS BIGINT) AS min_key,
+               CAST(max(c_custkey) AS BIGINT) AS max_key
+        FROM tree GROUP BY depth
+        """
+    )
+
+
+@query(
+    "q_dq_profile",
+    oracle="""
+    SELECT 'o_totalprice' AS col, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count(o_totalprice) AS BIGINT) AS n_null,
+           CAST(count(DISTINCT o_totalprice) AS BIGINT) AS n_distinct,
+           round(min(o_totalprice), 6) AS min_v, round(max(o_totalprice), 6) AS max_v
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(o_custkey) AS BIGINT),
+           CAST(count(DISTINCT o_custkey) AS BIGINT),
+           round(CAST(min(o_custkey) AS DOUBLE), 6), round(CAST(max(o_custkey) AS DOUBLE), 6)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderkey', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(o_orderkey) AS BIGINT),
+           CAST(count(DISTINCT o_orderkey) AS BIGINT),
+           round(CAST(min(o_orderkey) AS DOUBLE), 6), round(CAST(max(o_orderkey) AS DOUBLE), 6)
+    FROM orders
+    """,
+)
+def q_dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile (the deequ/dbt-test shape): per-column row/null/
+    distinct counts and value ranges in ONE scan — all metrics are
+    map-side-combinable aggregates computed together, then melted to the
+    (col, metric...) long form. The per-column-UNION oracle rescans; the
+    engine does not."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def metrics(col: str):
+        v = F.col(col)
+        return [
+            F.count(F.lit(1)).cast("bigint").alias(f"{col}__n_rows"),
+            (F.count(F.lit(1)) - F.count(v)).cast("bigint").alias(f"{col}__n_null"),
+            F.countDistinct(v).cast("bigint").alias(f"{col}__n_distinct"),
+            F.round(F.min(v).cast("double"), 6).alias(f"{col}__min_v"),
+            F.round(F.max(v).cast("double"), 6).alias(f"{col}__max_v"),
+        ]
+
+    cols = ["o_totalprice", "o_custkey", "o_orderkey"]
+    wide = o.agg(*[m for c in cols for m in metrics(c)])
+    # melt the single wide row to one row per column (pure projection)
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col"),
+                F.col(f"{c}__n_rows").alias("n_rows"),
+                F.col(f"{c}__n_null").alias("n_null"),
+                F.col(f"{c}__n_distinct").alias("n_distinct"),
+                F.col(f"{c}__min_v").alias("min_v"),
+                F.col(f"{c}__max_v").alias("max_v"),
+            )
+            for c in cols
+        ]
+    )
+    return wide.select(F.explode(structs).alias("m")).select("m.*")
