@@ -42,6 +42,8 @@ HEADLINE = [
     "q_docs_decontaminate", # broadcast n-gram overlap vs eval set (r4)
     "q_agg_heavy_hitters",  # mergeable frequent-items sketch (r4)
     "q_pipeline_train_export",  # composite curation export (r4)
+    "q_ts_gapfill",         # grid spine + window fill (r4)
+    "q_cdc_incr_agg",       # mergeable-state rollup maintenance (r4)
 ]
 
 

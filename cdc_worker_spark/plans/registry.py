@@ -67,6 +67,7 @@ _QUERY_MODULES = (
     "cdc_worker_spark.functions.sketches",
     "cdc_worker_spark.operators.reshape",
     "cdc_worker_spark.operators.sqlsurface",
+    "cdc_worker_spark.operators.timeseries",
 )
 
 

@@ -181,3 +181,44 @@ def test_pivot_single_aggregation_no_discovery_job(spark, sf_dir):
     assert "HashAggregate" in plan
     assert plan.count("Exchange") == 1
     assert "Join" not in plan and "pivotfirst" not in plan
+
+
+def test_ohlc_is_single_exchange_hash_agg(spark, sf_dir):
+    """min_by/max_by open/close ride the SAME hash aggregate as high/low:
+    one exchange total, partial+final, no window pass over the raw events."""
+    tree = tree_of(spark, "q_ts_resample_ohlc", sf_dir)
+    assert tree.count("Exchange") == 1
+    assert "Window" not in tree
+    assert "HashAggregate" in tree or "SortAggregate" in tree
+
+
+def test_gapfill_window_reuses_spine_partitioning(spark, sf_dir):
+    """The daily grid's fill window partitions by user_id, which the spine
+    side already satisfies from the span aggregation — the only shuffle
+    exchanges are the two aggregations; the spine-daily join broadcasts and
+    the window adds NO exchange."""
+    tree = tree_of(spark, "q_ts_gapfill", sf_dir)
+    shuffles = tree.count("Exchange") - tree.count("BroadcastExchange")
+    assert shuffles == 2, tree
+    assert "Window" in tree
+
+
+def test_incr_agg_merge_reuses_agg_partitioning(spark, sf_dir):
+    """The full-outer state merge joins on the same key both aggregate
+    states are hash-partitioned by — the join itself must add no exchange:
+    4 shuffle exchanges total (per side: one 1-row cutoff agg + one keyed
+    state agg)."""
+    tree = tree_of(spark, "q_cdc_incr_agg", sf_dir)
+    shuffles = tree.count("Exchange") - tree.count("BroadcastExchange")
+    assert shuffles == 4, tree
+    assert "FullOuter" in tree
+
+
+def test_zorder_topk_is_take_ordered(spark, sf_dir):
+    """Z-key computation is pure codegen projection; the LIMIT plans as
+    TakeOrderedAndProject (per-partition top-k + driver merge), never a
+    global sort materialization."""
+    tree = tree_of(spark, "q_layout_zorder", sf_dir)
+    assert "TakeOrderedAndProject" in tree
+    assert "Exchange" not in tree
+    assert "BatchEvalPython" not in tree
