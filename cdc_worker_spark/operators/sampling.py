@@ -297,3 +297,53 @@ def q_docs_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor((F.col("start_off") + F.col("n_tokens") - 1) / b).alias("last_seq"),
         )
     )
+
+
+@query(
+    "q_docs_sample_weighted",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars, priority
+    FROM (
+      SELECT doc_id, lang, source, n_chars,
+             (CAST(n_chars AS BIGINT) * 1099511627776)
+               // greatest(CAST('0x' ||
+                    substring(md5('wsamp:' || CAST(doc_id AS VARCHAR)), 1, 10)
+                    AS BIGINT), 1) AS priority
+      FROM documents) t
+    ORDER BY priority DESC, doc_id
+    LIMIT 100
+    """,
+)
+def q_docs_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement by PRIORITY SAMPLING
+    (Duffield, Lund & Thorup, JACM 2007): each doc gets priority w/u with
+    w = its length and u a uniform draw; the k largest priorities are a
+    weighted sample whose subset-sum estimates are provably near-optimal.
+
+    Determinism contract: u comes from a salted md5 of the doc key (40-bit
+    integer H), and the priority is computed in EXACT integer arithmetic —
+    (w << 40) div H — so Spark and the oracle agree bit-for-bit; no float
+    pow/log (whose libm rounding differs across engines) touches the
+    ranking. Pure projection + TakeOrderedAndProject top-k: no shuffle, no
+    RNG state, reproducible across runs, engines, and retries."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("wsamp:"), F.col("doc_id").cast("string"))),
+            1,
+            10,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        docs.select("doc_id", "lang", "source", "n_chars")
+        .withColumn("_h", F.greatest(h, F.lit(1)))
+        .withColumn(
+            "priority",
+            F.expr("CAST(n_chars AS BIGINT) * 1099511627776L div _h"),
+        )
+        .drop("_h")
+        .orderBy(F.col("priority").desc(), "doc_id")
+        .limit(100)
+    )

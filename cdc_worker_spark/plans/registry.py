@@ -68,6 +68,7 @@ _QUERY_MODULES = (
     "cdc_worker_spark.operators.reshape",
     "cdc_worker_spark.operators.sqlsurface",
     "cdc_worker_spark.operators.timeseries",
+    "cdc_worker_spark.operators.analytics",
 )
 
 

@@ -222,3 +222,33 @@ def test_zorder_topk_is_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in tree
     assert "Exchange" not in tree
     assert "BatchEvalPython" not in tree
+
+
+def test_session_stats_single_event_shuffle(spark, sf_dir):
+    """The per-session rollup keys on (user_id, session_seq) with input
+    already partitioned by user_id from the sessionize window — the agg must
+    add no second shuffle of the event log."""
+    tree = tree_of(spark, "q_cdc_session_stats", sf_dir)
+    shuffles = tree.count("Exchange") - tree.count("BroadcastExchange")
+    assert shuffles == 1, tree
+    assert "Window" in tree
+
+
+def test_funnel_consumes_entered_set_once(spark, sf_dir):
+    """The funnel must not recompute the first-step aggregation: exactly two
+    event scans (one per step filter), and the per-entity re-agg reuses the
+    join partitioning — shuffle exchanges <= 3 (step-1 agg, purchase-side
+    join shuffle at most, final 1-row reduction)."""
+    tree = tree_of(spark, "q_events_funnel", sf_dir)
+    assert tree.count("Scan parquet") == 2, tree
+    shuffles = tree.count("Exchange") - tree.count("BroadcastExchange")
+    assert shuffles <= 3, tree
+
+
+def test_weighted_sample_is_projection_topk(spark, sf_dir):
+    """Priority sampling is a pure integer projection + TakeOrderedAndProject
+    — no shuffle, no RNG, no Python."""
+    tree = tree_of(spark, "q_docs_sample_weighted", sf_dir)
+    assert "TakeOrderedAndProject" in tree
+    assert "Exchange" not in tree
+    assert "BatchEvalPython" not in tree
