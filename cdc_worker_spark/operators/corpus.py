@@ -287,6 +287,15 @@ def q_pipeline_train_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", quality_score().alias("score"),
         F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
     )
+    # Each distributed_prefix_sum opens with repartitionByRange, whose
+    # range-boundary SAMPLING job re-executes everything upstream of it —
+    # here that would replay the decontamination join once per prefix sum.
+    # A lazy localCheckpoint materializes the (doc_id, lang, score,
+    # n_tokens) manifest — scalar columns only, tiny next to the text — so
+    # the sampler and the real shuffle both read the materialized rows
+    # (measured at sf0.1: 2.53 s -> 2.11 s). Production analogue:
+    # persisting the curation manifest between pipeline stages.
+    scored = scored.localCheckpoint(eager=False)
     banded = (
         with_quality_band(scored)  # shared with q_docs_quality_band
         .filter(F.col("band") >= 0.5)
@@ -296,6 +305,7 @@ def q_pipeline_train_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("split:"), F.col("doc_id").cast("string"))
     )
     train = banded.filter((split_bucket < "f0") & (F.col("n_tokens") > 0))
+    train = train.localCheckpoint(eager=False)
     b = F.lit(PACK_BUDGET)
     return distributed_prefix_sum(
         train, ["lang"], ["doc_id"], "n_tokens", "start_off"
