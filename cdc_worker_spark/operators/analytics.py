@@ -182,3 +182,128 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_wk", "wk_offset_ms")
         .agg(F.countDistinct("user_id").alias("n_active"))
     )
+
+
+@query(
+    "q_events_winsorize",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             round(percentile_cont(0.05) WITHIN GROUP (ORDER BY value), 6)
+               AS lo,
+             round(percentile_cont(0.95) WITHIN GROUP (ORDER BY value), 6)
+               AS hi
+      FROM events GROUP BY event_type)
+    SELECT e.event_id, e.event_type, e.value,
+           least(greatest(e.value, b.lo), b.hi) AS value_w,
+           e.value < b.lo OR e.value > b.hi AS clipped
+    FROM events e JOIN b USING (event_type)
+    """,
+)
+def q_events_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization (percentile clipping): measures clamp to their topic's
+    [p05, p95] band — the standard outlier treatment before training on a
+    noisy measure. The per-topic bounds are a groups-sized aggregate that
+    BROADCASTS back onto the stream (no event shuffle for the clip: the
+    expensive side stays a projection). Bounds are rounded to 6 dp on both
+    engines so the clip comparisons agree bit-for-bit."""
+    ev = load_events_ms(spark, sf_dir)
+    bounds = ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.05)), 6).alias("lo"),
+        F.round(F.percentile("value", F.lit(0.95)), 6).alias("hi"),
+    )
+    return (
+        ev.join(F.broadcast(bounds), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.least(F.greatest("value", F.col("lo")), F.col("hi")).alias(
+                "value_w"
+            ),
+            ((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")))
+            .alias("clipped"),
+        )
+    )
+
+
+@query(
+    "q_events_anomaly",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, round(avg(value), 6) AS mu,
+             round(stddev_samp(value), 6) AS sd
+      FROM events GROUP BY event_type)
+    SELECT e.event_id, e.event_type, e.value,
+           round((e.value - s.mu) / s.sd, 6) AS z
+    FROM events e JOIN s USING (event_type)
+    WHERE abs(round((e.value - s.mu) / s.sd, 6)) > 2
+    """,
+)
+def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score anomaly flagging: events more than 2 sample standard
+    deviations from their topic mean — the data-quality screen a CDC
+    consumer runs before trusting a measure. Same shape as the winsorize:
+    groups-sized moment aggregate broadcast onto a pure projection, then a
+    selective filter (output is anomaly-sized, not corpus-sized). Moments
+    round to 6 dp before the z computation so both engines rank
+    identically."""
+    ev = load_events_ms(spark, sf_dir)
+    stats = ev.groupBy("event_type").agg(
+        F.round(F.avg("value"), 6).alias("mu"),
+        F.round(F.stddev_samp("value"), 6).alias("sd"),
+    )
+    z = F.round((F.col("value") - F.col("mu")) / F.col("sd"), 6)
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .select("event_id", "event_type", "value", z.alias("z"))
+        .filter(F.abs(F.col("z")) > 2)
+    )
+
+
+@query(
+    "q_text_top_terms",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM tok WHERE term <> '' GROUP BY doc_id, term),
+    df AS (
+      SELECT term, count(DISTINCT doc_id) AS df FROM tok
+      WHERE term <> '' GROUP BY term)
+    SELECT doc_id, term, tf, df, tf / CAST(df AS DOUBLE) AS score
+    FROM (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf / CAST(df.df AS DOUBLE) DESC, tf.term) AS rn
+      FROM tf JOIN df USING (term)) t
+    WHERE rn <= 3
+    """,
+)
+def q_text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 distinguishing terms per document by document-frequency-
+    normalized term frequency (tf/df — monotone in tf-idf for any fixed
+    corpus size, but free of ln(), whose libm rounding differs across
+    engines; ties break on the term). The df table is vocabulary-sized and
+    BROADCASTS onto the tf side; the per-doc top-k is the WindowGroupLimit
+    plan (partial top-3 before the shuffle). Exact double division ranks
+    identically on both engines."""
+    from cdc_worker_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    score = F.col("tf") / F.col("df").cast("double")
+    w = Window.partitionBy("doc_id").orderBy(score.desc(), "term")
+    return (
+        tf.join(F.broadcast(df), "term")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "df", score.alias("score"))
+    )

@@ -130,3 +130,19 @@ def files_hit(minmax: list[tuple], value) -> int:
     """How many files a point predicate ``col = value`` must scan under the
     given per-file (min, max) stats — the skipping metric."""
     return sum(1 for lo, hi in minmax if lo <= value <= hi)
+
+
+def scan_manifest(spark, path: str, columns: list[str]):
+    """Per-file zone map AS A DATAFRAME: (file, n_rows, min/max of each
+    audited column), computed distributed via an ``input_file_name()``
+    group-by. :func:`file_minmax` reads footers on the driver — exact and
+    cheap up to ~1e5 files; this is the 100 TB form (a million-file table's
+    manifest is itself a dataset), and doubles as the layout-quality audit:
+    join the manifest to a predicate range and you get the files a scan
+    would touch before running it."""
+    df = spark.read.parquet(path)
+    aggs = [F.count("*").alias("n_rows")]
+    for c in columns:
+        aggs.append(F.min(c).alias(f"{c}_min"))
+        aggs.append(F.max(c).alias(f"{c}_max"))
+    return df.groupBy(F.input_file_name().alias("file")).agg(*aggs)

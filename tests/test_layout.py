@@ -80,3 +80,25 @@ def test_zorder_write_preserves_rows(layouts, spark):
     a = li.agg(F.sum("l_orderkey"), F.sum("l_suppkey")).collect()[0]
     b = got.agg(F.sum("l_orderkey"), F.sum("l_suppkey")).collect()[0]
     assert tuple(a) == tuple(b)
+
+
+def test_scan_manifest_matches_footers(layouts, spark):
+    """The distributed zone-map manifest must agree with the parquet
+    footers file-for-file (same mins/maxes the planner would prune with)."""
+    import os
+
+    from cdc_worker_spark.sources.layout import scan_manifest
+
+    _, _, z_path = layouts
+    mani = {
+        os.path.basename(r.file): (r.l_suppkey_min, r.l_suppkey_max)
+        for r in scan_manifest(spark, z_path, ["l_suppkey"]).collect()
+    }
+    foot = {}
+    for name in sorted(os.listdir(z_path)):
+        if name.endswith(".parquet"):
+            foot[name] = None
+    mm = file_minmax(z_path, "l_suppkey")
+    for name, stats in zip(sorted(foot), mm):
+        foot[name] = stats
+    assert mani == {k: v for k, v in foot.items() if v is not None}

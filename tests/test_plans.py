@@ -314,3 +314,21 @@ def plan_of_df(spark, df) -> str:
     qe = df._jdf.queryExecution()
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     return qe.explainString(mode)
+
+
+def test_winsorize_and_anomaly_broadcast_stats_onto_projection(spark, sf_dir):
+    """Percentile/moment screens: the groups-sized stats aggregate must
+    broadcast back onto the event stream — the event side is never
+    shuffled for the clip/flag."""
+    for q in ("q_events_winsorize", "q_events_anomaly"):
+        tree = tree_of(spark, q, sf_dir)
+        assert "BroadcastHashJoin" in tree, q
+        assert "SortMergeJoin" not in tree, q
+
+
+def test_top_terms_broadcasts_df_and_group_limits(spark, sf_dir):
+    """tf/df ranking: vocabulary-sized df side broadcasts; the per-doc
+    top-3 runs the WindowGroupLimit pruned plan."""
+    tree = tree_of(spark, "q_text_top_terms", sf_dir)
+    assert "BroadcastHashJoin" in tree
+    assert "WindowGroupLimit" in tree
