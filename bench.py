@@ -97,6 +97,45 @@ def main() -> None:
             if name not in timings or elapsed < timings[name]:
                 timings[name] = elapsed
 
+    # Layout-aware second pass: the shipped fixtures are single-row-group
+    # parquet, and a row group is the unit of scan parallelism — so every
+    # primary timing above runs its scan + partial agg on ONE core. Re-ingest
+    # through the engine's sized-file writer (the production fix for exactly
+    # this upload pathology), REPORT the rewrite cost, and time the same
+    # suite on the ingested layout. Primary numbers stay on the raw fixtures
+    # (round-over-round comparable); this section quantifies what the
+    # engine's own layout machinery buys.
+    ingested: dict | None
+    try:
+        import shutil
+        import tempfile
+
+        from cdc_worker_spark.sources.layout import ingest_sized
+
+        cache = tempfile.mkdtemp(prefix="bench_ingest_")
+        t0 = time.perf_counter()
+        ingest_sized(spark, sf_dir, cache)
+        ingest_sec = round(time.perf_counter() - t0, 3)
+        qs["q_sim_ann_ivf"](spark, cache)  # train the IVF memo on this layout
+        t2: dict[str, float] = {}
+        for _round in range(3):
+            for name in HEADLINE:
+                t0 = time.perf_counter()
+                qs[name](spark, cache).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                elapsed = round(time.perf_counter() - t0, 3)
+                if name not in t2 or elapsed < t2[name]:
+                    t2[name] = elapsed
+        ingested = {
+            "ingest_sec": ingest_sec,
+            "value": round(sum(t2.values()), 3),
+            "queries": t2,
+        }
+        shutil.rmtree(cache, ignore_errors=True)
+    except Exception as e:  # noqa: BLE001 — artifact must still emit
+        ingested = {"error": f"{type(e).__name__}: {e}"}
+
     # streaming throughput rides along in the same artifact so the wire-MB/s
     # number (vs the reference's ~4 MB/s/worker envelope) is regression-
     # tracked per round, not just measured ad hoc. Failure is reported, not
@@ -118,9 +157,13 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "ingested_layout": ingested,
                 "streaming": streaming,
                 "notes": "best-of-3; ivf centroid training excluded "
-                "(memoized at warmup — build-once/probe-many by design)",
+                "(memoized at warmup — build-once/probe-many by design); "
+                "primary queries run on the raw single-row-group fixtures, "
+                "ingested_layout re-times the suite after the engine's "
+                "sized-file re-ingest (rewrite cost included as ingest_sec)",
             }
         )
     )

@@ -146,3 +146,34 @@ def scan_manifest(spark, path: str, columns: list[str]):
         aggs.append(F.min(c).alias(f"{c}_min"))
         aggs.append(F.max(c).alias(f"{c}_max"))
     return df.groupBy(F.input_file_name().alias("file")).agg(*aggs)
+
+
+def ingest_sized(
+    spark,
+    sf_dir: str,
+    out_dir: str,
+    rows_per_file: int = 20_000,
+    max_files: int = 32,
+) -> None:
+    """Re-materialize the fixture tables in a SPLIT-ABLE multi-file layout.
+
+    The driver-shipped fixtures are single-file/single-row-group parquet —
+    and a row group is the unit of scan parallelism, so every query's scan
+    + partial aggregation runs on ONE core no matter the cluster size. This
+    is precisely the "one giant uploaded file" pathology of real lakes; the
+    fix is the same: ingest once into right-sized files (here
+    ``rows_per_file`` per file, capped at ``max_files``), and every
+    downstream scan fans out. Round-robin repartition — clustering choices
+    (Z-order, range) belong to :func:`write_zordered` / :func:`write_sorted`;
+    this is the parallelism floor."""
+    import os
+
+    from cdc_worker_spark.sources.tables import TABLES, load_table
+
+    for name in TABLES:
+        df = load_table(spark, sf_dir, name)
+        n = df.count()
+        files = max(1, min(max_files, (n + rows_per_file - 1) // rows_per_file))
+        df.repartition(files).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"{name}.parquet")
+        )

@@ -102,3 +102,29 @@ def test_scan_manifest_matches_footers(layouts, spark):
     for name, stats in zip(sorted(foot), mm):
         foot[name] = stats
     assert mani == {k: v for k, v in foot.items() if v is not None}
+
+
+def test_ingest_sized_multiplies_row_groups(spark, sf_dir, tmp_path):
+    """The sized ingest must turn the single-row-group fixtures into
+    multi-file tables with identical content — the scan-parallelism floor."""
+    import os
+
+    from cdc_worker_spark.sources.layout import ingest_sized
+    from cdc_worker_spark.sources.tables import load_table
+
+    out = str(tmp_path / "ingested")
+    ingest_sized(spark, sf_dir, out, rows_per_file=500, max_files=8)
+    li_src = load_table(spark, sf_dir, "lineitem")
+    li_new = spark.read.parquet(os.path.join(out, "lineitem.parquet"))
+    n_files = len(
+        [f for f in os.listdir(os.path.join(out, "lineitem.parquet"))
+         if f.endswith(".parquet")]
+    )
+    assert n_files >= 4
+    assert li_new.count() == li_src.count()
+    import pyspark.sql.functions as F
+
+    # decimal sum: associative-exact, so equality holds across layouts
+    # (a raw double sum differs in the last bits with partition order)
+    dec = F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+    assert li_new.agg(dec).collect()[0][0] == li_src.agg(dec).collect()[0][0]
