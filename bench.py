@@ -44,6 +44,7 @@ HEADLINE = [
     "q_pipeline_train_export",  # composite curation export (r4)
     "q_ts_gapfill",         # grid spine + window fill (r4)
     "q_cdc_incr_agg",       # mergeable-state rollup maintenance (r4)
+    "q_text_repeated_passages",  # corpus-wide exact passage pass (r4)
 ]
 
 

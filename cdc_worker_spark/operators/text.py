@@ -303,3 +303,93 @@ def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("int").alias("n_tokens"),
         )
     )
+
+
+#: repeated-passage gram length (tokens): spans shorter than this are noise
+_PASSAGE_K = 5
+
+
+@query(
+    "q_text_repeated_passages",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    g AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(ws[i+1:i+{_PASSAGE_K}], ' ') AS gram
+      FROM w, LATERAL unnest(range(0, greatest(len(ws) - {_PASSAGE_K - 1}, 0)))
+             AS t(i)),
+    dup AS (
+      SELECT gram FROM g GROUP BY gram
+      HAVING count(DISTINCT doc_id) > 1),
+    hit AS (SELECT doc_id, pos FROM g JOIN dup USING (gram)),
+    isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                       = 1 THEN 0 ELSE 1 END AS brk
+      FROM hit),
+    grp AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM isl)
+    SELECT doc_id, min(pos) AS start_pos,
+           max(pos) + {_PASSAGE_K - 1} AS end_pos,
+           max(pos) + {_PASSAGE_K} - min(pos) AS span_tokens
+    FROM grp GROUP BY doc_id, island
+    """,
+)
+def q_text_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide repeated-PASSAGE detection (the 'remove duplicated
+    substrings' pass of C4/Gopher-style curation — distinct from whole-doc
+    MinHash and from within-doc repetition): every maximal token span whose
+    5-token gram windows all occur in more than one document.
+
+    Pipeline: sliding token grams (pure projection) -> gram group-by
+    keeping grams seen in >1 doc (THE corpus-wide exact pass; shuffle
+    carries (gram, doc) pairs — production keys it by xxhash64 to ship 8
+    bytes, and df-caps hot grams exactly as dedup.shingles does) -> join
+    back -> per-doc ISLAND merge of overlapping hit positions into maximal
+    spans (one window over (doc, pos), integer-only arithmetic).
+
+    Output: (doc_id, token span) — the spans a curation pass would mask or
+    drop. No floats anywhere, so both engines agree exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    k = _PASSAGE_K
+    grams = (
+        docs.select("doc_id", ws.alias("ws"))
+        .filter(F.size("ws") >= k)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("ws") - k),
+                    lambda i: F.concat_ws(" ", F.slice("ws", i + 1, k)),
+                )
+            ).alias("pos", "gram"),
+        )
+        .select("doc_id", F.col("pos").cast("long").alias("pos"), "gram")
+    )
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("gram")
+    )
+    hits = grams.join(dup, "gram").select("doc_id", "pos")
+    from pyspark.sql import Window
+
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    run = w_doc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    brk = F.when(F.col("pos") - F.lag("pos").over(w_doc) == 1, 0).otherwise(1)
+    return (
+        hits.withColumn("brk", brk)
+        .withColumn("island", F.sum("brk").over(run))
+        .groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("start_pos"),
+            (F.max("pos") + (k - 1)).alias("end_pos"),
+            (F.max("pos") + k - F.min("pos")).alias("span_tokens"),
+        )
+        .drop("island")
+    )
