@@ -325,22 +325,30 @@ def q_cdc_incr_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Z_BITS = 16
 
 
-def zorder_key(x: Column, y: Column, bits: int = _Z_BITS) -> Column:
-    """Interleave the low ``bits`` bits of two ints into one Z-order
-    (Morton) key: bit i of x lands at 2i, bit i of y at 2i+1. Pure
-    shift/mask expressions — codegen'd, branch-free, no UDF."""
+def zorder_key_n(cols: list[Column], bits: int = _Z_BITS) -> Column:
+    """Round-robin bit interleave of N int columns into one Z-order
+    (Morton) key: bit i of column j lands at position i*N + j. Pure
+    shift/mask expressions — codegen'd, branch-free, no UDF; N*bits must
+    stay under 63. Columns should be domain-normalized to comparable bit
+    widths first (see ``sources.layout.scaled_zorder_key``) or the widest
+    column monopolizes the high bits."""
+    n = len(cols)
     terms = []
     for i in range(bits):
-        terms.append(
-            F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
-        )
-        terms.append(
-            F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
-        )
+        for j, c in enumerate(cols):
+            terms.append(
+                F.shiftleft(F.shiftright(c, i).bitwiseAND(F.lit(1)), i * n + j)
+            )
     out = terms[0]
     for t in terms[1:]:
         out = out + t
     return out
+
+
+def zorder_key(x: Column, y: Column, bits: int = _Z_BITS) -> Column:
+    """Two-column Z-order key: bit i of x at 2i, bit i of y at 2i+1 (the
+    N=2 case of :func:`zorder_key_n`)."""
+    return zorder_key_n([x, y], bits=bits)
 
 
 def _zorder_sql(x: str, y: str, bits: int = _Z_BITS) -> str:

@@ -107,3 +107,22 @@ def test_zorder_key_interleaves_bits(spark):
         assert r.z == _z_ref(r.x, r.y), (r.x, r.y)
     # locality sanity: nearby (x, y) cells share high-order z bits
     assert _z_ref(7, 7) >> 6 == _z_ref(6, 6) >> 6
+
+
+def test_zorder_key_n_three_dims(spark):
+    def ref(vals, bits=5):
+        out = 0
+        for i in range(bits):
+            for j, v in enumerate(vals):
+                out |= ((v >> i) & 1) << (i * len(vals) + j)
+        return out
+
+    from cdc_worker_spark.operators.timeseries import zorder_key_n
+
+    cases = [(0, 0, 0), (1, 2, 4), (31, 31, 31), (7, 0, 21)]
+    df = spark.createDataFrame(cases, "a: long, b: long, c: long").select(
+        "a", "b", "c",
+        zorder_key_n([F.col("a"), F.col("b"), F.col("c")], bits=5).alias("z"),
+    )
+    for r in df.collect():
+        assert r.z == ref([r.a, r.b, r.c]), (r.a, r.b, r.c)
