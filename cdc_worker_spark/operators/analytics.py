@@ -307,3 +307,118 @@ def q_text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", "term", "tf", "df", score.alias("score"))
     )
+
+
+@query(
+    "q_agg_salted_hot",
+    oracle="""
+    SELECT event_type, n_events, CAST(total_dec AS DOUBLE) AS total_value,
+           max_value
+    FROM (SELECT event_type, count(*) AS n_events,
+                 sum(CAST(value AS DECIMAL(18,2))) AS total_dec,
+                 max(value) AS max_value
+          FROM events GROUP BY event_type) t
+    """,
+)
+def q_agg_salted_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew path in the oracle-checked registry: two-stage salted
+    aggregation (operators/skew.salted_agg) over the 5-topic event stream —
+    a hot topic's final state spreads over 16 reducers before the
+    groups-only merge. The ORACLE is the plain one-stage group-by, so the
+    hash match is the proof that salting is equivalence-preserving (count/
+    decimal-sum/max are all commutative monoids; the decimal cast makes the
+    two-stage sum associative-exact)."""
+    from cdc_worker_spark.operators.skew import salted_agg
+
+    ev = load_events_ms(spark, sf_dir).withColumn(
+        "value_dec", F.col("value").cast("decimal(18,2)")
+    )
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        [
+            ("count", "value_dec", "n_events"),
+            ("sum", "value_dec", "total_dec"),
+            ("max", "value", "max_value"),
+        ],
+        n_salts=16,
+    )
+    return out.select(
+        "event_type",
+        "n_events",
+        F.col("total_dec").cast("double").alias("total_value"),
+        "max_value",
+    )
+
+
+@query(
+    "q_dedup_levenshtein",
+    oracle="""
+    WITH tri AS (
+      SELECT DISTINCT doc_id, lang,
+             ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+      FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents) d,
+           LATERAL unnest(range(1, greatest(len(ws) - 1, 1))) AS t(i)
+    ),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM tri a JOIN tri b ON a.g = b.g AND a.lang = b.lang
+                           AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING count(*) >= 3
+    )
+    SELECT doc_a, doc_b, levenshtein(da.text, db.text) AS dist,
+           round(levenshtein(da.text, db.text)
+                 / CAST(greatest(len(da.text), len(db.text)) AS DOUBLE), 6)
+             AS rel_dist
+    FROM cand
+    JOIN documents da ON doc_a = da.doc_id
+    JOIN documents db ON doc_b = db.doc_id
+    WHERE levenshtein(da.text, db.text) * 10
+          <= 3 * greatest(len(da.text), len(db.text))
+    """,
+)
+def q_dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup verification: candidate pairs from the
+    df-capped shingle blocking (shared with q_dedup_ngram_jaccard — never
+    an all-pairs product), pre-gated to >= 3 shared trigrams so the
+    O(len_a x len_b) Levenshtein verify runs only on plausible pairs, then
+    kept when the distance is <= 30% of the longer text. The threshold
+    compares INTEGERS (dist*10 <= 3*maxlen) — no float boundary; rel_dist
+    is reported rounded. The edit-distance pass is the expensive exact
+    verifier of the dedup family: blocking bounds candidates, the verify
+    cost per pair is explicit, and both engines' levenshtein agree
+    exactly."""
+    from cdc_worker_spark.operators.dedup import (
+        ngram_candidate_pairs,
+        shingles_distinct,
+    )
+    from cdc_worker_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    cand = (
+        ngram_candidate_pairs(shingles_distinct(docs), max_shingle_df=100)
+        .filter(F.col("n_common") >= 3)
+        .select("doc_a", "doc_b")
+    )
+    ta = docs.select(
+        F.col("doc_id").alias("doc_a"), F.col("text").alias("_ta")
+    )
+    tb = docs.select(
+        F.col("doc_id").alias("doc_b"), F.col("text").alias("_tb")
+    )
+    dist = F.levenshtein("_ta", "_tb")
+    maxlen = F.greatest(F.length("_ta"), F.length("_tb"))
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .withColumn("dist", dist.cast("long"))  # DuckDB levenshtein is BIGINT
+        .filter(F.col("dist") * 10 <= 3 * maxlen)
+        .select(
+            "doc_a",
+            "doc_b",
+            "dist",
+            F.round(F.col("dist") / maxlen.cast("double"), 6).alias(
+                "rel_dist"
+            ),
+        )
+    )
