@@ -422,3 +422,76 @@ def q_dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "q_events_histogram",
+    oracle="""
+    SELECT event_type, CAST(floor(value / 10) AS BIGINT) AS bin,
+           count(*) AS n_events,
+           min(value) AS lo_value, max(value) AS hi_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of the measure per topic (bin width 10):
+    one partial+final hash aggregate on (topic, bin) — the shuffle carries
+    O(topics x bins) cells, never rows. IEEE division by the literal and
+    floor are bit-identical across engines, so the binning needs no
+    rounding guard."""
+    ev = load_events_ms(spark, sf_dir)
+    bin_ = F.floor(F.col("value") / 10).cast("long").alias("bin")
+    return ev.groupBy("event_type", bin_).agg(
+        F.count("*").alias("n_events"),
+        F.min("value").alias("lo_value"),
+        F.max("value").alias("hi_value"),
+    )
+
+
+@query(
+    "q_events_rolling_dau",
+    oracle=f"""
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             epoch_ms(ts) - epoch_ms(ts) % {_DAY_MS} AS day_ms
+      FROM events),
+    fan AS (
+      SELECT user_id,
+             unnest(generate_series(day_ms, day_ms + {6 * _DAY_MS},
+                                    {_DAY_MS})) AS day_ms
+      FROM ud),
+    mx AS (SELECT max(day_ms) AS m FROM ud)
+    SELECT f.day_ms, count(DISTINCT f.user_id) AS dau7
+    FROM fan f, mx WHERE f.day_ms <= mx.m
+    GROUP BY f.day_ms
+    """,
+)
+def q_events_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active entities per day (rolling DAU/WAU) —
+    the metric every event consumer maintains. COUNT DISTINCT over a
+    sliding frame isn't windowable, and the textbook range self-join
+    re-shuffles the event log once per window day; instead each (entity,
+    day) FANS OUT to the <=7 future days it contributes to — a pure
+    projection (`sequence`+`explode`, same primitive as the gap-fill
+    spine) — and one distinct-count aggregate finishes it. Shuffle volume
+    is 7x the (entity, day) table, independent of the raw event count."""
+    ev = load_events_ms(spark, sf_dir)
+    day = (F.col("ts_ms") - F.col("ts_ms") % _DAY_MS).alias("day_ms")
+    ud = ev.select("user_id", day).distinct()
+    mx = ud.agg(F.max("day_ms").alias("m"))
+    fan = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                "day_ms",
+                F.col("day_ms") + 6 * _DAY_MS,
+                F.lit(_DAY_MS),
+            )
+        ).alias("day_ms"),
+    )
+    return (
+        fan.join(F.broadcast(mx), fan.day_ms <= mx.m)
+        .drop("m")
+        .groupBy("day_ms")
+        .agg(F.countDistinct("user_id").alias("dau7"))
+    )

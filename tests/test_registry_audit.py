@@ -19,9 +19,9 @@ def test_registry_size_matches_docs():
     these numbers; update both together."""
     qs = all_queries()
     oracles = all_oracles()
-    assert len(qs) == 126, f"registry has {len(qs)} queries, docs say 126"
-    assert len(oracles) == 115, (
-        f"{len(oracles)} oracle-checked queries, docs say 115 "
+    assert len(qs) == 128, f"registry has {len(qs)} queries, docs say 128"
+    assert len(oracles) == 117, (
+        f"{len(oracles)} oracle-checked queries, docs say 117 "
         f"({len(qs) - len(oracles)} rows-only by design)"
     )
 
