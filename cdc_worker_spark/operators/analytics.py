@@ -495,3 +495,52 @@ def q_events_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day_ms")
         .agg(F.countDistinct("user_id").alias("dau7"))
     )
+
+
+@query(
+    "q_events_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY epoch_ms(ts), event_id)
+               AS next_type
+      FROM events),
+    pairs AS (
+      SELECT event_type, next_type, count(*) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY 1, 2)
+    SELECT event_type, next_type, n,
+           round(n / CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE), 6)
+             AS p_next
+    FROM pairs
+    """,
+)
+def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event transition matrix (the Markov next-step view of the stream):
+    per ordered (event, next-event) pair within each entity, the count and
+    the conditional probability of the transition. One entity-key window
+    builds the bigram stream; the transition aggregate shrinks it to
+    O(topics^2) cells, and the row-normalization window runs on that tiny
+    matrix — the heavy exchange is the same single entity shuffle every
+    CDC query pays. Integer count ratio, one exact double division."""
+    ev = load_events_ms(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    pairs = (
+        ev.select(
+            "event_type",
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count("*").alias("n"))
+    )
+    w_row = Window.partitionBy("event_type")
+    return pairs.select(
+        "event_type",
+        "next_type",
+        "n",
+        F.round(
+            F.col("n") / F.sum("n").over(w_row).cast("double"), 6
+        ).alias("p_next"),
+    )
