@@ -126,3 +126,58 @@ def test_zorder_key_n_three_dims(spark):
     )
     for r in df.collect():
         assert r.z == ref([r.a, r.b, r.c]), (r.a, r.b, r.c)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),      # user_id
+            st.integers(min_value=0, max_value=10**6),  # ts_ms
+            st.integers(min_value=-999, max_value=999),  # value cents
+        ),
+        min_size=0,
+        max_size=24,
+    ),
+    cut=st.integers(min_value=0, max_value=100),
+)
+def test_merge_agg_states_property(spark, rows, cut):
+    """Property: for ANY event set and ANY split point,
+    merge(state(base), state(delta)) == state(all) — the monoid law the
+    incremental-maintenance query relies on."""
+    data = [
+        (uid, i, ts, cents / 100.0) for i, (uid, ts, cents) in enumerate(rows)
+    ]
+    ev = spark.createDataFrame(
+        data, "user_id: long, event_id: long, ts_ms: long, value: double"
+    ) if data else spark.createDataFrame(
+        [], "user_id: long, event_id: long, ts_ms: long, value: double"
+    )
+    base = ev.filter(F.col("event_id") < cut % (len(data) + 1))
+    delta = ev.subtract(base)
+    merged = merge_agg_states(agg_state(base), agg_state(delta))
+    whole = agg_state(ev)
+    key = lambda r: (r.user_id, r.n_events, float(r._sum_dec), r.last_ts_ms,
+                     r.last_event_id)
+    assert sorted(map(key, merged.collect())) == sorted(
+        map(key, whole.collect())
+    )
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    x=st.integers(min_value=0, max_value=0xFFFF),
+    y=st.integers(min_value=0, max_value=0xFFFF),
+)
+def test_zorder_key_roundtrip_property(x, y):
+    """Property: the Morton interleave is a bijection — de-interleaving the
+    key recovers both coordinates exactly (driver-side arithmetic mirror of
+    the column expression, itself exact-matched in the value tests)."""
+    z = _z_ref(x, y)
+    rx = sum(((z >> (2 * i)) & 1) << i for i in range(16))
+    ry = sum(((z >> (2 * i + 1)) & 1) << i for i in range(16))
+    assert (rx, ry) == (x, y)
