@@ -544,3 +544,63 @@ def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n") / F.sum("n").over(w_row).cast("double"), 6
         ).alias("p_next"),
     )
+
+
+_N_RANGE_BUCKETS = 8
+
+
+@query(
+    "q_layout_range_bounds",
+    oracle=f"""
+    WITH t AS (
+      SELECT l_orderkey,
+             row_number() OVER (ORDER BY l_orderkey) AS rn
+      FROM lineitem),
+    c AS (SELECT count(*) AS n FROM lineitem)
+    SELECT CAST(s.i AS INT) AS bucket_idx, t.l_orderkey AS boundary
+    FROM range(1, {_N_RANGE_BUCKETS}) s(i), c
+    JOIN t ON t.rn = CAST(ceil(s.i * c.n / {_N_RANGE_BUCKETS}.0) AS BIGINT)
+    """,
+)
+def q_layout_range_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth range-partition boundaries: the K-1 split keys that give
+    each output range an equal row share — what a range-partitioned 100 TB
+    write (or a custom range partitioner) needs. Boundary i = the key at
+    global rank ceil(i*n/K); with duplicate keys the VALUE at any rank is
+    well-defined even though tie order isn't, so both engines agree.
+
+    The global rank comes from the distributed prefix sum over ones (the
+    no-partition-columns form q_docs_shuffle uses) — never a one-task
+    row_number; the boundary probe joins a 7-row target table broadcast
+    against the ranked stream. Spark's own range partitioner SAMPLES for
+    boundaries; this is the exact version, and doubles as its audit."""
+    from cdc_worker_spark.operators.sampling import distributed_prefix_sum
+    from cdc_worker_spark.sources.tables import load_table
+
+    k = _N_RANGE_BUCKETS
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    ranked = distributed_prefix_sum(
+        li.withColumn("_one", F.lit(1).cast("long")),
+        [],
+        ["l_orderkey"],
+        "_one",
+        "_rank0",
+    )
+    targets = (
+        li.agg(F.count("*").alias("n"))
+        .select(
+            "n", F.explode(F.sequence(F.lit(1), F.lit(k - 1))).alias("bucket_idx")
+        )
+        .select(
+            F.col("bucket_idx").cast("int").alias("bucket_idx"),
+            F.ceil(F.col("bucket_idx") * F.col("n") / float(k))
+            .cast("long")
+            .alias("_rn"),
+        )
+    )
+    return (
+        ranked.join(
+            F.broadcast(targets), ranked._rank0 + 1 == targets._rn
+        )
+        .select("bucket_idx", F.col("l_orderkey").alias("boundary"))
+    )

@@ -19,9 +19,9 @@ def test_registry_size_matches_docs():
     these numbers; update both together."""
     qs = all_queries()
     oracles = all_oracles()
-    assert len(qs) == 129, f"registry has {len(qs)} queries, docs say 129"
-    assert len(oracles) == 118, (
-        f"{len(oracles)} oracle-checked queries, docs say 118 "
+    assert len(qs) == 130, f"registry has {len(qs)} queries, docs say 130"
+    assert len(oracles) == 119, (
+        f"{len(oracles)} oracle-checked queries, docs say 119 "
         f"({len(qs) - len(oracles)} rows-only by design)"
     )
 
