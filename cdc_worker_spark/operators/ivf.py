@@ -106,6 +106,8 @@ def kmeans_centroids(
     work = work.persist()
     try:
         cents = [list(r.dv) for r in work.orderBy("vec_id").limit(k).collect()]
+        if not cents:  # empty corpus: no centroids to train (callers emit
+            return []  # empty results rather than crashing the plan build)
         dim = len(cents[0])
         for _ in range(n_iters):
             assigned = assign_buckets(work, cents)

@@ -100,6 +100,10 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_IVF_K,
         n_iters=2,
     )
+    if not cents:  # empty corpus: no index, no neighbors
+        return spark.createDataFrame(
+            [], "q_id: long, c_id: long, cos_sim: double, rnk: int"
+        )
     # ONE vectorized projection computes every vector's distance array; the
     # bucket assignment (argmin) and the query probe set (nprobe smallest)
     # both read it — a pure projection, zero shuffles until the probe join.
