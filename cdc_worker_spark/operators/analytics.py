@@ -604,3 +604,37 @@ def q_layout_range_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("bucket_idx", F.col("l_orderkey").alias("boundary"))
     )
+
+
+@query(
+    "q_join_null_safe",
+    oracle="""
+    WITH a AS (
+      SELECT nullif(event_type, 'error') AS tkey, count(*) AS n_all
+      FROM events GROUP BY 1),
+    b AS (
+      SELECT nullif(event_type, 'error') AS tkey, count(*) AS n_big
+      FROM events WHERE value > 50 GROUP BY 1)
+    SELECT a.tkey, a.n_all, b.n_big
+    FROM a LEFT JOIN b ON a.tkey IS NOT DISTINCT FROM b.tkey
+    """,
+)
+def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-safe equi join (`<=>` / IS NOT DISTINCT FROM): the CDC
+    convention makes NULL a real key value ('unchanged' markers, tombstoned
+    attributes), and a plain equi join silently drops those rows — the
+    null-safe comparator keeps them joinable. Plans as a normal hash join
+    (null-safe equality is still a hashable key), so the scale story is
+    unchanged from q_join_inner."""
+    ev = load_events_ms(spark, sf_dir)
+    tkey = F.nullif("event_type", F.lit("error")).alias("tkey")
+    a = ev.select(tkey).groupBy("tkey").agg(F.count("*").alias("n_all"))
+    b = (
+        ev.filter(F.col("value") > 50)
+        .select(tkey)
+        .groupBy("tkey")
+        .agg(F.count("*").alias("n_big"))
+    )
+    return a.join(b, a.tkey.eqNullSafe(b.tkey), "left").select(
+        a.tkey.alias("tkey"), "n_all", "n_big"
+    )
