@@ -638,3 +638,52 @@ def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.join(b, a.tkey.eqNullSafe(b.tkey), "left").select(
         a.tkey.alias("tkey"), "n_all", "n_big"
     )
+
+
+@query(
+    "q_cdc_field_churn",
+    oracle="""
+    WITH b AS (SELECT event_id, event_type,
+                      CAST('0x' || to_hex(event_id % 256) AS BIGINT) AS bm
+               FROM events),
+    x AS (
+      SELECT event_id, event_type,
+             unnest(list_filter(
+               list_transform(range(8),
+                 i -> CASE WHEN (bm >> CAST(i AS INT)) & 1 = 1
+                           THEN ['Id','Name','Phone','Email','Industry',
+                                 'BillingAddress','Website',
+                                 'LastModifiedDate'][CAST(i + 1 AS INT)] END),
+               x -> x IS NOT NULL)) AS field_name
+      FROM b)
+    SELECT event_type, field_name, count(*) AS n_changes,
+           min(event_id) AS first_replay_id, max(event_id) AS last_replay_id
+    FROM x GROUP BY 1, 2
+    """,
+)
+def q_cdc_field_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-churn governance rollup: how often each schema field changes
+    per topic, with the first/last replay offsets that touched it — the
+    'which columns actually churn' question that drives replication
+    filtering and column-family layout at 100 TB. Composes the bitmap
+    expansion (B3, eventParser.js:79-152) with one partial+final aggregate:
+    the explode happens map-side, and the shuffle carries
+    O(topics x fields) cells."""
+    from cdc_worker_spark.functions.bitmap import changed_fields_col_small
+    from cdc_worker_spark.functions.scalar_queries import BITMAP_FIELDS
+
+    ev = load_events_ms(spark, sf_dir)
+    expanded = ev.select(
+        "event_id",
+        "event_type",
+        F.explode(
+            changed_fields_col_small(
+                F.lower(F.hex(F.col("event_id") % 256)), BITMAP_FIELDS
+            )
+        ).alias("field_name"),
+    )
+    return expanded.groupBy("event_type", "field_name").agg(
+        F.count("*").alias("n_changes"),
+        F.min("event_id").alias("first_replay_id"),
+        F.max("event_id").alias("last_replay_id"),
+    )
