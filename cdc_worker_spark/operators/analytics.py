@@ -687,3 +687,79 @@ def q_cdc_field_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("event_id").alias("first_replay_id"),
         F.max("event_id").alias("last_replay_id"),
     )
+
+
+@query(
+    "q_docs_dup_rate",
+    oracle="""
+    WITH tri AS (
+      SELECT DISTINCT doc_id, lang,
+             ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+      FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents) d,
+           LATERAL unnest(range(1, greatest(len(ws) - 1, 1))) AS t(i)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+              FROM tri a JOIN tri b ON a.g = b.g AND a.lang = b.lang
+                                   AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    pairs AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+      WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.3),
+    dup_ids AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_a AS doc_id FROM pairs
+        UNION ALL SELECT doc_b FROM pairs))
+    SELECT d.lang, count(*) AS n_docs,
+           count(di.doc_id) AS n_dup_docs,
+           round(count(di.doc_id) / CAST(count(*) AS DOUBLE), 6) AS dup_share
+    FROM documents d LEFT JOIN dup_ids di USING (doc_id)
+    GROUP BY d.lang
+    """,
+)
+def q_docs_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-health dashboard rollup: per-language share of documents with
+    at least one exact-Jaccard near-duplicate (>= 0.3) — the number a
+    curation run reports before/after dedup. Composes the df-capped shingle
+    blocking + verify pipeline and reduces to a languages-sized summary;
+    the dup-id set is doc-cardinality at worst and broadcasts onto the
+    per-language count."""
+    from cdc_worker_spark.operators.dedup import (
+        ngram_candidate_pairs,
+        shingles_distinct,
+    )
+    from cdc_worker_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    tri = shingles_distinct(docs)
+    sizes = tri.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = ngram_candidate_pairs(tri, max_shingle_df=100)
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jac = F.col("n_common").cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("n_common")
+    )
+    pairs = (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= 0.3)
+        .select("doc_a", "doc_b")
+    )
+    dup_ids = (
+        pairs.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id"))
+        .distinct()
+        .withColumn("_dup", F.lit(1))
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .join(F.broadcast(dup_ids), "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count("_dup").alias("n_dup_docs"),
+            F.round(
+                F.count("_dup") / F.count("*").cast("double"), 6
+            ).alias("dup_share"),
+        )
+    )

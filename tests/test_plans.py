@@ -332,3 +332,11 @@ def test_top_terms_broadcasts_df_and_group_limits(spark, sf_dir):
     tree = tree_of(spark, "q_text_top_terms", sf_dir)
     assert "BroadcastHashJoin" in tree
     assert "WindowGroupLimit" in tree
+
+
+def test_rolling_dau_is_fanout_not_range_join(spark, sf_dir):
+    """The trailing-window distinct count must use the sequence+explode
+    fan-out projection — never a per-day range self-join of the event log."""
+    tree = tree_of(spark, "q_events_rolling_dau", sf_dir)
+    assert "SortMergeJoin" not in tree
+    assert "Generate" in tree  # the explode fan-out
