@@ -115,3 +115,32 @@ def cc_star(edges: DataFrame, max_rounds: int = 25) -> DataFrame:
             F.coalesce("component", F.col("node")).alias("component"),
         )
     )
+
+
+def _register_queries() -> None:
+    """Registry hook (module is listed in plans.registry._QUERY_MODULES)."""
+    from pyspark.sql import SparkSession
+
+    from cdc_worker_spark.plans.registry import query
+
+    @query("q_dedup_cluster_star")  # rows-only: iterative; candidates engine-specific
+    def q_dedup_cluster_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """NEAR-duplicate cluster assignment via the large-star/small-star
+        alternation (:func:`cc_star`) over the SAME MinHash pair graph as
+        q_dedup_cluster_near — the web-scale algorithm variant, exposed
+        end-to-end so both CC strategies run the full candidate → cluster
+        path. Labels are asserted equal to the pointer-jumping variant in
+        tests/test_graph_cc.py (same components, same min-id roots)."""
+        from cdc_worker_spark.operators.dedup import minhash_pairs
+        from cdc_worker_spark.sources.tables import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        pairs = minhash_pairs(docs).select(
+            F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+        )
+        return cc_star(pairs).select(
+            F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+        )
+
+
+_register_queries()

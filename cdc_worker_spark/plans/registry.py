@@ -69,6 +69,7 @@ _QUERY_MODULES = (
     "cdc_worker_spark.operators.sqlsurface",
     "cdc_worker_spark.operators.timeseries",
     "cdc_worker_spark.operators.analytics",
+    "cdc_worker_spark.operators.graph",
 )
 
 

@@ -79,3 +79,19 @@ def test_cc_star_agrees_with_pointer_jumping(spark):
     pj = {r[node_c]: r[comp_c] for r in pj_df.collect()}
     for n in pj:
         assert star.get(n, n) == pj[n], (n, star.get(n), pj[n])
+
+
+def test_cluster_star_matches_cluster_near(spark, sf_dir):
+    """Both CC strategies over the same MinHash pair graph must assign the
+    same clusters (same components, same min-id roots)."""
+    from cdc_worker_spark.plans import all_queries
+
+    qs = all_queries()
+    star = {
+        r.doc_id: r.cluster_id
+        for r in qs["q_dedup_cluster_star"](spark, sf_dir).collect()
+    }
+    pj_df = qs["q_dedup_cluster_near"](spark, sf_dir)
+    a, b = pj_df.columns[0], pj_df.columns[1]
+    pj = {r[a]: r[b] for r in pj_df.collect()}
+    assert star == pj

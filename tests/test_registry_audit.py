@@ -19,7 +19,7 @@ def test_registry_size_matches_docs():
     these numbers; update both together."""
     qs = all_queries()
     oracles = all_oracles()
-    assert len(qs) == 133, f"registry has {len(qs)} queries, docs say 133"
+    assert len(qs) == 134, f"registry has {len(qs)} queries, docs say 134"
     assert len(oracles) == 122, (
         f"{len(oracles)} oracle-checked queries, docs say 122 "
         f"({len(qs) - len(oracles)} rows-only by design)"
