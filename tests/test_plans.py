@@ -340,3 +340,13 @@ def test_rolling_dau_is_fanout_not_range_join(spark, sf_dir):
     tree = tree_of(spark, "q_events_rolling_dau", sf_dir)
     assert "SortMergeJoin" not in tree
     assert "Generate" in tree  # the explode fan-out
+
+
+def test_interp_single_window_two_shuffles(spark, sf_dir):
+    """Both interpolation context directions (prev/next) must come from ONE
+    Window operator on the entity partitioning — two frames, one node, the
+    same 2-shuffle budget as the forward fill."""
+    tree = tree_of(spark, "q_ts_interp", sf_dir)
+    assert tree.count("Window ") == 1, tree
+    shuffles = tree.count("Exchange") - tree.count("BroadcastExchange")
+    assert shuffles == 2, tree
