@@ -763,3 +763,41 @@ def q_docs_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_share"),
         )
     )
+
+
+@query(
+    "q_win_trailing",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_window,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+             AS sum_window,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                 / count(*) OVER w, 6) AS avg_window
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_win_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing bounded-rows frame (last 7 observations per entity) — the
+    moving-average shape q_win_running's unbounded frame doesn't cover.
+    Exact decimal sum inside the frame, ratio as one double division, so
+    both engines agree regardless of their internal frame-aggregation
+    strategy (DuckDB segment trees vs Spark's running frame). Same single
+    entity-key exchange as every other window op."""
+    ev = load_events_ms(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ms", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    n = F.count("*").over(w)
+    s = F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double")
+    return ev.select(
+        "event_id",
+        "user_id",
+        n.alias("n_window"),
+        s.alias("sum_window"),
+        F.round(s / n, 6).alias("avg_window"),
+    )
