@@ -337,7 +337,9 @@ def q_agg_salted_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev,
         ["event_type"],
         [
-            ("count", "value_dec", "n_events"),
+            # count "*" (not value_dec): the oracle is count(*), and a
+            # non-null-count of value would silently diverge on NULL values
+            ("count", "*", "n_events"),
             ("sum", "value_dec", "total_dec"),
             ("max", "value", "max_value"),
         ],

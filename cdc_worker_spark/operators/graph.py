@@ -87,6 +87,7 @@ def cc_star(edges: DataFrame, max_rounds: int = 25) -> DataFrame:
     `localCheckpoint`s so the logical plan stays O(1) per round."""
     e = _symmetrize(edges).localCheckpoint(eager=True)
     prev = None
+    converged = False
     for _ in range(max_rounds):
         # large-star reads the SYMMETRIC adjacency (its output, and
         # small-star's, is canonically (bigger, smaller)-directed)
@@ -95,8 +96,17 @@ def cc_star(edges: DataFrame, max_rounds: int = 25) -> DataFrame:
         )
         fp = _edge_fingerprint(e)
         if fp == prev:
+            converged = True
             break
         prev = fp
+    if not converged:
+        # the final labeling assumes a depth-1 star forest; a non-fixpoint
+        # edge set would yield silently wrong labels
+        raise RuntimeError(
+            f"cc_star did not reach the star-forest fixpoint in "
+            f"{max_rounds} rounds; raise max_rounds (converges in "
+            f"O(log^2 n) rounds on any graph)"
+        )
     # the fixpoint is a star forest: every remaining edge points child->root
     sym = _symmetrize(e)
     labels = (

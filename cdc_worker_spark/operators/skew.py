@@ -45,7 +45,9 @@ def salted_agg(
     (keys, salt) — a hot key spreads over n_salts reducers — stage 2 merges
     the partials on keys alone.
 
-    ``specs``: (fn, column, alias) with fn in sum|count|min|max.
+    ``specs``: (fn, column, alias) with fn in sum|count|min|max; pass
+    column ``"*"`` with ``count`` for a SQL count(*) (row count, not
+    non-null count — the stage-2 merge is still a SUM of partials).
 
     Note Spark's own map-side partial aggregation already handles most skew
     for aggregates; reach for this only when the per-key FINAL state is the

@@ -99,9 +99,11 @@ def write_sorted(
 
 
 def file_minmax(path: str, column: str) -> list[tuple]:
-    """(min, max) of ``column`` per parquet data file under ``path``, read
-    from the footer statistics — exactly the metadata a scan planner prunes
-    with. Driver-side metadata read; no data pages touched."""
+    """(file_name, min, max) of ``column`` per parquet data file under
+    ``path``, read from the footer statistics — exactly the metadata a scan
+    planner prunes with. Driver-side metadata read; no data pages touched.
+    Files with no statistics for the column (e.g. empty parts) are omitted;
+    the name in each tuple lets callers join by file instead of position."""
     import os
 
     import pyarrow.parquet as pq
@@ -122,14 +124,14 @@ def file_minmax(path: str, column: str) -> list[tuple]:
                 lo = st.min if lo is None else min(lo, st.min)
                 hi = st.max if hi is None else max(hi, st.max)
         if lo is not None:
-            out.append((lo, hi))
+            out.append((name, lo, hi))
     return out
 
 
 def files_hit(minmax: list[tuple], value) -> int:
     """How many files a point predicate ``col = value`` must scan under the
-    given per-file (min, max) stats — the skipping metric."""
-    return sum(1 for lo, hi in minmax if lo <= value <= hi)
+    given per-file (name, min, max) stats — the skipping metric."""
+    return sum(1 for _, lo, hi in minmax if lo <= value <= hi)
 
 
 def scan_manifest(spark, path: str, columns: list[str]):

@@ -83,7 +83,7 @@ def build_scaled(spark, factor: int, out_dir: str) -> None:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        n_files = max(1, min(32, (out.count() + 50_000) // 50_000))
+        n_files = max(1, min(32, (out.count() + 49_999) // 50_000))
         out.repartition(n_files).write.mode("overwrite").parquet(
             os.path.join(out_dir, f"{name}.parquet")
         )

@@ -27,4 +27,4 @@ def test_oracle_rows_only_errors():
 def test_unknown_query_errors():
     with pytest.raises(SystemExit):
         main(["run"])  # missing query arg -> argparse exits
-    assert main(["oracle", "q_nope"]) == 1 or True  # oracle path: None -> 1
+    assert main(["oracle", "q_nope"]) == 1  # oracle path: None -> 1

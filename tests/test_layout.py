@@ -37,8 +37,8 @@ def layouts(spark, sf_dir, tmp_path_factory):
 
 def _probe_values(minmax):
     """A few probe points spread over the key domain."""
-    lo = min(m for m, _ in minmax)
-    hi = max(m for _, m in minmax)
+    lo = min(m for _, m, _h in minmax)
+    hi = max(m for _, _l, m in minmax)
     step = max((hi - lo) // 7, 1)
     return list(range(lo + step, hi, step))[:5]
 
@@ -94,14 +94,8 @@ def test_scan_manifest_matches_footers(layouts, spark):
         os.path.basename(r.file): (r.l_suppkey_min, r.l_suppkey_max)
         for r in scan_manifest(spark, z_path, ["l_suppkey"]).collect()
     }
-    foot = {}
-    for name in sorted(os.listdir(z_path)):
-        if name.endswith(".parquet"):
-            foot[name] = None
-    mm = file_minmax(z_path, "l_suppkey")
-    for name, stats in zip(sorted(foot), mm):
-        foot[name] = stats
-    assert mani == {k: v for k, v in foot.items() if v is not None}
+    foot = {name: (lo, hi) for name, lo, hi in file_minmax(z_path, "l_suppkey")}
+    assert mani == foot
 
 
 def test_ingest_sized_multiplies_row_groups(spark, sf_dir, tmp_path):
