@@ -103,7 +103,10 @@ def run_bench(spark, rounds: int = 2) -> dict:
         shutil.rmtree(work, ignore_errors=True)
 
 
-AVRO_N = int(os.environ.get("STREAM_BENCH_AVRO_EVENTS", "50000"))
+# 200k events ≈ 46 MB of payloads: enough that the timed decode dominates
+# the ~1.3 s fixed job cost (at the old 50k the metric mostly measured job
+# launch — r04's 5.8 MB/s was overhead-bound, not decode-bound)
+AVRO_N = int(os.environ.get("STREAM_BENCH_AVRO_EVENTS", "200000"))
 
 
 def _avro_decode_bench(spark, work: str) -> dict:

@@ -293,9 +293,13 @@ def test_avro_py_roundtrip_property():
         ),
     })
 
-    from cdc_worker_spark.functions.avro_codec import compile_decoder
+    from cdc_worker_spark.functions.avro_codec import (
+        compile_decoder,
+        compile_json_decoder,
+    )
 
     compiled = compile_decoder(sch)
+    compiled_json = compile_json_decoder(sch)
 
     @given(rec_strat)
     @settings(max_examples=300, deadline=None)
@@ -304,5 +308,49 @@ def test_avro_py_roundtrip_property():
         assert avro_decode(wire, sch) == rec
         # the hot-path compiled decoder is value-equal to the reference one
         assert compiled(wire) == rec
+        # the direct-to-JSON decoder parses back to the same value tree
+        assert json.loads(compiled_json(wire)) == rec
 
     check()
+
+
+def test_avro_py_json_decoder_matches_dumps():
+    """The direct-to-JSON decoder's TEXT is equivalent to
+    json.dumps(decode(...)) modulo whitespace: same key order, same float
+    rendering, map/array/unicode/nested coverage (the golden payload plus a
+    map-typed schema the property test doesn't draw from)."""
+    from cdc_worker_spark.functions.avro_codec import compile_json_decoder
+
+    sch = _account_avro_schema()
+    payload = json.loads(make_envelope(18098167)["payload"])
+    wire = avro_encode(payload, sch)
+    dec_json = compile_json_decoder(sch)
+    assert json.loads(dec_json(wire)) == avro_decode(wire, sch)
+    assert dec_json(wire) == json.dumps(
+        avro_decode(wire, sch), separators=(",", ":"), ensure_ascii=True
+    )
+
+    msch = parse_schema(json.dumps({
+        "type": "record", "name": "m", "fields": [
+            {"name": "m", "type": {"type": "map", "values": ["null", "double"]}},
+            {"name": "s", "type": "string"},
+        ],
+    }))
+    rec = {"m": {"a\"b": 1.5, "ü": None, "": -0.0}, "s": "ünïcode\n\"q\""}
+    wire2 = avro_encode(rec, msch)
+    got = compile_json_decoder(msch)(wire2)
+    assert json.loads(got) == rec
+    assert got == json.dumps(rec, separators=(",", ":"), ensure_ascii=True)
+
+
+def test_avro_py_json_decoder_malformed_raises():
+    """Same malformed-input contract as `decode`: truncation anywhere, bad
+    union branch, trailing bytes -> exception (never a mangled value)."""
+    from cdc_worker_spark.functions.avro_codec import compile_json_decoder
+
+    sch = _account_avro_schema()
+    dec_json = compile_json_decoder(sch)
+    good = avro_encode(json.loads(make_envelope(1)["payload"]), sch)
+    for bad in (good[:-1], good[:1], good + b"\x00", b"\xff" * 11, b"\x07", b""):
+        with pytest.raises(Exception):
+            dec_json(bad)
