@@ -32,6 +32,12 @@ from cdc_worker_spark.operators.dedup import (
     minhash_signatures_from_tokens,
     shingles_distinct,
 )
+from cdc_worker_spark.operators.index_layout import (
+    gc_generations,
+    next_generation,
+    publish_generation,
+    resolve_table,
+)
 
 
 def _digest(col: str = "text"):
@@ -51,18 +57,18 @@ def build_dedup_index(docs: DataFrame, path: str) -> None:
     """Materialize the dedup index for a corpus. Stores digests, MinHash
     signatures, and LSH band keys — compact per-doc derivatives only."""
     digests, sigs, bands = _index_frames(docs)
-    digests.write.mode("overwrite").parquet(os.path.join(path, "digests"))
-    sigs.write.mode("overwrite").parquet(os.path.join(path, "signatures"))
-    bands.write.mode("overwrite").parquet(os.path.join(path, "bands"))
+    digests.write.mode("overwrite").parquet(resolve_table(path, "digests"))
+    sigs.write.mode("overwrite").parquet(resolve_table(path, "signatures"))
+    bands.write.mode("overwrite").parquet(resolve_table(path, "bands"))
 
 
 def extend_dedup_index(docs: DataFrame, path: str) -> None:
     """Append a batch's derivatives to an existing index (the accept step
     after :func:`probe_dedup_index` filtered the batch)."""
     digests, sigs, bands = _index_frames(docs)
-    digests.write.mode("append").parquet(os.path.join(path, "digests"))
-    sigs.write.mode("append").parquet(os.path.join(path, "signatures"))
-    bands.write.mode("append").parquet(os.path.join(path, "bands"))
+    digests.write.mode("append").parquet(resolve_table(path, "digests"))
+    sigs.write.mode("append").parquet(resolve_table(path, "signatures"))
+    bands.write.mode("append").parquet(resolve_table(path, "bands"))
 
 
 def compact_dedup_index(
@@ -72,30 +78,26 @@ def compact_dedup_index(
     :func:`extend_dedup_index` call appends a few small files; after many
     ingest batches the probe scan pays per-file open cost (the classic
     small-files tax). Compaction is an offline rewrite — read, coalesce to
-    ceil(rows / target) files, atomically swap via a temp dir + rename.
-    Run it on whatever cadence keeps file counts sane (e.g. nightly).
+    ceil(rows / target) files into a NEW generation directory, then
+    atomically repoint the ``_CURRENT.json`` manifest (the same
+    pointer-flip the streaming state store uses — one object PUT on
+    S3/GCS, no rename dependency; see operators/index_layout.py). Run it
+    on whatever cadence keeps file counts sane (e.g. nightly).
 
-    Crash safety: the swap is two renames, so a crash can leave either a
-    stale temp/old dir (harmless) or — in the window between the renames —
-    the table moved aside but not replaced. Both states self-heal on the
-    next run: a surviving ``._compact_old`` with no live table is restored
-    before anything else, and stale temp/old dirs are cleared."""
-    import shutil
-
+    Crash safety: readers always see a complete generation — a crash
+    before the flip leaves a dangling unpublished directory, a crash after
+    it leaves the stale old one; both are garbage-collected by the next
+    run's ``gc_generations``. There is no instant at which the table is
+    unreadable."""
     for table in ("digests", "signatures", "bands"):
-        src = os.path.join(path, table)
-        tmp = src + "._compact_tmp"
-        old = src + "._compact_old"
-        if os.path.isdir(old) and not os.path.isdir(src):
-            os.rename(old, src)  # prior run died mid-swap: restore
-        shutil.rmtree(old, ignore_errors=True)
-        shutil.rmtree(tmp, ignore_errors=True)
+        gc_generations(path, table)  # clear prior crash debris first
+        src = resolve_table(path, table)
         df = spark.read.parquet(src)
         n_files = max(1, -(-df.count() // target_rows_per_file))
-        df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
-        os.rename(src, old)
-        os.rename(tmp, src)
-        shutil.rmtree(old, ignore_errors=True)
+        gen = next_generation(path, table)
+        df.coalesce(n_files).write.parquet(os.path.join(path, gen))
+        publish_generation(path, table, gen)
+        gc_generations(path, table)
 
 
 def probe_dedup_index(
@@ -126,7 +128,7 @@ def probe_dedup_index(
         frames if frames is not None else _index_frames(batch)
     )
 
-    idx_digests = spark.read.parquet(os.path.join(path, "digests"))
+    idx_digests = spark.read.parquet(resolve_table(path, "digests"))
     exact = (
         idx_digests.join(F.broadcast(b_digests.withColumnRenamed("doc_id", "b_id")),
                          "text_hash")
@@ -140,7 +142,7 @@ def probe_dedup_index(
         )
     )
 
-    idx_bands = spark.read.parquet(os.path.join(path, "bands"))
+    idx_bands = spark.read.parquet(resolve_table(path, "bands"))
     cand = (
         idx_bands.join(
             F.broadcast(
@@ -153,7 +155,7 @@ def probe_dedup_index(
         .select(F.col("b_id").alias("doc_id"), F.col("doc_id").alias("match_id"))
         .distinct()
     )
-    idx_sigs = spark.read.parquet(os.path.join(path, "signatures"))
+    idx_sigs = spark.read.parquet(resolve_table(path, "signatures"))
     agree = sum(
         F.when(F.col(f"h{k}") == F.col(f"bh{k}"), 1).otherwise(0)
         for k in range(_MINHASH_K)

@@ -24,6 +24,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cdc_worker_spark.operators.dedup import dot_col
+from cdc_worker_spark.operators.index_layout import (
+    gc_generations,
+    next_generation,
+    publish_generation,
+    resolve_table,
+)
 
 
 def _centroid_df(spark: SparkSession, cents: list[list[float]]) -> DataFrame:
@@ -209,10 +215,10 @@ def build_ivf_index(
     cents = kmeans_centroids(emb, k=k, n_iters=n_iters, sample_fraction=sample_fraction)
     assigned = assign_buckets(emb, cents)
     assigned.write.mode("overwrite").partitionBy("bucket").parquet(
-        os.path.join(path, "lists")
+        resolve_table(path, "lists")
     )
     _centroid_df(spark, cents).write.mode("overwrite").parquet(
-        os.path.join(path, "centroids")
+        resolve_table(path, "centroids")
     )
 
 
@@ -224,13 +230,13 @@ def extend_ivf_index(emb: DataFrame, path: str) -> None:
     production IVF serving layout. ``emb`` must carry vec_id/dv/nrm."""
     spark = emb.sparkSession
     cent_rows = (
-        spark.read.parquet(os.path.join(path, "centroids"))
+        spark.read.parquet(resolve_table(path, "centroids"))
         .orderBy("bucket")
         .collect()
     )
     cents = [list(r.c_dv) for r in cent_rows]
     assign_buckets(emb, cents).write.mode("append").partitionBy("bucket").parquet(
-        os.path.join(path, "lists")
+        resolve_table(path, "lists")
     )
 
 
@@ -241,28 +247,21 @@ def compact_ivf_index(spark: SparkSession, path: str) -> None:
     layout probes want (per-file open cost is the small-files tax).
     Hash-repartitioning on ``bucket`` into |buckets| tasks gives each task
     (at most a few) whole buckets, so every bucket dir is written by exactly
-    one task = one file. Atomic swap via temp dir + rename; the centroid
+    one task = one file. The swap is a generation-pointer flip
+    (operators/index_layout.py — write a new generation, republish
+    ``_CURRENT.json`` in one atomic object PUT, GC the old), so it is
+    object-store-safe and readers never see a missing table; the centroid
     table is tiny and never needs compaction."""
-    import shutil
-
-    src = os.path.join(path, "lists")
-    tmp = src + "._compact_tmp"
-    old = src + "._compact_old"
-    # self-heal a prior crashed swap (see compact_dedup_index): restore a
-    # moved-aside table, then clear any stale temp/old dirs
-    if os.path.isdir(old) and not os.path.isdir(src):
-        os.rename(old, src)
-    shutil.rmtree(old, ignore_errors=True)
-    shutil.rmtree(tmp, ignore_errors=True)
-    df = spark.read.parquet(src)
+    gc_generations(path, "lists")  # clear prior crash debris first
+    df = spark.read.parquet(resolve_table(path, "lists"))
     n_buckets = max(df.select("bucket").distinct().count(), 1)
+    gen = next_generation(path, "lists")
     (
         df.repartition(n_buckets, "bucket")
-        .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+        .write.partitionBy("bucket").parquet(os.path.join(path, gen))
     )
-    os.rename(src, old)
-    os.rename(tmp, src)
-    shutil.rmtree(old, ignore_errors=True)
+    publish_generation(path, "lists", gen)
+    gc_generations(path, "lists")
 
 
 def probe_ivf_index(
@@ -279,7 +278,7 @@ def probe_ivf_index(
     this is the serving path) so the bucket predicate is a LITERAL ``IN``
     list: the parquet scan prunes to the probed bucket directories, which is
     the point of the layout. ``queries`` must carry vec_id/dv/nrm."""
-    cent_df = spark.read.parquet(os.path.join(path, "centroids"))
+    cent_df = spark.read.parquet(resolve_table(path, "centroids"))
     dist = F.col("q_nrm") + F.col("c_nrm") - 2 * dot_col(F.col("q_dv"), F.col("c_dv"))
     q = queries.select(
         F.col("vec_id").alias("q_id"), F.col("dv").alias("q_dv"),
@@ -299,7 +298,7 @@ def probe_ivf_index(
         [(r.q_id, r.bucket) for r in probes], "q_id: long, bucket: int"
     ).join(q, "q_id")
 
-    lists = spark.read.parquet(os.path.join(path, "lists")).filter(
+    lists = spark.read.parquet(resolve_table(path, "lists")).filter(
         F.col("bucket").isin(probe_buckets)  # literal IN -> partition pruning
     )
     cos = dot_col(F.col("q_dv"), F.col("c_dv")) / (

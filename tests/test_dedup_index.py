@@ -105,10 +105,13 @@ def test_compact_preserves_content_and_shrinks_files(spark, tmp_path):
     assert n_files_before > 1
 
     compact_dedup_index(spark, idx)
+    from cdc_worker_spark.operators.index_layout import resolve_table
+
     for t, rows in before.items():
-        after = sorted(tuple(r) for r in spark.read.parquet(f"{idx}/{t}").collect())
+        live = resolve_table(idx, t)  # compaction publishes a new generation
+        after = sorted(tuple(r) for r in spark.read.parquet(live).collect())
         assert after == rows, t
-    assert len(glob.glob(f"{idx}/digests/*.parquet")) == 1
+    assert len(glob.glob(resolve_table(idx, "digests") + "/*.parquet")) == 1
 
     batch = _docs(spark, [(900, BASE[0][1], "en", "s", 0)])
     hits = {(r.doc_id, r.match_id): r.kind
@@ -116,24 +119,52 @@ def test_compact_preserves_content_and_shrinks_files(spark, tmp_path):
     assert hits[(900, 1)] == "exact"
 
 
-def test_compact_self_heals_from_crashed_swap(spark, tmp_path):
-    """A crash between the two swap renames leaves the table moved aside;
-    the next compaction must restore it and complete normally."""
+def test_compact_pointer_flip_is_object_store_safe(spark, tmp_path):
+    """Compaction never renames the live table: it writes a NEW generation
+    and atomically republishes _CURRENT.json (one object PUT on S3/GCS —
+    the same pointer-flip the streaming state store uses), so crash debris
+    on either side of the flip is only ever an UNREFERENCED directory and
+    readers always have a complete table. Simulate both crash states and
+    check content survives + debris is garbage-collected."""
     import os
+    import shutil
 
     from cdc_worker_spark.operators.dedup_index import compact_dedup_index
+    from cdc_worker_spark.operators.index_layout import (
+        read_pointer,
+        resolve_table,
+    )
 
     idx = str(tmp_path / "idx")
     build_dedup_index(_docs(spark, BASE), idx)
     rows_before = sorted(
         tuple(r) for r in spark.read.parquet(f"{idx}/digests").collect()
     )
-    # simulate the mid-swap crash state
-    os.rename(f"{idx}/digests", f"{idx}/digests._compact_old")
+    # crash BEFORE the flip: a dangling, unpublished (even garbage) generation
+    os.makedirs(f"{idx}/digests.g7")
+    with open(f"{idx}/digests.g7/part-junk.parquet", "w") as f:
+        f.write("not parquet")
+
     compact_dedup_index(spark, idx)
-    rows_after = sorted(
-        tuple(r) for r in spark.read.parquet(f"{idx}/digests").collect()
-    )
-    assert rows_after == rows_before
-    assert not os.path.exists(f"{idx}/digests._compact_old")
-    assert not os.path.exists(f"{idx}/digests._compact_tmp")
+    assert read_pointer(idx)["digests"].startswith("digests.g")
+    live = resolve_table(idx, "digests")
+    assert sorted(
+        tuple(r) for r in spark.read.parquet(live).collect()
+    ) == rows_before
+    # the dangling generation and the superseded plain dir are both GC'd
+    assert not os.path.exists(f"{idx}/digests.g7")
+    assert not os.path.exists(f"{idx}/digests")
+
+    # crash AFTER a flip: the stale previous generation was left behind
+    shutil.copytree(live, f"{idx}/digests.g9")
+    compact_dedup_index(spark, idx)
+    assert not os.path.exists(f"{idx}/digests.g9")
+    assert sorted(
+        tuple(r)
+        for r in spark.read.parquet(resolve_table(idx, "digests")).collect()
+    ) == rows_before
+    # the probe path reads through the pointer
+    batch = _docs(spark, [(900, BASE[0][1], "en", "s", 0)])
+    hits = {(r.doc_id, r.match_id): r.kind
+            for r in probe_dedup_index(spark, idx, batch).collect()}
+    assert hits[(900, 1)] == "exact"

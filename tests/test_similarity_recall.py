@@ -139,6 +139,7 @@ def test_compact_ivf_index_preserves_lists_and_probes(spark, sf_dir, tmp_path):
     from pyspark.sql import functions as F
 
     from cdc_worker_spark.operators.dedup import with_double_vec
+    from cdc_worker_spark.operators.index_layout import resolve_table
     from cdc_worker_spark.operators.ivf import (
         build_ivf_index, compact_ivf_index, extend_ivf_index, probe_ivf_index,
     )
@@ -157,12 +158,13 @@ def test_compact_ivf_index_preserves_lists_and_probes(spark, sf_dir, tmp_path):
     )
 
     compact_ivf_index(spark, idx)
+    live = resolve_table(idx, "lists")  # compaction publishes a new generation
     after = sorted(
         (r.vec_id, r.bucket)
-        for r in spark.read.parquet(idx + "/lists").select("vec_id", "bucket").collect()
+        for r in spark.read.parquet(live).select("vec_id", "bucket").collect()
     )
     assert after == before
-    for bdir in glob.glob(idx + "/lists/bucket=*"):
+    for bdir in glob.glob(live + "/bucket=*"):
         assert len(glob.glob(bdir + "/*.parquet")) == 1, bdir
 
     probe = emb.filter(F.col("vec_id") == 7).withColumn(
