@@ -33,10 +33,13 @@ from cdc_worker_spark.operators.dedup import (
     shingles_distinct,
 )
 from cdc_worker_spark.operators.index_layout import (
+    begin_segment,
     gc_generations,
+    live_paths,
     next_generation,
     publish_generation,
-    resolve_table,
+    publish_segment,
+    segment_registered,
 )
 
 
@@ -55,20 +58,42 @@ def _index_frames(docs: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
 
 def build_dedup_index(docs: DataFrame, path: str) -> None:
     """Materialize the dedup index for a corpus. Stores digests, MinHash
-    signatures, and LSH band keys — compact per-doc derivatives only."""
+    signatures, and LSH band keys — compact per-doc derivatives only. Each
+    table is written as a fresh base generation and published with one
+    atomic pointer flip (operators/index_layout.py), so a rebuild never
+    leaves a reader mid-overwrite."""
     digests, sigs, bands = _index_frames(docs)
-    digests.write.mode("overwrite").parquet(resolve_table(path, "digests"))
-    sigs.write.mode("overwrite").parquet(resolve_table(path, "signatures"))
-    bands.write.mode("overwrite").parquet(resolve_table(path, "bands"))
+    for table, df in (("digests", digests), ("signatures", sigs),
+                      ("bands", bands)):
+        gen = next_generation(path, table)
+        df.write.parquet(os.path.join(path, gen))
+        publish_generation(path, table, gen)
+        gc_generations(path, table)
 
 
-def extend_dedup_index(docs: DataFrame, path: str) -> None:
+def extend_dedup_index(docs: DataFrame, path: str, token: str | None = None) -> None:
     """Append a batch's derivatives to an existing index (the accept step
-    after :func:`probe_dedup_index` filtered the batch)."""
+    after :func:`probe_dedup_index` filtered the batch).
+
+    ``token`` is the append's idempotency key (e.g. the streaming
+    batch_id): each table's rows land in a token-named SEGMENT directory
+    that becomes visible only when registered in the pointer manifest. A
+    replayed extend with the same token skips already-registered tables
+    and rewrites any half-written unregistered debris — the crash-mid-
+    append double-count of a plain parquet append cannot happen. With no
+    token a unique one is generated (crash-safe but not replay-dedupable:
+    the caller can't re-identify the attempt)."""
+    if token is None:
+        import uuid
+
+        token = uuid.uuid4().hex
     digests, sigs, bands = _index_frames(docs)
-    digests.write.mode("append").parquet(resolve_table(path, "digests"))
-    sigs.write.mode("append").parquet(resolve_table(path, "signatures"))
-    bands.write.mode("append").parquet(resolve_table(path, "bands"))
+    for table, df in (("digests", digests), ("signatures", sigs),
+                      ("bands", bands)):
+        if segment_registered(path, table, token):
+            continue  # replay of a fully-committed append: no-op
+        df.write.parquet(begin_segment(path, table, token))
+        publish_segment(path, table, token)
 
 
 def compact_dedup_index(
@@ -91,12 +116,11 @@ def compact_dedup_index(
     unreadable."""
     for table in ("digests", "signatures", "bands"):
         gc_generations(path, table)  # clear prior crash debris first
-        src = resolve_table(path, table)
-        df = spark.read.parquet(src)
+        df = spark.read.parquet(*live_paths(path, table))
         n_files = max(1, -(-df.count() // target_rows_per_file))
         gen = next_generation(path, table)
         df.coalesce(n_files).write.parquet(os.path.join(path, gen))
-        publish_generation(path, table, gen)
+        publish_generation(path, table, gen)  # also folds segments into base
         gc_generations(path, table)
 
 
@@ -128,7 +152,7 @@ def probe_dedup_index(
         frames if frames is not None else _index_frames(batch)
     )
 
-    idx_digests = spark.read.parquet(resolve_table(path, "digests"))
+    idx_digests = spark.read.parquet(*live_paths(path, "digests"))
     exact = (
         idx_digests.join(F.broadcast(b_digests.withColumnRenamed("doc_id", "b_id")),
                          "text_hash")
@@ -142,7 +166,7 @@ def probe_dedup_index(
         )
     )
 
-    idx_bands = spark.read.parquet(resolve_table(path, "bands"))
+    idx_bands = spark.read.parquet(*live_paths(path, "bands"))
     cand = (
         idx_bands.join(
             F.broadcast(
@@ -155,7 +179,7 @@ def probe_dedup_index(
         .select(F.col("b_id").alias("doc_id"), F.col("doc_id").alias("match_id"))
         .distinct()
     )
-    idx_sigs = spark.read.parquet(resolve_table(path, "signatures"))
+    idx_sigs = spark.read.parquet(*live_paths(path, "signatures"))
     agree = sum(
         F.when(F.col(f"h{k}") == F.col(f"bh{k}"), 1).otherwise(0)
         for k in range(_MINHASH_K)

@@ -1,35 +1,45 @@
-"""Generation-pointer layout for materialized index tables.
+"""Manifest-pointer layout for materialized index tables.
 
 The dedup and IVF indexes (operators/dedup_index.py, operators/ivf.py) are
-long-lived on-disk layouts that get compacted on a maintenance cadence. The
-r4-era compaction swapped directories with two ``os.rename`` calls — atomic
-on POSIX, but object stores (where a 100 TB index actually lives) have no
-rename, and the two-rename window briefly left NO live table. This module
-replaces that with the manifest-pointer flip the streaming state store
-already uses (streaming/pipeline.py: `_write_manifest`):
+long-lived on-disk layouts that get appended to on every ingest batch and
+compacted on a maintenance cadence. The r4-era code mutated the live
+directories directly (`mode("append")` into the table, compaction via two
+``os.rename`` calls) — which double-counts rows when a crashed append
+replays, and breaks entirely on object stores (no rename). This module
+gives each table the same manifest discipline the streaming state store
+uses (streaming/pipeline.py: `_write_manifest`), in miniature:
 
-- each logical table resolves through ``_CURRENT.json`` in the index root:
-  ``{"digests": "digests.g3", ...}``; a table absent from the pointer (or a
-  missing pointer file) resolves to its plain directory name, so pre-pointer
-  indexes keep working unchanged
-- compaction writes a brand-new generation directory (invisible to readers),
-  then atomically republishes the pointer (``os.replace`` locally — a single
-  object PUT on S3/GCS, which is atomic at the object level), then garbage-
-  collects unreferenced generations
-- a crash before the flip leaves a dangling new generation (GC'd by the next
-  compaction); a crash after the flip leaves the old generation (same). At
-  NO point is the table unreadable — the failure mode the rename swap had.
+- ``_CURRENT.json`` in the index root maps each logical table to
+  ``{"base": <dir>, "segments": [<dir>, ...]}``; readers scan the union.
+  A missing pointer (or a table absent from it) resolves to the plain
+  directory name, so pre-pointer indexes keep working unchanged.
+- Appends write a NEW segment directory named by an idempotency token
+  (invisible to readers), then register it in the pointer with one atomic
+  replace (``os.replace`` locally — a single object PUT on S3/GCS). A
+  replayed append with the same token is a no-op if already registered,
+  and overwrites the unregistered debris if the first attempt crashed
+  mid-write: appends are exactly-once.
+- Compaction reads the union, writes a new base generation, publishes
+  ``{"base": gen, "segments": []}`` in one flip, then garbage-collects
+  every unreferenced directory.
+- At NO point is the table unreadable, and no reader ever sees a
+  half-written directory — the two failure modes the mutate-in-place
+  layout had.
 
-Compaction still assumes no concurrent writer on the same table (offline
-maintenance, like the rename version did); readers are never blocked.
+Writers (append/compact) still assume single-writer-per-table (the ingest
+loop is serial per index; compaction is offline maintenance); readers are
+never blocked.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import re
 
 POINTER_FILE = "_CURRENT.json"
+
+_TOKEN_RE = re.compile(r"[^A-Za-z0-9_.-]")
 
 
 def _pointer_path(root: str) -> str:
@@ -37,49 +47,118 @@ def _pointer_path(root: str) -> str:
 
 
 def read_pointer(root: str) -> dict:
-    """The current table->directory mapping ({} when no flip happened yet)."""
+    """table -> {"base": dir, "segments": [dirs]} ({} when no flip has
+    happened yet). v1 pointers (plain string values) are normalized."""
     p = _pointer_path(root)
     if not os.path.isfile(p):
         return {}
     with open(p) as f:
-        return json.load(f)
+        raw = json.load(f)
+    return {
+        t: ({"base": v, "segments": []} if isinstance(v, str) else v)
+        for t, v in raw.items()
+    }
 
 
-def resolve_table(root: str, table: str) -> str:
-    """Absolute path of the CURRENT generation of ``table`` (falls back to
-    the plain directory for indexes that predate the pointer)."""
-    return os.path.join(root, read_pointer(root).get(table, table))
-
-
-def next_generation(root: str, table: str) -> str:
-    """An unused generation directory name ``<table>.g<N>``."""
-    n = 0
-    while os.path.exists(os.path.join(root, f"{table}.g{n}")):
-        n += 1
-    return f"{table}.g{n}"
-
-
-def publish_generation(root: str, table: str, gen_name: str) -> None:
-    """Atomically repoint ``table`` at ``gen_name``: read-modify-write of
-    the pointer file through a temp + ``os.replace`` (locally atomic; the
-    object-store equivalent is one PUT of the pointer object)."""
-    cur = read_pointer(root)
-    cur[table] = gen_name
+def _write_pointer(root: str, cur: dict) -> None:
     tmp = _pointer_path(root) + ".tmp"
     with open(tmp, "w") as f:
         json.dump(cur, f)
     os.replace(tmp, _pointer_path(root))
 
 
-def gc_generations(root: str, table: str) -> None:
-    """Remove every directory of ``table`` the pointer does not reference:
-    stale generations from completed flips and dangling ones from crashed
-    compactions. Safe to run any time no compaction is in flight."""
+def _entry(root: str, table: str) -> dict:
+    return read_pointer(root).get(table, {"base": table, "segments": []})
+
+
+def resolve_table(root: str, table: str) -> str:
+    """Absolute path of the CURRENT base generation of ``table`` (segments
+    excluded — use :func:`live_paths` for the full reader view)."""
+    return os.path.join(root, _entry(root, table)["base"])
+
+
+def live_paths(root: str, table: str) -> list[str]:
+    """Every directory a reader must scan: base + registered segments, in
+    registration order. Paths that don't exist yet (fresh index before the
+    first build) are kept so the caller's error is a clear read failure."""
+    e = _entry(root, table)
+    return [os.path.join(root, e["base"])] + [
+        os.path.join(root, s) for s in e["segments"]
+    ]
+
+
+def table_exists(root: str, table: str) -> bool:
+    return os.path.isdir(resolve_table(root, table))
+
+
+def next_generation(root: str, table: str) -> str:
+    """An unused base-generation directory name ``<table>.g<N>``."""
+    n = 0
+    while os.path.exists(os.path.join(root, f"{table}.g{n}")):
+        n += 1
+    return f"{table}.g{n}"
+
+
+def segment_name(table: str, token: str) -> str:
+    """Deterministic segment directory name for an append token (the
+    token is the idempotency key — e.g. a streaming batch_id)."""
+    return f"{table}.s-{_TOKEN_RE.sub('_', str(token))}"
+
+
+def segment_registered(root: str, table: str, token: str) -> bool:
+    return segment_name(table, token) in _entry(root, table)["segments"]
+
+
+def begin_segment(root: str, table: str, token: str) -> str:
+    """Path to write the segment's data into. If an UNREGISTERED directory
+    with this name exists (a crashed prior attempt), it is cleared — the
+    replay rewrites it from scratch, which is what makes the append
+    exactly-once. Call :func:`publish_segment` after the write succeeds."""
     import shutil
 
-    live = read_pointer(root).get(table, table)
+    name = segment_name(table, token)
+    if segment_registered(root, table, token):
+        raise ValueError(
+            f"segment {name!r} is already published; check "
+            "segment_registered() before writing"
+        )
+    path = os.path.join(root, name)
+    shutil.rmtree(path, ignore_errors=True)
+    return path
+
+
+def publish_segment(root: str, table: str, token: str) -> None:
+    """Atomically register a fully-written segment (one pointer PUT)."""
+    cur = read_pointer(root)
+    e = cur.get(table, {"base": table, "segments": []})
+    e = {"base": e["base"], "segments": list(e["segments"])}
+    name = segment_name(table, token)
+    if name not in e["segments"]:
+        e["segments"].append(name)
+    cur[table] = e
+    _write_pointer(root, cur)
+
+
+def publish_generation(root: str, table: str, gen_name: str) -> None:
+    """Atomically repoint ``table``'s base at ``gen_name`` and clear its
+    segment list (compaction folded them in)."""
+    cur = read_pointer(root)
+    cur[table] = {"base": gen_name, "segments": []}
+    _write_pointer(root, cur)
+
+
+def gc_generations(root: str, table: str) -> None:
+    """Remove every directory of ``table`` the pointer does not reference:
+    stale bases/segments from completed flips and dangling ones from
+    crashed writes. Safe whenever no append/compaction is in flight."""
+    import shutil
+
+    e = _entry(root, table)
+    live = {e["base"], *e["segments"]}
     for name in os.listdir(root):
-        if name == live:
+        if name in live:
             continue
-        if name == table or name.startswith(table + ".g"):
+        if name == table or name.startswith(table + ".g") or name.startswith(
+            table + ".s-"
+        ):
             shutil.rmtree(os.path.join(root, name), ignore_errors=True)

@@ -25,10 +25,14 @@ from pyspark.sql import functions as F
 
 from cdc_worker_spark.operators.dedup import dot_col
 from cdc_worker_spark.operators.index_layout import (
+    begin_segment,
     gc_generations,
+    live_paths,
     next_generation,
     publish_generation,
+    publish_segment,
     resolve_table,
+    segment_registered,
 )
 
 
@@ -214,20 +218,34 @@ def build_ivf_index(
     spark = emb.sparkSession
     cents = kmeans_centroids(emb, k=k, n_iters=n_iters, sample_fraction=sample_fraction)
     assigned = assign_buckets(emb, cents)
-    assigned.write.mode("overwrite").partitionBy("bucket").parquet(
-        resolve_table(path, "lists")
-    )
-    _centroid_df(spark, cents).write.mode("overwrite").parquet(
-        resolve_table(path, "centroids")
-    )
+    # fresh base generation + one atomic pointer flip per table: a rebuild
+    # never overwrites what a concurrent reader is scanning
+    gen = next_generation(path, "lists")
+    assigned.write.partitionBy("bucket").parquet(os.path.join(path, gen))
+    publish_generation(path, "lists", gen)
+    gc_generations(path, "lists")
+    cgen = next_generation(path, "centroids")
+    _centroid_df(spark, cents).write.parquet(os.path.join(path, cgen))
+    publish_generation(path, "centroids", cgen)
+    gc_generations(path, "centroids")
 
 
-def extend_ivf_index(emb: DataFrame, path: str) -> None:
+def extend_ivf_index(emb: DataFrame, path: str, token: str | None = None) -> None:
     """Append new vectors to an existing index WITHOUT retraining: read the
     stored centroids, assign each new vector (pure projection — no shuffle),
-    and append into the bucket-partitioned lists. The incremental-ingest
-    contract: centroids drift only on an explicit rebuild, exactly like a
-    production IVF serving layout. ``emb`` must carry vec_id/dv/nrm."""
+    and write them as a bucket-partitioned SEGMENT registered in the
+    pointer manifest (operators/index_layout.py). ``token`` is the
+    idempotency key: a replayed extend with the same token is a no-op if
+    registered and rewrites crashed half-written debris if not — the
+    plain-append double-count cannot happen. Centroids drift only on an
+    explicit rebuild, exactly like a production IVF serving layout.
+    ``emb`` must carry vec_id/dv/nrm."""
+    if token is None:
+        import uuid
+
+        token = uuid.uuid4().hex
+    if segment_registered(path, "lists", token):
+        return  # replay of a fully-committed append
     spark = emb.sparkSession
     cent_rows = (
         spark.read.parquet(resolve_table(path, "centroids"))
@@ -235,9 +253,23 @@ def extend_ivf_index(emb: DataFrame, path: str) -> None:
         .collect()
     )
     cents = [list(r.c_dv) for r in cent_rows]
-    assign_buckets(emb, cents).write.mode("append").partitionBy("bucket").parquet(
-        resolve_table(path, "lists")
+    assign_buckets(emb, cents).write.partitionBy("bucket").parquet(
+        begin_segment(path, "lists", token)
     )
+    publish_segment(path, "lists", token)
+
+
+def _read_lists(spark: SparkSession, path: str) -> DataFrame:
+    """The lists table = union of its live directories (base generation +
+    registered append segments). Each bucket-partitioned directory is its
+    own parquet root (Spark cannot mix several partitioned roots in one
+    read), and bucket predicates push through the Union into every scan's
+    PartitionFilters, so pruning is preserved per segment."""
+    paths = live_paths(path, "lists")
+    out = spark.read.parquet(paths[0])
+    for extra in paths[1:]:
+        out = out.unionByName(spark.read.parquet(extra))
+    return out
 
 
 def compact_ivf_index(spark: SparkSession, path: str) -> None:
@@ -253,7 +285,7 @@ def compact_ivf_index(spark: SparkSession, path: str) -> None:
     object-store-safe and readers never see a missing table; the centroid
     table is tiny and never needs compaction."""
     gc_generations(path, "lists")  # clear prior crash debris first
-    df = spark.read.parquet(resolve_table(path, "lists"))
+    df = _read_lists(spark, path)
     n_buckets = max(df.select("bucket").distinct().count(), 1)
     gen = next_generation(path, "lists")
     (
@@ -298,7 +330,7 @@ def probe_ivf_index(
         [(r.q_id, r.bucket) for r in probes], "q_id: long, bucket: int"
     ).join(q, "q_id")
 
-    lists = spark.read.parquet(resolve_table(path, "lists")).filter(
+    lists = _read_lists(spark, path).filter(
         F.col("bucket").isin(probe_buckets)  # literal IN -> partition pruning
     )
     cos = dot_col(F.col("q_dv"), F.col("c_dv")) / (

@@ -203,7 +203,9 @@ def run_dedup_ingest_pipeline(
     """Stream jsonl document batches from ``input_dir`` through the
     probe -> split -> append -> extend loop. Bootstraps an empty index when
     ``index_dir`` does not exist yet."""
-    if not os.path.isdir(os.path.join(index_dir, "digests")):
+    from cdc_worker_spark.operators.index_layout import table_exists
+
+    if not table_exists(index_dir, "digests"):
         build_dedup_index(
             spark.createDataFrame([], DOC_SCHEMA), index_dir
         )
@@ -242,7 +244,10 @@ def run_dedup_ingest_pipeline(
         accepted = accepted.localCheckpoint(eager=True)
         rejected.write.mode("append").parquet(rejects_dir)
         accepted.write.mode("append").parquet(corpus_dir)
-        extend_dedup_index(accepted, index_dir)
+        # batch_id as the idempotency token: if the ledger write below
+        # crashes and the batch replays, the index extend is a no-op at
+        # the segment layer too (exactly-once, not just at-least-once)
+        extend_dedup_index(accepted, index_dir, token=f"b{batch_id}")
         with open(committed_path, "a") as fh:
             fh.write(f"{batch_id}\n")
 

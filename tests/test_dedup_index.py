@@ -95,19 +95,23 @@ def test_compact_preserves_content_and_shrinks_files(spark, tmp_path):
             _docs(spark, [(500 + i, f"unique appended doc number {i} here", "en", "s", 0)]),
             idx,
         )
+    from cdc_worker_spark.operators.index_layout import live_paths
+
     before = {
         t: sorted(
-            tuple(r) for r in spark.read.parquet(f"{idx}/{t}").collect()
+            tuple(r)
+            for r in spark.read.parquet(*live_paths(idx, t)).collect()
         )
         for t in ("digests", "signatures", "bands")
     }
-    n_files_before = len(glob.glob(f"{idx}/digests/*.parquet"))
-    assert n_files_before > 1
+    n_dirs_before = len(live_paths(idx, "digests"))
+    assert n_dirs_before > 1  # base + one segment per append
 
     compact_dedup_index(spark, idx)
     from cdc_worker_spark.operators.index_layout import resolve_table
 
     for t, rows in before.items():
+        assert len(live_paths(idx, t)) == 1  # segments folded into the base
         live = resolve_table(idx, t)  # compaction publishes a new generation
         after = sorted(tuple(r) for r in spark.read.parquet(live).collect())
         assert after == rows, t
@@ -138,7 +142,8 @@ def test_compact_pointer_flip_is_object_store_safe(spark, tmp_path):
     idx = str(tmp_path / "idx")
     build_dedup_index(_docs(spark, BASE), idx)
     rows_before = sorted(
-        tuple(r) for r in spark.read.parquet(f"{idx}/digests").collect()
+        tuple(r)
+        for r in spark.read.parquet(resolve_table(idx, "digests")).collect()
     )
     # crash BEFORE the flip: a dangling, unpublished (even garbage) generation
     os.makedirs(f"{idx}/digests.g7")
@@ -146,7 +151,8 @@ def test_compact_pointer_flip_is_object_store_safe(spark, tmp_path):
         f.write("not parquet")
 
     compact_dedup_index(spark, idx)
-    assert read_pointer(idx)["digests"].startswith("digests.g")
+    entry = read_pointer(idx)["digests"]
+    assert entry["base"].startswith("digests.g") and entry["segments"] == []
     live = resolve_table(idx, "digests")
     assert sorted(
         tuple(r) for r in spark.read.parquet(live).collect()
@@ -168,3 +174,71 @@ def test_compact_pointer_flip_is_object_store_safe(spark, tmp_path):
     hits = {(r.doc_id, r.match_id): r.kind
             for r in probe_dedup_index(spark, idx, batch).collect()}
     assert hits[(900, 1)] == "exact"
+
+
+def test_extend_crash_mid_append_replays_exactly_once(spark, tmp_path):
+    """Failure injection for the append path (the compaction swap was
+    already crash-tested): a crash can strand ANY prefix of the extend —
+    junk in an unregistered segment dir, or some tables' segments already
+    published and others not. A replay with the same token must land every
+    table at exactly base+batch rows: published tables skip, unpublished
+    debris is rewritten from scratch. A second full replay is a no-op."""
+    import os
+
+    from cdc_worker_spark.operators import dedup_index as DI
+    from cdc_worker_spark.operators.dedup_index import (
+        compact_dedup_index,
+        extend_dedup_index,
+    )
+    from cdc_worker_spark.operators.index_layout import (
+        begin_segment,
+        live_paths,
+        publish_segment,
+        segment_name,
+    )
+
+    idx = str(tmp_path / "idx")
+    build_dedup_index(_docs(spark, BASE), idx)
+    base_n = {
+        t: spark.read.parquet(*live_paths(idx, t)).count()
+        for t in ("digests", "signatures", "bands")
+    }
+    batch = _docs(spark, [
+        (700, "a brand new document appended later", "en", "s", 0),
+        (701, "another brand new appended document", "en", "s", 0),
+    ])
+
+    # per-table row deltas the batch contributes (bands are 1-per-band)
+    b_frames = dict(zip(("digests", "signatures", "bands"),
+                        DI._index_frames(batch)))
+    delta = {t: df.count() for t, df in b_frames.items()}
+
+    # crash state 1: signatures segment fully written AND published...
+    b_sigs = b_frames["signatures"]
+    b_sigs.write.parquet(begin_segment(idx, "signatures", "t1"))
+    publish_segment(idx, "signatures", "t1")
+    # ...while the digests segment died mid-write (unregistered junk)
+    junk = os.path.join(idx, segment_name("digests", "t1"))
+    os.makedirs(junk)
+    with open(os.path.join(junk, "part-00000.parquet"), "w") as f:
+        f.write("truncated by crash")
+
+    # replay of the same logical append
+    extend_dedup_index(batch, idx, token="t1")
+    for t in ("digests", "signatures", "bands"):
+        got = spark.read.parquet(*live_paths(idx, t))
+        assert got.count() == base_n[t] + delta[t], t
+
+    # full replay (e.g. ledger write crashed): a complete no-op
+    extend_dedup_index(batch, idx, token="t1")
+    for t in ("digests", "signatures", "bands"):
+        assert (spark.read.parquet(*live_paths(idx, t)).count()
+                == base_n[t] + delta[t]), t
+
+    # compaction folds the segments in and the rows survive
+    compact_dedup_index(spark, idx)
+    for t in ("digests", "signatures", "bands"):
+        paths = live_paths(idx, t)
+        assert len(paths) == 1
+        assert (spark.read.parquet(*paths).count()
+                == base_n[t] + delta[t]), t

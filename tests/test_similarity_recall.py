@@ -52,7 +52,10 @@ def test_materialized_ivf_index_probe(spark, sf_dir, tmp_path):
     emb = with_double_vec(load_table(spark, sf_dir, "embeddings"))
     build_ivf_index(emb, idx, k=16, n_iters=2)
     # layout: one directory per centroid bucket
-    buckets = [d for d in os.listdir(os.path.join(idx, "lists")) if d.startswith("bucket=")]
+    from cdc_worker_spark.operators.index_layout import resolve_table
+
+    lists_dir = resolve_table(idx, "lists")
+    buckets = [d for d in os.listdir(lists_dir) if d.startswith("bucket=")]
     assert len(buckets) > 1
 
     queries = emb.filter(F.col("vec_id") < 10)
@@ -107,7 +110,7 @@ def test_extend_ivf_index_appends_and_probes(spark, sf_dir, tmp_path):
 
     from cdc_worker_spark.operators.dedup import with_double_vec
     from cdc_worker_spark.operators.ivf import (
-        build_ivf_index, extend_ivf_index, probe_ivf_index,
+        _read_lists, build_ivf_index, extend_ivf_index, probe_ivf_index,
     )
     from cdc_worker_spark.sources.tables import load_table
 
@@ -115,11 +118,11 @@ def test_extend_ivf_index_appends_and_probes(spark, sf_dir, tmp_path):
     emb = with_double_vec(load_table(spark, sf_dir, "embeddings"))
     base = emb.filter(F.col("vec_id") >= 100)
     build_ivf_index(base, idx, k=8, n_iters=1)
-    n_before = spark.read.parquet(idx + "/lists").count()
+    n_before = _read_lists(spark, idx).count()
 
     newcomers = emb.filter(F.col("vec_id") < 100)
     extend_ivf_index(newcomers, idx)
-    lists = spark.read.parquet(idx + "/lists")
+    lists = _read_lists(spark, idx)
     assert lists.count() == n_before + newcomers.count()
 
     # a query identical to an appended vector must find it as top neighbor:
@@ -152,9 +155,12 @@ def test_compact_ivf_index_preserves_lists_and_probes(spark, sf_dir, tmp_path):
         extend_ivf_index(
             emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < lo + 50)), idx
         )
+    from cdc_worker_spark.operators.ivf import _read_lists
+
     before = sorted(
         (r.vec_id, r.bucket)
-        for r in spark.read.parquet(idx + "/lists").select("vec_id", "bucket").collect()
+        for r in _read_lists(spark, idx)
+        .select("vec_id", "bucket").collect()
     )
 
     compact_ivf_index(spark, idx)
@@ -172,3 +178,43 @@ def test_compact_ivf_index_preserves_lists_and_probes(spark, sf_dir, tmp_path):
     )
     got = probe_ivf_index(spark, idx, probe, nprobe=2, topk=1).collect()
     assert got and got[0].c_id == 7
+
+
+def test_extend_ivf_index_replay_is_exactly_once(spark, sf_dir, tmp_path):
+    """A replayed extend with the same token (the streaming batch_id) must
+    not double-count, and crashed unregistered debris is rewritten."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cdc_worker_spark.operators.dedup import with_double_vec
+    from cdc_worker_spark.operators.index_layout import segment_name
+    from cdc_worker_spark.operators.ivf import (
+        _read_lists, build_ivf_index, extend_ivf_index, probe_ivf_index,
+    )
+    from cdc_worker_spark.sources.tables import load_table
+
+    idx = str(tmp_path / "ivf")
+    emb = with_double_vec(load_table(spark, sf_dir, "embeddings"))
+    build_ivf_index(emb.filter(F.col("vec_id") >= 100), idx, k=8, n_iters=1)
+    n_base = _read_lists(spark, idx).count()
+    newcomers = emb.filter(F.col("vec_id") < 100)
+
+    # crash: a half-written, unregistered segment from a first attempt
+    junk = os.path.join(idx, segment_name("lists", "b7"))
+    os.makedirs(os.path.join(junk, "bucket=0"))
+    with open(os.path.join(junk, "bucket=0", "part-00000.parquet"), "w") as f:
+        f.write("truncated by crash")
+
+    extend_ivf_index(newcomers, idx, token="b7")
+    assert _read_lists(spark, idx).count() \
+        == n_base + newcomers.count()
+    extend_ivf_index(newcomers, idx, token="b7")  # replay: no-op
+    assert _read_lists(spark, idx).count() \
+        == n_base + newcomers.count()
+
+    probe = emb.filter(F.col("vec_id") == 5).withColumn(
+        "vec_id", F.lit(99999).cast("long")
+    )
+    got = probe_ivf_index(spark, idx, probe, nprobe=2, topk=1).collect()
+    assert got and got[0].c_id == 5

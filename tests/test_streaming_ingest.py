@@ -8,6 +8,7 @@ import json
 import os
 import time
 
+from cdc_worker_spark.operators.index_layout import live_paths
 from cdc_worker_spark.streaming.ingest import run_dedup_ingest_pipeline
 
 
@@ -65,7 +66,9 @@ def test_ingest_dedups_across_batches(spark, tmp_path):
     # the extended index now contains exactly the accepted docs
     idx_ids = {
         r.doc_id
-        for r in spark.read.parquet(str(tmp_path / "idx" / "digests")).collect()
+        for r in spark.read.parquet(
+            *live_paths(str(tmp_path / "idx"), "digests")
+        ).collect()
     }
     assert idx_ids == corpus
 
