@@ -66,3 +66,86 @@ def test_salted_join_rejects_dim_driven_outer(spark, sf_dir):
     for how in ("right", "full", "full_outer", "rightouter"):
         with pytest.raises(ValueError, match="salted_join"):
             salted_join(orders, customer, key="o_custkey", how=how)
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """SCALE.md claims AQE's runtime skew-join splitting covers hot-key
+    JOINS (the salting helpers cover aggregations and broadcast-too-big
+    dims). Evidence, not assertion-by-docstring: plant a 90%-hot join key,
+    force a sort-merge join, scale the skew thresholds down to fixture
+    bytes, and check (a) the final adaptive plan really split the skewed
+    partition (``skew=true`` on the join) and (b) the result is identical
+    to the same join with skew handling off — the split is
+    equivalence-preserving."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        )
+    }
+
+    def _restore():
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32k"
+        )
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16k")
+
+        fact = spark.range(200_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0))
+            .otherwise(F.col("id") % 997)
+            .cast("long")
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        dim = spark.range(1_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        # NOTE: the probe query must not require a hash distribution on k
+        # downstream of the join (e.g. a groupBy(k)) — OptimizeSkewedJoin
+        # declines to split when the split would violate a required child
+        # distribution (unless forceOptimizeSkewedJoin). A global aggregate
+        # imposes no such requirement, which is also the common shape of a
+        # skewed fact-enrichment join at 100 TB (join then write/aggregate).
+        # sum(v) keeps the incompressible fact column flowing through the
+        # shuffle — a constant-key-only partition would LZ4 down to a few
+        # KB and legitimately dodge the size threshold
+        joined = fact.join(dim, "k").agg(
+            F.count("*").alias("n"), F.sum(F.col("w") + F.col("v")).alias("sw")
+        )
+        with_skew = [(r.n, r.sw) for r in joined.collect()]
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, f"AQE did not split the hot partition:\n{plan[:4000]}"
+
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        no_skew = [(r.n, r.sw) for r in joined.collect()]
+        assert with_skew == no_skew  # the split is equivalence-preserving
+        assert with_skew[0][0] == 200_000  # every fact row matched one dim
+
+        # per-key sanity on the same data (separate query; a groupBy(k)
+        # here legitimately pins the distribution, so no skew assertion)
+        hot_n = (
+            fact.join(dim, "k").groupBy("k").count()
+            .filter(F.col("k") == 0).collect()[0]["count"]
+        )
+        # 90% of the fact (plus the ids where id%997==0 happens to land on
+        # the same key) piles onto the hot key
+        expected_hot = sum(
+            1 for i in range(200_000) if i % 10 < 9 or i % 997 == 0
+        )
+        assert hot_n == expected_hot
+    finally:
+        _restore()
