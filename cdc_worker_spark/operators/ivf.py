@@ -296,6 +296,55 @@ def compact_ivf_index(spark: SparkSession, path: str) -> None:
     gc_generations(path, "lists")
 
 
+def _query_frame(queries: DataFrame) -> DataFrame:
+    return queries.select(
+        F.col("vec_id").alias("q_id"), F.col("dv").alias("q_dv"),
+        F.col("nrm").alias("q_nrm"),
+    )
+
+
+def _probe_pairs(q: DataFrame, cent_df: DataFrame, nprobe: int) -> DataFrame:
+    """(q_id, bucket) for each query's ``nprobe`` nearest centroids: a
+    broadcast of the K x dim centroid table against the (distributed)
+    query frame, ranked per query. Shared by the serving and batch
+    probes — only what happens to the result differs (collect vs join)."""
+    dist = F.col("q_nrm") + F.col("c_nrm") - 2 * dot_col(F.col("q_dv"), F.col("c_dv"))
+    w_probe = Window.partitionBy("q_id").orderBy(F.col("_d"), F.col("bucket"))
+    return (
+        q.join(F.broadcast(cent_df))
+        .withColumn("_d", dist)
+        .withColumn("_rnk", F.row_number().over(w_probe))
+        .filter(F.col("_rnk") <= nprobe)
+        .select("q_id", "bucket")
+    )
+
+
+def _topk_over_candidates(cand: DataFrame, topk: int) -> DataFrame:
+    """Exact cosine + per-query top-k over (query, candidate) rows carrying
+    q_dv/q_nrm/c_dv/c_nrm."""
+    cos = dot_col(F.col("q_dv"), F.col("c_dv")) / (
+        F.sqrt(F.col("q_nrm")) * F.sqrt(F.col("c_nrm"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id"))
+    return (
+        cand.filter(F.col("q_id") != F.col("c_id"))
+        .withColumn("cos", cos)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= topk)
+        .select("q_id", "c_id", F.round("cos", 6).alias("cos_sim"), "rnk")
+    )
+
+
+def _lists_candidates(spark: SparkSession, path: str, probe_buckets) -> DataFrame:
+    lists = _read_lists(spark, path).filter(
+        F.col("bucket").isin(probe_buckets)  # literal IN -> partition pruning
+    )
+    return lists.select(
+        "bucket", F.col("vec_id").alias("c_id"),
+        F.col("dv").alias("c_dv"), F.col("nrm").alias("c_nrm"),
+    )
+
+
 def probe_ivf_index(
     spark: SparkSession,
     path: str,
@@ -307,48 +356,52 @@ def probe_ivf_index(
     ``nprobe`` nearest buckets per query from the materialized lists.
 
     The probe set collects to the driver (queries are small by construction —
-    this is the serving path) so the bucket predicate is a LITERAL ``IN``
-    list: the parquet scan prunes to the probed bucket directories, which is
-    the point of the layout. ``queries`` must carry vec_id/dv/nrm."""
+    this is the SERVING path) so the bucket predicate is a LITERAL ``IN``
+    list and the tiny (q_id, bucket) pair frame broadcasts. For large query
+    sets use :func:`probe_ivf_index_batch`, which never collects.
+    ``queries`` must carry vec_id/dv/nrm."""
     cent_df = spark.read.parquet(resolve_table(path, "centroids"))
-    dist = F.col("q_nrm") + F.col("c_nrm") - 2 * dot_col(F.col("q_dv"), F.col("c_dv"))
-    q = queries.select(
-        F.col("vec_id").alias("q_id"), F.col("dv").alias("q_dv"),
-        F.col("nrm").alias("q_nrm"),
-    )
-    w_probe = Window.partitionBy("q_id").orderBy(F.col("_d"), F.col("bucket"))
-    probes = (
-        q.join(F.broadcast(cent_df))
-        .withColumn("_d", dist)
-        .withColumn("_rnk", F.row_number().over(w_probe))
-        .filter(F.col("_rnk") <= nprobe)
-        .select("q_id", "bucket")
-        .collect()
-    )
+    q = _query_frame(queries)
+    probes = _probe_pairs(q, cent_df, nprobe).collect()
     probe_buckets = sorted({r.bucket for r in probes})
     pairs = spark.createDataFrame(
         [(r.q_id, r.bucket) for r in probes], "q_id: long, bucket: int"
     ).join(q, "q_id")
+    cand = F.broadcast(pairs).join(
+        _lists_candidates(spark, path, probe_buckets), ["bucket"]
+    )
+    return _topk_over_candidates(cand, topk)
 
-    lists = _read_lists(spark, path).filter(
-        F.col("bucket").isin(probe_buckets)  # literal IN -> partition pruning
+
+def probe_ivf_index_batch(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    nprobe: int = 2,
+    topk: int = 3,
+) -> DataFrame:
+    """Batch twin of :func:`probe_ivf_index` for LARGE query sets: the
+    (q_id, bucket) probe pairs stay DISTRIBUTED and reach the lists through
+    a shuffle join on bucket — no driver collect of anything query-sized.
+
+    Bucket-directory pruning survives: the only thing collected is the
+    DISTINCT probed bucket set, bounded by the number of centroids K (a
+    few ints regardless of query count), which literalizes into the same
+    partition-pruning ``IN`` filter the serving path uses. The pair frame
+    is localCheckpoint'ed so ranking the centroids runs once, not once per
+    downstream consumer. Hot buckets in the pair join are AQE skew-split
+    territory (tests/test_skew.py evidences the mechanism).
+
+    Same results as the serving path by construction (shared candidate +
+    top-k code); asserted in tests/test_similarity_recall.py."""
+    cent_df = spark.read.parquet(resolve_table(path, "centroids"))
+    q = _query_frame(queries)
+    pairs = _probe_pairs(q, cent_df, nprobe).localCheckpoint(eager=False)
+    # <= K values, independent of |queries|: safe to literalize
+    probe_buckets = sorted(
+        r.bucket for r in pairs.select("bucket").distinct().collect()
     )
-    cos = dot_col(F.col("q_dv"), F.col("c_dv")) / (
-        F.sqrt(F.col("q_nrm")) * F.sqrt(F.col("c_nrm"))
+    cand = pairs.join(q, "q_id").join(
+        _lists_candidates(spark, path, probe_buckets), ["bucket"]
     )
-    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id"))
-    return (
-        F.broadcast(pairs)
-        .join(
-            lists.select(
-                "bucket", F.col("vec_id").alias("c_id"),
-                F.col("dv").alias("c_dv"), F.col("nrm").alias("c_nrm"),
-            ),
-            ["bucket"],
-        )
-        .filter(F.col("q_id") != F.col("c_id"))
-        .withColumn("cos", cos)
-        .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= topk)
-        .select("q_id", "c_id", F.round("cos", 6).alias("cos_sim"), "rnk")
-    )
+    return _topk_over_candidates(cand, topk)

@@ -218,3 +218,53 @@ def test_extend_ivf_index_replay_is_exactly_once(spark, sf_dir, tmp_path):
     )
     got = probe_ivf_index(spark, idx, probe, nprobe=2, topk=1).collect()
     assert got and got[0].c_id == 5
+
+
+def test_probe_ivf_index_batch_matches_serving_path(spark, sf_dir, tmp_path):
+    """The join-based batch probe (no driver collect of the query set)
+    must return exactly the serving path's top-k for every query, and its
+    plan must (a) keep bucket-directory pruning on the lists scan and
+    (b) join the probe pairs to the lists WITHOUT broadcasting them —
+    the pair frame is query-sized and must stay distributed."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from cdc_worker_spark.operators.dedup import with_double_vec
+    from cdc_worker_spark.operators.ivf import (
+        build_ivf_index, probe_ivf_index, probe_ivf_index_batch,
+    )
+    from cdc_worker_spark.sources.tables import load_table
+
+    idx = str(tmp_path / "ivf")
+    emb = with_double_vec(load_table(spark, sf_dir, "embeddings"))
+    build_ivf_index(emb, idx, k=16, n_iters=2)
+    queries = emb.filter(F.col("vec_id") < 40)
+
+    serving = probe_ivf_index(spark, idx, queries, nprobe=2, topk=3)
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    try:
+        # tiny fixture pairs would auto-broadcast and hide the shape the
+        # batch path is FOR; disable to see the at-scale plan
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        batch = probe_ivf_index_batch(spark, idx, queries, nprobe=2, topk=3)
+        rows_b = sorted(tuple(r) for r in batch.collect())
+        plan = batch._jdf.queryExecution().executedPlan().toString()
+    finally:
+        if saved is None:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    rows_s = sorted(tuple(r) for r in serving.collect())
+    assert rows_b == rows_s and len(rows_b) == 40 * 3
+
+    assert re.search(r"PartitionFilters: \[bucket#\d+ INSET", plan), plan[:3000]
+    # the pairs->lists join must be a shuffle join, not a broadcast of the
+    # query-scale side (BroadcastHashJoin is fine only for the KxD
+    # centroid join inside the pair ranking, which sits under the Window)
+    join_lines = [
+        ln for ln in plan.splitlines()
+        if "Join" in ln and "bucket" in ln
+    ]
+    assert join_lines, plan[:3000]
+    assert all("Broadcast" not in ln for ln in join_lines), join_lines
