@@ -45,6 +45,12 @@ HEADLINE = [
     "q_ts_gapfill",         # grid spine + window fill (r4)
     "q_cdc_incr_agg",       # mergeable-state rollup maintenance (r4)
     "q_text_repeated_passages",  # corpus-wide exact passage pass (r4)
+    "q_events_transitions", # markov transition matrix via lag window (r5)
+    "q_events_rolling_dau", # 7-day distinct-user rolling window (r5)
+    "q_events_winsorize",   # per-group percentile clamp (r5)
+    "q_text_top_terms",     # tf-idf-ish per-lang term ranking (r5)
+    "q_listagg_per_group",  # ordered string agg (r5)
+    "q_recursive_tree",     # iterative self-join closure (r5)
 ]
 
 

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import argparse
 import math
+import os
 import pathlib
 import sys
 
@@ -63,7 +64,12 @@ def main() -> int:
 
     con = duckdb.connect()
     for t in TABLES.split():
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'")
+        # driver fixtures are single files; Spark-written fixtures (e.g. the
+        # sf1 scale set from scripts/make_sf1.py) are directories of parts
+        src = f"{args.sf}/{t}.parquet"
+        if os.path.isdir(src):
+            src = f"{src}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
     qs, osql = e.queries(), e.oracle_sql()
     names = [args.only] if args.only else sorted(qs)
