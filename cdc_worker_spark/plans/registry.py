@@ -70,6 +70,7 @@ _QUERY_MODULES = (
     "cdc_worker_spark.operators.timeseries",
     "cdc_worker_spark.operators.analytics",
     "cdc_worker_spark.operators.graph",
+    "cdc_worker_spark.operators.stats",
 )
 
 

@@ -42,17 +42,28 @@ def main() -> int:
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--tz", default="America/New_York")
     ap.add_argument("--only", default=None)
+    ap.add_argument(
+        "--driver-mem",
+        default=None,
+        help="driver heap (e.g. 8g). Default: Spark's vanilla 1g — the "
+        "external contract fidelity setting. The sf1 scale sweep needs "
+        "more because THIS HARNESS collects full result sets for "
+        "hashing (millions of rows at sf1), which shares the heap with "
+        "broadcast builds.",
+    )
     args = ap.parse_args()
 
     import duckdb
     from pyspark.sql import SparkSession
 
-    spark = (
+    builder = (
         SparkSession.builder.master("local[8]")
         .appName("drive-contract")
         .config("spark.sql.session.timeZone", args.tz)
-        .getOrCreate()
     )
+    if args.driver_mem:
+        builder = builder.config("spark.driver.memory", args.driver_mem)
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     import __spark_entry__ as e
