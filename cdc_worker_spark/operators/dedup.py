@@ -129,11 +129,15 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_dedup_ngram_jaccard",
     oracle="""
-    WITH tri AS (
+    WITH tri_all AS (
       SELECT DISTINCT doc_id, lang,
              ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
       FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents) d,
            LATERAL unnest(range(1, greatest(len(ws) - 1, 1))) AS t(i)
+    ),
+    tri AS (
+      SELECT doc_id, lang, g FROM tri_all
+      QUALIFY count(*) OVER (PARTITION BY lang, g) <= 100
     ),
     sizes AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id),
     inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
@@ -153,14 +157,19 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Pair generation is an equi-join on shingle+lang (no O(n^2) cross join)
     with a document-frequency cap on shingles (:func:`ngram_candidate_pairs`)
-    so one stop-phrase trigram cannot create a quadratic bucket; Jaccard =
-    |A∩B| / (|A|+|B|-|A∩B|) — integer counts, one double division, exact on
-    both engines. The cap (100) sits far above the fixture's max df (5 at
-    sf0.01, 14 at sf0.1), so results match the uncapped oracle exactly."""
+    so one stop-phrase trigram cannot create a quadratic bucket. The
+    DECLARED semantics is Jaccard over the CAPPED shingle space — sizes
+    and intersections both exclude df>100 shingles, and the oracle applies
+    the identical QUALIFY cap — so numerator and denominator stay
+    consistent at any scale (r5: the sf1 sweep caught the old
+    uncapped-sizes form diverging once shard-shared shingles crossed the
+    cap). A df>cap shingle says nothing about any particular pair, so
+    dropping it from BOTH sides is the principled estimator, not an
+    approximation."""
     docs = load_table(spark, sf_dir, "documents")
-    tri = shingles_distinct(docs)
+    tri = df_capped_shingles(shingles_distinct(docs), max_shingle_df=100)
     sizes = tri.groupBy("doc_id").agg(F.count("*").alias("n"))
-    inter = ngram_candidate_pairs(tri, max_shingle_df=100)
+    inter = ngram_candidate_pairs(tri, max_shingle_df=None)
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     jac = F.col("n_common").cast("double") / (
@@ -174,7 +183,20 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def ngram_candidate_pairs(tri: DataFrame, max_shingle_df: int) -> DataFrame:
+def df_capped_shingles(tri: DataFrame, max_shingle_df: int) -> DataFrame:
+    """Drop shingles with document frequency > ``max_shingle_df`` — the
+    hot-token guard shared by the jaccard/levenshtein/dup-rate blockers.
+    The df window shares the (lang, g) partitioning the pair join needs,
+    so the cap costs no extra shuffle of the shingle table."""
+    w_df = Window.partitionBy("lang", "g")
+    return (
+        tri.withColumn("df", F.count("*").over(w_df))
+        .filter(F.col("df") <= max_shingle_df)
+        .drop("df")
+    )
+
+
+def ngram_candidate_pairs(tri: DataFrame, max_shingle_df: int | None) -> DataFrame:
     """(doc_a, doc_b, n_common) candidate pairs from a (doc_id, lang, g)
     shingle table, bounded by shingle document frequency.
 
@@ -183,14 +205,11 @@ def ngram_candidate_pairs(tri: DataFrame, max_shingle_df: int) -> DataFrame:
     size. Shingles with df > ``max_shingle_df`` are dropped BEFORE the
     self-join — they carry no discriminative signal (a shingle appearing in
     thousands of documents says nothing about any particular pair), so the
-    bucket pair volume is bounded by df^2 per shingle. The df window and the
-    pair join share the (lang, g) partitioning, so the cap costs no extra
-    shuffle of the shingle table."""
-    w_df = Window.partitionBy("lang", "g")
+    bucket pair volume is bounded by df^2 per shingle. Pass ``None`` when
+    the input is already capped (:func:`df_capped_shingles`)."""
     tri_f = (
-        tri.withColumn("df", F.count("*").over(w_df))
-        .filter(F.col("df") <= max_shingle_df)
-        .drop("df")
+        tri if max_shingle_df is None
+        else df_capped_shingles(tri, max_shingle_df)
     )
     a = tri_f.alias("a")
     b = tri_f.alias("b")

@@ -210,7 +210,20 @@ def distributed_prefix_sum(
 
     Values are boundary-independent (where the range partitioner cuts never
     changes any prefix), so results are identical to the single-window form
-    — only the physical parallelism changes."""
+    — only the physical parallelism changes.
+
+    The ranged frame is MATERIALIZED (eager localCheckpoint) before the two
+    consumers read it. This is load-bearing, not an optimization: the
+    ``local`` and ``offsets`` subtrees both consume the range exchange, and
+    without pinning, each consumer can observe a DIFFERENT physical
+    partitioning — the range partitioner re-samples boundaries per
+    execution, and AQE may coalesce the two reads differently — so
+    ``spark_partition_id()`` stops being one consistent value per row and
+    local+offset composes garbage (duplicate/gapped ranks). sf0.01 never
+    triggered it; the sf1 validation did (q_docs_shuffle hash mismatch,
+    r5). Cost: one linear materialization of the ranged table; at cluster
+    scale the equivalent is staging the ranged table before the two
+    window passes."""
     from pyspark.sql import Window
 
     # NB: no df.rdd.getNumPartitions() here — under AQE, touching .rdd
@@ -221,8 +234,10 @@ def distributed_prefix_sum(
     # at sf0.1). A fixed multiple of defaultParallelism gives the range
     # partitioner all the spread it needs at any scale.
     n_parts = df.sparkSession.sparkContext.defaultParallelism * 2
-    ranged = df.repartitionByRange(n_parts, *part_cols, *order_cols).withColumn(
-        "_pid", F.spark_partition_id()
+    ranged = (
+        df.repartitionByRange(n_parts, *part_cols, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     w_local = (
         Window.partitionBy(*part_cols, "_pid")

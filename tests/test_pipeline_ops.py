@@ -223,9 +223,14 @@ def test_cap_per_source_prunes_before_shuffle(spark, sf_dir):
 
 def test_distributed_prefix_sum_matches_single_window(spark):
     """The two-phase range-partitioned prefix sum must produce values
-    identical to the naive one-task-per-group window, and its plan must
-    actually range-partition (the property that gives >per-group
-    parallelism at scale)."""
+    identical to the naive one-task-per-group window — and do so
+    DETERMINISTICALLY. The ranged frame is pinned (eager localCheckpoint)
+    before its two consumers read it: without the pin, the local-cumsum
+    and offsets subtrees can observe different physical partitionings
+    (boundary resampling / AQE coalescing) and compose duplicate or
+    gapped ranks — the sf1 validation caught exactly that (q_docs_shuffle
+    hash mismatch, r5). The checkpoint shows up as a Scan ExistingRDD in
+    the plan; the range exchange runs at materialization time."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -235,14 +240,20 @@ def test_distributed_prefix_sum_matches_single_window(spark):
         [(i % 3, i, (i * 7) % 13) for i in range(5000)], "g: int, i: long, v: long"
     )
     fast = distributed_prefix_sum(df, ["g"], ["i"], "v", "run")
+    # the pinned (checkpointed) ranged frame is what both subtrees consume
     plan = fast._jdf.queryExecution().executedPlan().toString()
-    assert "rangepartitioning" in plan.lower()
+    assert "existingrdd" in plan.lower()
 
     w = Window.partitionBy("g").orderBy("i").rowsBetween(Window.unboundedPreceding, -1)
     naive = df.withColumn("run", F.coalesce(F.sum("v").over(w), F.lit(0)))
-    got = {(r.g, r.i): r.run for r in fast.collect()}
     want = {(r.g, r.i): r.run for r in naive.collect()}
+    got = {(r.g, r.i): r.run for r in fast.collect()}
     assert got == want
+    # a second, fully independent evaluation must agree (regression gate
+    # for the inconsistent-partitioning bug: it produced run-to-run drift)
+    again = distributed_prefix_sum(df, ["g"], ["i"], "v", "run")
+    got2 = {(r.g, r.i): r.run for r in again.collect()}
+    assert got2 == want
 
 
 def test_text_ops_tolerate_null_and_empty_text(spark, tmp_path):
