@@ -206,3 +206,142 @@ def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(num / den, 6).alias("ewma"),
         )
     )
+
+
+@query(
+    "q_dedup_containment",
+    oracle="""
+    WITH tri_all AS (
+      SELECT DISTINCT doc_id, lang,
+             ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+      FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents) d,
+           LATERAL unnest(range(1, greatest(len(ws) - 1, 1))) AS t(i)
+    ),
+    tri AS (
+      SELECT doc_id, lang, g FROM tri_all
+      QUALIFY count(*) OVER (PARTITION BY lang, g) <= 100
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+              FROM tri a JOIN tri b ON a.g = b.g AND a.lang = b.lang
+                                   AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           CAST(n_common AS DOUBLE) / least(sa.n, sb.n) AS containment
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE CAST(n_common AS DOUBLE) / least(sa.n, sb.n) >= 0.6
+    """,
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment (asymmetric overlap) dedup: |A∩B| / min(|A|,|B|) — the
+    quote/superset detector Jaccard misses (a paragraph fully contained in
+    a 100x longer doc has tiny Jaccard but containment 1.0; CCNet/Gopher
+    curation treats those as duplicates of the shorter side). Same
+    df-capped shingle space and single blocked self-join as
+    q_dedup_ngram_jaccard — only the normalizer changes, so the scale
+    shape is identical (bounded candidate buckets, integer counts, one
+    double division)."""
+    from cdc_worker_spark.operators.dedup import (
+        df_capped_shingles,
+        ngram_candidate_pairs,
+        shingles_distinct,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tri = df_capped_shingles(shingles_distinct(docs), max_shingle_df=100)
+    sizes = tri.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = ngram_candidate_pairs(tri, max_shingle_df=None)
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    cont = F.col("n_common").cast("double") / F.least(F.col("sa.n"), F.col("sb.n"))
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", cont.alias("containment"))
+        .filter(F.col("containment") >= 0.6)
+    )
+
+
+@query(
+    "q_events_mad",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, round(median(value), 6) AS med
+      FROM events GROUP BY event_type),
+    mad AS (
+      SELECT e.event_type, round(median(abs(e.value - m.med)), 6) AS mad
+      FROM events e JOIN med m USING (event_type)
+      GROUP BY e.event_type),
+    j AS (SELECT m.event_type, m.med, d.mad
+          FROM med m JOIN mad d USING (event_type))
+    SELECT e.event_id, e.event_type, e.value, j.med, j.mad
+    FROM events e JOIN j USING (event_type)
+    WHERE abs(e.value - j.med) > 3 * 1.4826 * j.mad
+    """,
+)
+def q_events_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier flagging via Median Absolute Deviation: flag events
+    more than 3 scaled-MADs from their topic's median (the robust twin of
+    q_events_anomaly's z-score — a few extreme values cannot drag the
+    center or inflate the spread like mean/stddev). Two groups-sized
+    aggregates BROADCAST back onto projections — the event stream never
+    shuffles for the flagging; medians rounded to 6 dp so both engines
+    compare against bit-identical cutoffs."""
+    ev = load_events_ms(spark, sf_dir)
+    med = ev.groupBy("event_type").agg(
+        F.round(F.median("value"), 6).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type")
+    mad = dev.groupBy("event_type").agg(
+        F.round(F.median(F.abs(F.col("value") - F.col("med"))), 6).alias("mad")
+    )
+    j = F.broadcast(med.join(mad, "event_type"))
+    return (
+        ev.join(j, "event_type")
+        .filter(F.abs(F.col("value") - F.col("med")) > 3 * 1.4826 * F.col("mad"))
+        .select("event_id", "event_type", "value", "med", "mad")
+    )
+
+
+@query(
+    "q_events_entropy",
+    oracle="""
+    WITH b AS (
+      SELECT event_type, CAST(floor(value / 10.0) AS INT) AS bin,
+             count(*) AS n
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2),
+    tot AS (SELECT event_type, sum(n) AS tot FROM b GROUP BY event_type)
+    SELECT b.event_type,
+           CAST(count(*) AS BIGINT) AS n_bins,
+           round(-sum((n / CAST(tot AS DOUBLE))
+                      * ln(n / CAST(tot AS DOUBLE))), 6) AS entropy
+    FROM b JOIN tot USING (event_type)
+    GROUP BY b.event_type
+    """,
+)
+def q_events_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each topic's value distribution (10-wide bins) —
+    the drift/degeneracy monitor (entropy collapse = a topic's values
+    stopped varying). Two stacked aggregations, both on the same
+    event_type key, so the second reuses the first's partitioning; the
+    shuffle carries O(topics x bins) cells. ln() is IEEE-identical across
+    engines for identical double ratios; the ratio is n/tot with both
+    integers exact, and the final 6-dp round absorbs summation order."""
+    ev = load_events_ms(spark, sf_dir).filter(F.col("value").isNotNull())
+    b = ev.groupBy(
+        "event_type",
+        F.floor(F.col("value") / 10.0).cast("int").alias("bin"),
+    ).agg(F.count("*").alias("n"))
+    w_t = Window.partitionBy("event_type")
+    p = F.col("n") / F.sum("n").over(w_t).cast("double")
+    return (
+        b.withColumn("_term", p * F.log(p))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_bins"),
+            F.round(-F.sum("_term"), 6).alias("entropy"),
+        )
+    )

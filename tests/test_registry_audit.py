@@ -19,9 +19,9 @@ def test_registry_size_matches_docs():
     these numbers; update both together."""
     qs = all_queries()
     oracles = all_oracles()
-    assert len(qs) == 140, f"registry has {len(qs)} queries, docs say 140"
-    assert len(oracles) == 128, (
-        f"{len(oracles)} oracle-checked queries, docs say 128 "
+    assert len(qs) == 143, f"registry has {len(qs)} queries, docs say 143"
+    assert len(oracles) == 131, (
+        f"{len(oracles)} oracle-checked queries, docs say 131 "
         f"({len(qs) - len(oracles)} rows-only by design)"
     )
 
