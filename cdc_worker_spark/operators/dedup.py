@@ -167,7 +167,14 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropping it from BOTH sides is the principled estimator, not an
     approximation."""
     docs = load_table(spark, sf_dir, "documents")
-    tri = df_capped_shingles(shingles_distinct(docs), max_shingle_df=100)
+    # the shingle STRING never leaves the map side: an 8-byte xxhash64 key
+    # replaces ~40-byte text through the df window + self-join (the same
+    # move q_text_repeated_passages documents; collision odds ~ n^2/2^65,
+    # so counts — and the oracle hash — are unchanged)
+    tri = df_capped_shingles(
+        shingles_distinct(docs).withColumn("g", F.xxhash64("g")),
+        max_shingle_df=100,
+    )
     sizes = tri.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = ngram_candidate_pairs(tri, max_shingle_df=None)
     sa = sizes.alias("sa")

@@ -250,7 +250,11 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    tri = df_capped_shingles(shingles_distinct(docs), max_shingle_df=100)
+    # hashed gram keys through the window+join, as in q_dedup_ngram_jaccard
+    tri = df_capped_shingles(
+        shingles_distinct(docs).withColumn("g", F.xxhash64("g")),
+        max_shingle_df=100,
+    )
     sizes = tri.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = ngram_candidate_pairs(tri, max_shingle_df=None)
     sa = sizes.alias("sa")
