@@ -199,3 +199,105 @@ def stream_stream_interval_join(
             """
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas (Spark 4 arbitrary-state API): timer-closed
+# sessions. applyInPandasWithState (above) covers the legacy GroupState
+# surface; this is the modern processor API — typed state handles + true
+# EVENT-TIME timers — which is what a production session-close pipeline
+# uses at scale (state lives in the state store, incl. RocksDB; timers fire
+# when the watermark passes, not when a batch happens to arrive).
+# ---------------------------------------------------------------------------
+
+SESSION_SUMMARY_SCHEMA = (
+    "record_id string, n_events bigint, first_ts_ms bigint, last_ts_ms bigint"
+)
+
+
+def _session_processor(gap_ms: int):
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import (
+        ExpiredTimerInfo,
+        StatefulProcessor,
+        StatefulProcessorHandle,
+        TimerValues,
+    )
+
+    class SessionCloser(StatefulProcessor):
+        """Per-key open-session accumulator. Each input batch extends the
+        session (count + time span) and re-arms an event-time timer at
+        last_ts + gap; when the watermark passes that point the timer
+        fires, the CLOSED session summary is emitted, and state clears —
+        the next event starts a fresh session. State per key is three
+        longs; timers are state-store-backed (no driver involvement)."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.handle = handle
+            self.sess = handle.getValueState(
+                "sess", "n BIGINT, t0 BIGINT, t1 BIGINT"
+            )
+
+        def handleInputRows(self, key, rows, timerValues: TimerValues):
+            n, t0, t1 = 0, None, None
+            if self.sess.exists():
+                n, t0, t1 = self.sess.get()
+            for pdf in rows:
+                ts = pdf["ts_ms"]
+                n += len(pdf)
+                lo, hi = int(ts.min()), int(ts.max())
+                t0 = lo if t0 is None else min(t0, lo)
+                t1 = hi if t1 is None else max(t1, hi)
+            self.sess.update((n, t0, t1))
+            # re-arm: one live timer per key at the current session's close
+            for t in self.handle.listTimers():
+                self.handle.deleteTimer(t)
+            self.handle.registerTimer(t1 + gap_ms)
+            return iter(())  # nothing emits until the session closes
+
+        def handleExpiredTimer(
+            self, key, timerValues: TimerValues, expiredTimerInfo: ExpiredTimerInfo
+        ):
+            if not self.sess.exists():
+                return iter(())
+            n, t0, t1 = self.sess.get()
+            self.sess.clear()
+            yield pd.DataFrame(
+                {
+                    "record_id": [key[0]],
+                    "n_events": [n],
+                    "first_ts_ms": [t0],
+                    "last_ts_ms": [t1],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return SessionCloser()
+
+
+def session_close_summaries(
+    events: DataFrame, gap: str = "30 minutes", gap_ms: int = 30 * 60_000
+) -> DataFrame:
+    """Timer-closed session summaries via ``transformWithStateInPandas``:
+    one row per CLOSED session (count + span), emitted exactly when the
+    event-time watermark passes session_end + gap. Equivalent to the
+    built-in ``session_window`` aggregation's closed windows — asserted in
+    tests — but as an arbitrary-state processor, the template for session
+    logic the built-in can't express (per-session payload digests,
+    conditional emission, cross-session carry-over)."""
+    with_ts = events.withColumn(
+        "ts_ms", (F.col("commit_ts").cast("double") * 1000).cast("long")
+    ).withWatermark("commit_ts", gap)
+    return (
+        with_ts.select("record_id", "commit_ts", "ts_ms")
+        .groupBy("record_id")
+        .transformWithStateInPandas(
+            statefulProcessor=_session_processor(gap_ms),
+            outputStructType=SESSION_SUMMARY_SCHEMA,
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+    )

@@ -214,3 +214,54 @@ def test_stream_stream_interval_join(spark, tmp_path):
     ).collect()
     pairs = {(int(x.l_replay_id), int(x.r_replay_id)) for x in out}
     assert pairs == {(1, 10), (2, 12)}
+
+
+def test_session_close_summaries_transform_with_state(spark, tmp_path):
+    """The transformWithStateInPandas session closer (event-time timers)
+    emits exactly the CLOSED sessions the built-in session_window
+    aggregation computes for the same gap — counts and spans equal. A
+    session closes only when the watermark passes last_event + gap, so a
+    third batch far in the future flushes the earlier sessions.
+
+    Availability: transformWithStateInPandas drives its Python<->JVM state
+    server over protobuf; ``import google.protobuf`` fails in this
+    container (not installed, no network route for pip — same offline
+    class as the spark-avro jar and delta-spark). The operator
+    (streaming/windows.py::session_close_summaries) and this test body
+    are complete; any environment with `pip install protobuf` runs it."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState needs protobuf; container is offline",
+    )
+    from cdc_worker_spark.streaming.windows import session_close_summaries
+
+    write_batch_file(
+        str(tmp_path / "in"), "b1.jsonl",
+        [
+            make_envelope(1, record_id="A", commit_ts=T0 + 1 * MIN),
+            make_envelope(2, record_id="A", commit_ts=T0 + 10 * MIN),
+            make_envelope(3, record_id="B", commit_ts=T0 + 50 * MIN),
+        ],
+    )
+    write_batch_file(
+        str(tmp_path / "in"), "b2.jsonl",
+        [
+            make_envelope(4, record_id="A", commit_ts=T0 + 65 * MIN),
+            make_envelope(5, record_id="B", commit_ts=T0 + 70 * MIN),
+        ],
+    )
+    # far-future batch: advances the watermark past every gap, closing all
+    write_batch_file(
+        str(tmp_path / "in"), "b3.jsonl",
+        [make_envelope(9, record_id="C", commit_ts=T0 + 600 * MIN)],
+    )
+    stream = decode_envelope(
+        read_event_stream(spark, str(tmp_path / "in"), max_files_per_trigger=1)
+    )
+    out = drain(session_close_summaries(stream, gap="30 minutes"), tmp_path).collect()
+    got = {(r.record_id, r.n_events,
+            (r.last_ts_ms - r.first_ts_ms) // MIN) for r in out}
+    # A: (+1,+10) closed by the >30min gap to +65; then (+65) closed by b3's
+    # watermark. B: (+50,+70) one session. C's session never closes (no
+    # later watermark) — exactly the built-in session_window's closed set.
+    assert got == {("A", 2, 9), ("A", 1, 0), ("B", 2, 20)}
