@@ -349,3 +349,62 @@ def q_events_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(-F.sum("_term"), 6).alias("entropy"),
         )
     )
+
+
+@query(
+    "q_agg_grouping_id",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           CAST(GROUPING(l_returnflag) AS INT)  AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INT)  AS g_status,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING / GROUPING_ID over a rollup: the bitmask that tells a
+    report consumer which rows are subtotals vs detail (NULL-as-data is
+    indistinguishable from NULL-as-rollup without it). Same single
+    expanded aggregation as q_agg_rollup; both engines use the same
+    bit convention (1 = column rolled up, first column = high bit)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().alias("gid"),
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+        F.count("*").alias("n"),
+    ).select("l_returnflag", "l_linestatus", "gid", "g_flag", "g_status", "n")
+
+
+@query(
+    "q_events_autocorr",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type, value,
+             lag(value) OVER (PARTITION BY event_type
+                              ORDER BY ts, event_id) AS prev
+      FROM events)
+    SELECT event_type,
+           round(corr(value, prev), 6) AS lag1_autocorr,
+           CAST(count(prev) AS BIGINT) AS n_pairs
+    FROM seq
+    GROUP BY event_type
+    """,
+)
+def q_events_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of each topic's value series — the
+    randomness/trend monitor (near 0 = noise, near 1 = drifting metric,
+    near -1 = oscillation). One window (lag over the topic's time order)
+    feeding one mergeable corr aggregate; the agg reuses the window's
+    event_type partitioning, so the event stream shuffles once."""
+    ev = load_events_ms(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("ts_ms", "event_id")
+    seq = ev.select(
+        "event_type", "value", F.lag("value").over(w).alias("prev")
+    )
+    return seq.groupBy("event_type").agg(
+        F.round(F.corr("value", "prev"), 6).alias("lag1_autocorr"),
+        F.count("prev").alias("n_pairs"),
+    )
