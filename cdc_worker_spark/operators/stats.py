@@ -408,3 +408,38 @@ def q_events_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr("value", "prev"), 6).alias("lag1_autocorr"),
         F.count("prev").alias("n_pairs"),
     )
+
+
+@query(
+    "q_win_rolling_median",
+    oracle="""
+    SELECT user_id, event_id, value,
+           round(median(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS med7
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def q_win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling (trailing-7-observation) median per user — the robust twin
+    of q_win_trailing's moving average: one outlier cannot drag the
+    smoothed series. Spark disallows median() over a frame, so the frame
+    is collected (bounded: <=7 values), sorted, and the middle element(s)
+    selected with the same even-count interpolation DuckDB's windowed
+    median uses — all JVM-side HOFs, one exchange on user_id, per-row
+    cost O(W log W) with W=7 bounded."""
+    ev = load_events_ms(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ms", "event_id")
+        .rowsBetween(-6, 0)
+    )
+    arr = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(arr)
+    lo = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    hi = F.element_at(arr, (n / 2 + 1).cast("int"))
+    med = F.when(n % 2 == 1, lo).otherwise((lo + hi) / 2.0)
+    return ev.select(
+        "user_id", "event_id", "value",
+        F.round(med, 6).alias("med7"),
+    )
