@@ -66,15 +66,20 @@ def decode_media_batch(df: DataFrame, strict: bool = False) -> DataFrame:
     """Decode media payloads to typed metadata via mapInPandas (Arrow batch
     transfer — the real-decoder integration point).
 
-    Payloads with a PNG signature ALWAYS decode for real (stdlib codec —
-    actual width/height). For everything else:
+    Payloads with a recognized signature ALWAYS decode for real via the
+    in-repo codecs: PNG (filter+deflate), GIF (LZW), baseline JPEG
+    (DCT/Huffman transform coding), PCM WAV, Y4M video — one real codec
+    per compression family. For anything else:
     strict=False: deterministic fake decode (metadata derived from byte
     length) so the plumbing is testable without media libraries.
     strict=True: raises NotImplementedError exactly where
-    libjpeg/soundfile/ffmpeg would be invoked.
+    libavcodec/soundfile/ffmpeg would be invoked (MP3/H.264-class
+    formats remain the documented seam).
     """
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from cdc_worker_spark.functions.gif_codec import decode_gif
+        from cdc_worker_spark.functions.jpeg_codec import decode_jpeg
         from cdc_worker_spark.functions.png_codec import _SIGNATURE, decode_png
         from cdc_worker_spark.functions.wav_codec import decode_wav
         from cdc_worker_spark.functions.y4m_codec import decode_y4m
@@ -114,11 +119,23 @@ def decode_media_batch(df: DataFrame, strict: bool = False) -> DataFrame:
                             clip["n_channels"], clip["bits"], clip["n_samples"],
                         )
                     )
+                elif raw[:6] in (b"GIF87a", b"GIF89a"):
+                    # REAL decode for LZW-compressed GIF (functions/gif_codec.py)
+                    img = decode_gif(raw)
+                    rows.append(
+                        (doc_id, mtype, len(raw), img["width"], img["height"], 1)
+                    )
+                elif raw[:2] == b"\xff\xd8":
+                    # REAL decode for baseline JPEG (functions/jpeg_codec.py)
+                    img = decode_jpeg(raw)
+                    rows.append(
+                        (doc_id, mtype, len(raw), img["width"], img["height"], 1)
+                    )
                 elif strict:
                     raise NotImplementedError(
-                        "real decode for non-PNG media requires libraries not "
-                        "present in this environment; wire "
-                        "libjpeg/soundfile/ffmpeg here"
+                        "real decode for MP3/H.264-class media requires "
+                        "libraries not present in this environment; wire "
+                        "libavcodec/soundfile/ffmpeg here"
                     )
                 else:
                     n = len(raw)
@@ -271,6 +288,147 @@ def q_multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return docs.mapInPandas(gen_and_decode, PNG_FEATURES_SCHEMA)
+
+
+#: decoded-GIF feature rows (palette-indexed compressed-image extractor)
+GIF_FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_pixels", IntegerType()),
+        StructField("mean_intensity", DoubleType()),
+        StructField("min_intensity", IntegerType()),
+        StructField("max_intensity", IntegerType()),
+    ]
+)
+
+
+@query(
+    "q_multimodal_decode_gif",
+    oracle="""
+    SELECT doc_id,
+           CAST(doc_id % 11 + 5 AS INT) AS width,
+           CAST(doc_id % 6 + 4 AS INT) AS height,
+           CAST((doc_id % 11 + 5) * (doc_id % 6 + 4) AS INT) AS n_pixels,
+           round(avg((doc_id * 11 + i * 17) % 256), 6) AS mean_intensity,
+           CAST(min((doc_id * 11 + i * 17) % 256) AS INT) AS min_intensity,
+           CAST(max((doc_id * 11 + i * 17) % 256) AS INT) AS max_intensity
+    FROM documents,
+         LATERAL unnest(range(0, (doc_id % 11 + 5) * (doc_id % 6 + 4))) AS t(i)
+    GROUP BY doc_id
+    """,
+)
+def q_multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL **compressed** image decode end-to-end, oracle-checked: per doc
+    a deterministic palette image is ENCODED to actual GIF87a bytes
+    (variable-width LZW, functions/gif_codec.py — stdlib-only) and DECODED
+    back, emitting geometry + palette-mapped intensity statistics. The
+    DuckDB oracle computes the same statistics from the generating formula,
+    so a hash match proves the LZW compress -> bit-pack -> sub-block ->
+    unpack -> decompress loop is exact. With PNG (deflate+filters), WAV
+    (PCM), Y4M (planar frames) and GIF (LZW), the decode seam now covers a
+    real codec from each compression family in this container's reach;
+    JPEG-class transform coding is q_multimodal_decode_jpeg.
+
+    Scale shape: one Arrow-batched mapInPandas projection, no shuffle; the
+    decoder runs where the bytes live (reference analogue: per-event decode,
+    eventParser.js:13)."""
+    from cdc_worker_spark.functions.gif_codec import encode_gif, gif_features
+
+    def gen_and_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for raw_id in pdf["doc_id"]:
+                doc_id = int(raw_id)
+                w = doc_id % 11 + 5
+                h = doc_id % 6 + 4
+                px = bytes((doc_id * 11 + i * 17) % 256 for i in range(w * h))
+                f = gif_features(encode_gif(w, h, px))
+                rows.append(
+                    (
+                        doc_id, f["width"], f["height"], f["n_pixels"],
+                        round(f["mean_intensity"], 6),
+                        f["min_intensity"], f["max_intensity"],
+                    )
+                )
+            out = pd.DataFrame(rows, columns=[f.name for f in GIF_FEATURES_SCHEMA])
+            out["doc_id"] = out["doc_id"].astype("int64")
+            for c in ("width", "height", "n_pixels", "min_intensity", "max_intensity"):
+                out[c] = out[c].astype("int32")
+            yield out
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(gen_and_decode, GIF_FEATURES_SCHEMA)
+
+
+@query(
+    "q_multimodal_decode_jpeg",
+    oracle="""
+    SELECT doc_id,
+           CAST(8 * (doc_id % 3 + 2) AS INT) AS width,
+           CAST(8 * (doc_id % 2 + 2) AS INT) AS height,
+           CAST(64 * (doc_id % 3 + 2) * (doc_id % 2 + 2) AS INT) AS n_pixels,
+           round(avg(2 * ((doc_id * 29 + b * 53) % 128)), 6) AS mean_intensity,
+           CAST(min(2 * ((doc_id * 29 + b * 53) % 128)) AS INT) AS min_intensity,
+           CAST(max(2 * ((doc_id * 29 + b * 53) % 128)) AS INT) AS max_intensity
+    FROM documents,
+         LATERAL unnest(range(0, (doc_id % 3 + 2) * (doc_id % 2 + 2))) AS t(b)
+    GROUP BY doc_id
+    """,
+)
+def q_multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL **lossy transform-coding** decode end-to-end, oracle-checked:
+    per doc an 8x8-tiled grayscale image is ENCODED to actual baseline
+    JPEG bytes (DCT -> quantize -> zigzag -> Huffman with byte stuffing,
+    functions/jpeg_codec.py, ITU T.81 baseline) and DECODED back with the
+    general decoder (tables read from the stream's DQT/DHT segments).
+
+    The tiles are constant with EVEN values, for which quantization is
+    EXACT (DC = 8*(v-128) quantizes to (v-128)/2 with no rounding
+    boundary), so the reconstruction equals the source bit-for-bit and
+    DuckDB can replay the whole lossy loop in integer SQL — a hash match
+    proves marker parsing, the DC prediction chain across blocks, Huffman
+    decode, dequantization, IDCT and clamping are all exact. The general
+    lossy path (nonzero AC, ZRL/EOB runs, arbitrary images) is covered by
+    tests/test_jpeg_codec.py against the mathematical reference recon.
+
+    Scale shape: one Arrow-batched mapInPandas projection, no shuffle."""
+    from cdc_worker_spark.functions.jpeg_codec import encode_jpeg, jpeg_features
+
+    def gen_and_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for raw_id in pdf["doc_id"]:
+                doc_id = int(raw_id)
+                w = 8 * (doc_id % 3 + 2)
+                h = 8 * (doc_id % 2 + 2)
+                tiles_x, tiles_y = w // 8, h // 8
+                px = bytearray()
+                for ty in range(tiles_y):
+                    tile_row = [
+                        bytes([2 * ((doc_id * 29 + (ty * tiles_x + tx) * 53) % 128)]) * 8
+                        for tx in range(tiles_x)
+                    ]
+                    for _ in range(8):
+                        for r in tile_row:
+                            px += r
+                f = jpeg_features(encode_jpeg(w, h, bytes(px)))
+                rows.append(
+                    (
+                        doc_id, f["width"], f["height"], f["n_pixels"],
+                        round(f["mean_intensity"], 6),
+                        f["min_intensity"], f["max_intensity"],
+                    )
+                )
+            out = pd.DataFrame(rows, columns=[f.name for f in GIF_FEATURES_SCHEMA])
+            out["doc_id"] = out["doc_id"].astype("int64")
+            for c in ("width", "height", "n_pixels", "min_intensity", "max_intensity"):
+                out[c] = out[c].astype("int32")
+            yield out
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(gen_and_decode, GIF_FEATURES_SCHEMA)
 
 
 #: decoded-WAV feature rows (what the real audio feature extractor emits)

@@ -71,6 +71,7 @@ _QUERY_MODULES = (
     "cdc_worker_spark.operators.analytics",
     "cdc_worker_spark.operators.graph",
     "cdc_worker_spark.operators.stats",
+    "cdc_worker_spark.operators.curation",
 )
 
 
