@@ -51,6 +51,11 @@ HEADLINE = [
     "q_text_top_terms",     # tf-idf-ish per-lang term ranking (r5)
     "q_listagg_per_group",  # ordered string agg (r5)
     "q_recursive_tree",     # iterative self-join closure (r5)
+    "q_text_gopher_rules",  # pure array-HOF quality filter projection (r5)
+    "q_text_lm_score",      # vocab broadcast-join LM scoring (r5)
+    "q_cdc_scd2",           # 3-window gaps-and-islands, one exchange (r5)
+    "q_basket_pairs",       # co-partitioned basket self-join (r5)
+    "q_multimodal_decode_jpeg",  # Arrow-batched transform-coding decode (r5)
 ]
 
 

@@ -345,3 +345,106 @@ def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@query(
+    "q_join_asof_tol",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+         e AS (SELECT event_id AS e_id, user_id, ts AS e_ts FROM events
+               WHERE event_type = 'error'),
+         m AS (
+           SELECT p.event_id, e.e_id, e.e_ts,
+                  row_number() OVER (PARTITION BY p.event_id
+                                     ORDER BY e.e_ts, e.e_id) AS rn
+           FROM p JOIN e ON p.user_id = e.user_id
+                        AND e.e_ts > p.ts
+                        AND e.e_ts <= p.ts + INTERVAL 48 HOUR)
+    SELECT p.event_id, p.user_id, epoch_ms(p.ts) AS ts_ms,
+           m.e_id AS next_error_id,
+           epoch_ms(m.e_ts) AS next_error_ts_ms
+    FROM p LEFT JOIN (SELECT * FROM m WHERE rn = 1) m USING (event_id)
+    """,
+)
+def q_join_asof_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join with a tolerance bound (the pandas
+    ``merge_asof(direction='forward', tolerance=...)`` surface, the twin of
+    q_join_asof's backward form): for each purchase, the EARLIEST error of
+    the same user strictly after it but within 48 h — unmatched purchases
+    survive with NULLs (left semantics). Same scale shape as the backward
+    form: ONE user_id shuffle serves the equi join, the range predicate
+    prunes candidates before the per-purchase row_number, and the final
+    left join is purchase-keyed. The tolerance bound is what makes this
+    scale-safe: it caps each purchase's candidate window."""
+    ev = load_events_ms(spark, sf_dir)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "ts_ms"
+    )
+    e = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("e_id"),
+        F.col("user_id").alias("e_user_id"),
+        F.col("ts").alias("e_ts"),
+        F.col("ts_ms").alias("e_ts_ms"),
+    )
+    w = Window.partitionBy("event_id").orderBy("e_ts", "e_id")
+    matched = (
+        p.join(
+            e,
+            (p.user_id == e.e_user_id)
+            & (e.e_ts > p.ts)
+            & (e.e_ts <= p.ts + F.expr("INTERVAL 48 HOURS")),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "e_id", "e_ts_ms")
+    )
+    return p.join(matched, "event_id", "left").select(
+        "event_id",
+        "user_id",
+        "ts_ms",
+        F.col("e_id").alias("next_error_id"),
+        F.col("e_ts_ms").alias("next_error_ts_ms"),
+    )
+
+
+@query(
+    "q_part_skyline",
+    oracle="""
+    SELECT p.p_partkey, p.p_brand, p.p_size, p.p_retailprice
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE q.p_brand = p.p_brand
+        AND q.p_retailprice <= p.p_retailprice
+        AND q.p_size >= p.p_size
+        AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+    """,
+)
+def q_part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-frontier) query per brand: parts not dominated on
+    (cheaper price, larger size) by any same-brand part — the classic
+    multi-criteria shortlist operator (Borzsony et al., ICDE 2001).
+
+    Expressed as a dominance anti-join CO-PARTITIONED on p_brand: one
+    brand-keyed shuffle, and the quadratic dominance check is confined to
+    each brand's partition (the standard block-partitioned skyline; an
+    unpartitioned skyline would pre-filter with a grid/sample pass). The
+    anti join keeps exactly the non-dominated rows."""
+    part = load_table(spark, sf_dir, "part")
+    p = part.select("p_partkey", "p_brand", "p_size", "p_retailprice")
+    q = p.select(
+        F.col("p_brand").alias("q_brand"),
+        F.col("p_size").alias("q_size"),
+        F.col("p_retailprice").alias("q_price"),
+    )
+    dominated = (
+        (F.col("q_brand") == F.col("p_brand"))
+        & (F.col("q_price") <= F.col("p_retailprice"))
+        & (F.col("q_size") >= F.col("p_size"))
+        & (
+            (F.col("q_price") < F.col("p_retailprice"))
+            | (F.col("q_size") > F.col("p_size"))
+        )
+    )
+    return p.join(q, dominated, "left_anti")

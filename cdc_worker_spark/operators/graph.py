@@ -127,11 +127,129 @@ def cc_star(edges: DataFrame, max_rounds: int = 25) -> DataFrame:
     )
 
 
+#: PageRank constants shared by the Spark builder and the unrolled oracle
+_PR_DAMPING = 0.85
+_PR_ITERS = 10
+
+
+def pagerank(edges: DataFrame, damping: float = _PR_DAMPING, iters: int = _PR_ITERS) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list (src, dst) —
+    Brin & Page 1998, power iteration form.
+
+    Scale design: edges and out-degrees are computed ONCE and reused every
+    iteration (the iteration-invariant side); each step is one join + one
+    dst-keyed sum — two shuffles per iteration, rank state is O(nodes).
+    Ranks are ``localCheckpoint``-ed every 3 rounds so the plan stays O(1)
+    like :func:`cc_star`. Dangling nodes are absent by construction for
+    symmetric graphs; for general graphs callers add the dangling mass
+    term. Fixed iteration count (not convergence) keeps the result
+    engine-reproducible."""
+    deg = edges.groupBy("src").agg(F.count("*").cast("double").alias("deg"))
+    n_nodes = deg.agg(F.count("*").cast("double").alias("n"))
+    edges = edges.localCheckpoint(eager=False)
+    deg = deg.localCheckpoint(eager=False)
+    ranks = (
+        deg.crossJoin(F.broadcast(n_nodes))
+        .select(F.col("src").alias("node"), (F.lit(1.0) / F.col("n")).alias("rank"))
+    )
+    contrib_edges = edges.join(deg, "src")
+    for i in range(iters):
+        ranks = (
+            ranks.join(contrib_edges, ranks["node"] == contrib_edges["src"])
+            .groupBy(F.col("dst").alias("_dst"))
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("contrib"))
+            .crossJoin(F.broadcast(n_nodes))
+            .select(
+                F.col("_dst").alias("node"),
+                (
+                    (1.0 - damping) / F.col("n") + damping * F.col("contrib")
+                ).alias("rank"),
+            )
+        )
+        if (i + 1) % 3 == 0:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks
+
+
+def _pagerank_oracle() -> str:
+    """The oracle unrolls the ``_PR_ITERS`` power iterations as chained
+    CTEs (recursive CTEs disallow aggregation in the recursive member, so
+    unrolling is the portable SQL form). rank*N rescaling keeps 6-dp
+    rounding far above cross-engine FP summation noise."""
+    steps = []
+    for i in range(1, _PR_ITERS + 1):
+        steps.append(f"""
+    p{i} AS (
+      SELECT e.dst AS node,
+             (1 - {_PR_DAMPING}) / (SELECT n FROM nn)
+               + {_PR_DAMPING} * sum(p.rank / d.deg) AS rank
+      FROM p{i - 1} p
+      JOIN pairs e ON p.node = e.src
+      JOIN deg d ON d.src = p.node
+      GROUP BY e.dst
+    )""")
+    return (
+        """
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS src, b.l_partkey AS dst
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+      HAVING count(*) >= 2
+    ),
+    deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM pairs GROUP BY src),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+    p0 AS (SELECT src AS node, 1.0 / (SELECT n FROM nn) AS rank FROM deg),"""
+        + ",".join(steps)
+        + f"""
+    SELECT node, round(rank * (SELECT n FROM nn), 6) AS rank_scaled
+    FROM p{_PR_ITERS}
+    """
+    )
+
+
 def _register_queries() -> None:
     """Registry hook (module is listed in plans.registry._QUERY_MODULES)."""
     from pyspark.sql import SparkSession
 
     from cdc_worker_spark.plans.registry import query
+
+    @query("q_graph_pagerank", oracle=_pagerank_oracle())
+    def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """PageRank over the co-purchase part graph (parts ordered together
+        in >= 2 orders, symmetric — the q_basket_pairs graph), 10 power
+        iterations, damping 0.85 — 'which parts sit at the center of the
+        purchase network'. ORACLE-CHECKED, unlike the usual rows-only fate
+        of iterative algorithms: the fixed iteration count makes the result
+        a pure function of the edge list, and the oracle unrolls the same
+        10 steps as chained SQL CTEs. Emitted ranks are rescaled by N so
+        6-dp rounding sits ~1e7 above cross-engine FP noise."""
+        from cdc_worker_spark.sources.tables import load_table
+
+        li = load_table(spark, sf_dir, "lineitem")
+        items = li.select("l_orderkey", "l_partkey").distinct()
+        a, b = items.alias("a"), items.alias("b")
+        edges = (
+            a.join(
+                b,
+                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+            )
+            .groupBy(
+                F.col("a.l_partkey").alias("src"),
+                F.col("b.l_partkey").alias("dst"),
+            )
+            .agg(F.count("*").alias("w"))
+            .filter(F.col("w") >= 2)
+            .select("src", "dst")
+        )
+        deg = edges.groupBy("src").agg(F.count("*").cast("double").alias("n_out"))
+        n_nodes = deg.agg(F.count("*").cast("double").alias("n"))
+        ranks = pagerank(edges)
+        return ranks.crossJoin(F.broadcast(n_nodes)).select(
+            "node", F.round(F.col("rank") * F.col("n"), 6).alias("rank_scaled")
+        )
 
     @query("q_dedup_cluster_star")  # rows-only: iterative; candidates engine-specific
     def q_dedup_cluster_star(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -358,7 +358,12 @@ def q_multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out[c] = out[c].astype("int32")
             yield out
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # CPU-bound Arrow stage: spread across cores (see decode_jpeg note)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     return docs.mapInPandas(gen_and_decode, GIF_FEATURES_SCHEMA)
 
 
@@ -427,7 +432,14 @@ def q_multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out[c] = out[c].astype("int32")
             yield out
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # CPU-bound Arrow stage: spread across cores even when the input is a
+    # single-row-group file (the shuffle ships only doc_id bigints; at
+    # 100 TB many-file inputs already parallelize and AQE coalesces this)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     return docs.mapInPandas(gen_and_decode, GIF_FEATURES_SCHEMA)
 
 

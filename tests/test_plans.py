@@ -350,3 +350,57 @@ def test_interp_single_window_two_shuffles(spark, sf_dir):
     assert tree.count("Window ") == 1, tree
     shuffles = tree.count("Exchange") - tree.count("BroadcastExchange")
     assert shuffles == 2, tree
+
+
+def test_gopher_rules_is_exchange_free_codegen_projection(spark, sf_dir):
+    """Quality rules are a pure per-row projection: no exchange, no Python
+    eval — the whole filter runs inside one codegen stage over the scan."""
+    tree = tree_of(spark, "q_text_gopher_rules", sf_dir)
+    assert "Exchange" not in tree
+    assert "ArrowEvalPython" not in tree and "BatchEvalPython" not in tree
+
+
+def test_lm_score_broadcasts_vocab_onto_token_stream(spark, sf_dir):
+    """The vocab (bounded by distinct tokens) broadcasts; the corpus-side
+    token stream must NOT sort-merge for the score join."""
+    tree = tree_of(spark, "q_text_lm_score", sf_dir)
+    assert "BroadcastHashJoin" in tree
+    assert "SortMergeJoin" not in tree
+
+
+def test_scd2_shares_one_user_partitioning(spark, sf_dir):
+    """lag -> running sum -> collapse -> lead all key on user_id; the
+    windows coalesce into at most two Window nodes over ONE exchange of
+    the event stream (plus the post-groupBy exchange AQE may add)."""
+    tree = tree_of(spark, "q_cdc_scd2", sf_dir)
+    assert tree.count("Window") <= 3
+    # the raw event stream is exchanged once: user_id hash partitioning
+    assert tree.count("Exchange hashpartitioning(user_id") <= 2
+
+
+def test_basket_pairs_co_partitions_on_orderkey_no_cartesian(spark, sf_dir):
+    """Pair generation joins on the basket key (equi); the freq/n_orders
+    sides broadcast. No cartesian product anywhere."""
+    tree = tree_of(spark, "q_basket_pairs", sf_dir)
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin Cross" in tree or "BroadcastHashJoin" in tree
+
+
+def test_pagerank_iterations_reuse_checkpointed_state(spark, sf_dir):
+    """Fixed-iteration PageRank: the per-iteration join must be on the
+    src equi key (no cartesian), and localCheckpoint keeps the final plan
+    from growing with iteration count (scans, not 10 nested joins)."""
+    tree = tree_of(spark, "q_graph_pagerank", sf_dir)
+    assert "CartesianProduct" not in tree
+    # plan is O(1): the checkpoint truncates lineage, so the tree holds
+    # at most the last <=3 un-checkpointed iterations (~2 joins each),
+    # not all 10
+    assert tree.count("HashJoin") + tree.count("SortMergeJoin") <= 8
+
+
+def test_skyline_confines_quadratic_check_to_brand_partitions(spark, sf_dir):
+    """The dominance anti-join is keyed on p_brand (equi) — Spark must NOT
+    plan a cartesian over the whole part table."""
+    tree = tree_of(spark, "q_part_skyline", sf_dir)
+    assert "CartesianProduct" not in tree
+    assert "LeftAnti" in tree

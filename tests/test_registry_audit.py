@@ -19,9 +19,9 @@ def test_registry_size_matches_docs():
     these numbers; update both together."""
     qs = all_queries()
     oracles = all_oracles()
-    assert len(qs) == 153, f"registry has {len(qs)} queries, docs say 153"
-    assert len(oracles) == 141, (
-        f"{len(oracles)} oracle-checked queries, docs say 141 "
+    assert len(qs) == 156, f"registry has {len(qs)} queries, docs say 156"
+    assert len(oracles) == 144, (
+        f"{len(oracles)} oracle-checked queries, docs say 144 "
         f"({len(qs) - len(oracles)} rows-only by design)"
     )
 
