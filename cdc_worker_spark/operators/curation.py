@@ -294,10 +294,11 @@ def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket co-occurrence mining: part pairs ordered together in
     >= 2 orders, with support and lift (the association-rule primitives).
 
-    The pair generation is a SELF-JOIN CO-PARTITIONED on l_orderkey —
-    one shuffle of the distinct (order, part) set, and the fan-out per
-    order is quadratic only in that order's item count (bounded at 7 in
-    TPC-H; unbounded baskets get a per-basket cap in production). The
+    Pair generation is ONE basket-keyed shuffle, no self-join: group each
+    order's distinct parts into an array, expand the ordered pairs with a
+    nested array transform (pure projection — the fan-out is quadratic
+    only in that order's item count, bounded at 7 in TPC-H; unbounded
+    baskets get a per-basket cap in production), then count pairs. The
     per-part frequency table is O(parts) and BROADCASTS onto the pair
     counts; n_orders is a 1-row broadcast. Exact integer counts make
     support/lift bit-deterministic."""
@@ -309,18 +310,27 @@ def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_orders = items.agg(
         F.count_distinct("l_orderkey").cast("double").alias("n_orders")
     )
-    a = items.alias("a")
-    b = items.alias("b")
+    per_order = items.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("parts")
+    )
+    # all ordered pairs (x < y) inside each basket: nested transform,
+    # flatten, drop the nulls the >= filter leaves behind
+    pair_arr = F.flatten(
+        F.transform(
+            "parts",
+            lambda x: F.filter(
+                F.transform(
+                    "parts",
+                    lambda y: F.when(x < y, F.struct(x.alias("part_a"), y.alias("part_b"))),
+                ),
+                lambda s: s.isNotNull(),
+            ),
+        )
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
+        per_order.select(F.explode(pair_arr).alias("p"))
+        .select(F.col("p.part_a").alias("part_a"), F.col("p.part_b").alias("part_b"))
+        .groupBy("part_a", "part_b")
         .agg(F.count("*").alias("n_both"))
         .filter(F.col("n_both") >= 2)
     )
@@ -448,3 +458,338 @@ def q_part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return p.join(q, dominated, "left_anti")
+
+
+@query(
+    "q_text_bigram_lm",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      FROM documents
+    ),
+    big AS (
+      SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+      FROM w, LATERAL unnest(range(1, len(ws))) AS t(i)
+      WHERE len(ws) >= 2
+    ),
+    cb AS (SELECT w1, w2, CAST(count(*) AS DOUBLE) AS cb
+           FROM big GROUP BY w1, w2),
+    cu AS (SELECT w1, CAST(count(*) AS DOUBLE) AS cu FROM big GROUP BY w1),
+    vv AS (SELECT CAST(count(DISTINCT w2) AS DOUBLE) AS v FROM big)
+    SELECT b.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(ln((cb.cb + 1) / (cu.cu + (SELECT v FROM vv)))), 6)
+             AS avg_logprob
+    FROM big b JOIN cb USING (w1, w2) JOIN cu USING (w1)
+    GROUP BY b.doc_id
+    """,
+)
+def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace-smoothed BIGRAM language-model scoring — the next order up
+    from q_text_lm_score's unigram form (the KenLM-filter shape without
+    the backoff tables): per doc the mean ln P(w_i | w_{i-1}) with add-one
+    smoothing over the corpus-trained bigram/context counts.
+
+    Scale shape mirrors the unigram scorer: the bigram and context count
+    tables are bounded by VOCABULARY (pairs actually observed), not corpus
+    size, so both BROADCAST onto the exploded bigram stream — the corpus
+    side shuffles only for the final per-doc mean. Bigram extraction is
+    arrays_zip over two slices: a pure projection, no self-join."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = _words()
+    n = F.size(ws)
+    pairs = F.arrays_zip(
+        F.slice(ws, 1, n - 1).alias("w1"), F.slice(ws, 2, n - 1).alias("w2")
+    )
+    big = (
+        docs.select("doc_id", pairs.alias("ps"))
+        .filter(F.size("ps") >= 1)
+        .select("doc_id", F.explode("ps").alias("p"))
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    cb = big.groupBy("w1", "w2").agg(F.count("*").cast("double").alias("cb"))
+    cu = big.groupBy("w1").agg(F.count("*").cast("double").alias("cu"))
+    vv = big.agg(F.count_distinct("w2").cast("double").alias("v"))
+    return (
+        big.join(F.broadcast(cb), ["w1", "w2"])
+        .join(F.broadcast(cu), "w1")
+        .crossJoin(F.broadcast(vv))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                F.avg(F.log((F.col("cb") + 1) / (F.col("cu") + F.col("v")))), 6
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+@query(
+    "q_orders_rfm",
+    oracle="""
+    WITH base AS (
+      SELECT o_custkey,
+             date_diff('day', max(o_orderdate),
+                       (SELECT max(o_orderdate) FROM orders)) AS recency_days,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS monetary
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey, CAST(recency_days AS BIGINT) AS recency_days,
+           frequency, monetary,
+           CAST(ntile(5) OVER (ORDER BY recency_days, o_custkey) AS INT)
+             AS r_score,
+           CAST(ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS INT)
+             AS f_score,
+           CAST(ntile(5) OVER (ORDER BY monetary DESC, o_custkey) AS INT)
+             AS m_score
+    FROM base
+    """,
+)
+def q_orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (recency / frequency / monetary quintile
+    scores) — the standard warehouse cohorting primitive. One customer-keyed
+    aggregation, then three ntile windows over the CUSTOMERS-sized result
+    (not the orders stream), each with an explicit custkey tiebreak so both
+    engines assign identical quintiles. Monetary uses the DECIMAL-sum-cast-
+    DOUBLE money convention. The global max date is a 1-row broadcast.
+
+    Scale note: single-partition ntile over all customers is the textbook
+    bottleneck; at 100 TB the quintile boundaries come from approx
+    percentiles (q_agg_approx_percentile) and a broadcast range join —
+    declared here as the exact small-dim form."""
+    o = load_table(spark, sf_dir, "orders")
+    gmax = o.agg(F.max("o_orderdate").alias("gmax"))
+    base = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count("*").alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+        .crossJoin(F.broadcast(gmax))
+        .select(
+            "o_custkey",
+            F.datediff("gmax", "last_order").cast("bigint").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    wr = Window.orderBy("recency_days", "o_custkey")
+    wf = Window.orderBy(F.col("frequency").desc(), "o_custkey")
+    wm = Window.orderBy(F.col("monetary").desc(), "o_custkey")
+    return base.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(5).over(wr).alias("r_score"),
+        F.ntile(5).over(wf).alias("f_score"),
+        F.ntile(5).over(wm).alias("m_score"),
+    )
+
+
+@query(
+    "q_text_zipf_fit",
+    oracle="""
+    WITH tok AS (
+      SELECT lang,
+             unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT lang, term, CAST(count(*) AS DOUBLE) AS freq
+           FROM tok GROUP BY lang, term),
+    ranked AS (
+      SELECT lang, freq,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY freq DESC, term) AS rnk
+      FROM tf
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_terms,
+           round(regr_slope(ln(freq), ln(CAST(rnk AS DOUBLE))), 6)
+             AS zipf_slope,
+           round(regr_r2(ln(freq), ln(CAST(rnk AS DOUBLE))), 6) AS r2
+    FROM ranked WHERE rnk <= 100
+    GROUP BY lang
+    """,
+)
+def q_text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit per language: least-squares slope of ln(freq) on
+    ln(rank) over the top-100 terms — natural text sits near -1; a corpus
+    whose slope drifts toward 0 is template/machine-generated (a standard
+    corpus-health diagnostic). The term-frequency table is vocabulary-sized;
+    the per-lang rank window and the regression aggregate both run on that
+    SMALL table — the token stream only feeds the one tf groupBy. Identical
+    freq-desc/term tiebreak makes rank assignments engine-identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("lang", F.explode(_words()).alias("term"))
+    tf = tok.groupBy("lang", "term").agg(
+        F.count("*").cast("double").alias("freq")
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("freq").desc(), "term")
+    ranked = tf.select(
+        "lang", "freq", F.row_number().over(w).alias("rnk")
+    ).filter(F.col("rnk") <= 100)
+    lf, lr = F.log("freq"), F.log(F.col("rnk").cast("double"))
+    return ranked.groupBy("lang").agg(
+        F.count("*").alias("n_terms"),
+        F.round(F.regr_slope(lf, lr), 6).alias("zipf_slope"),
+        F.round(F.regr_r2(lf, lr), 6).alias("r2"),
+    )
+
+
+@query(
+    "q_cdc_out_of_order",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type, epoch_ms(ts) AS ts_ms,
+             max(epoch_ms(ts)) OVER (
+               PARTITION BY event_type
+               ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS max_prior_ms
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(*) FILTER (WHERE ts_ms < max_prior_ms) AS BIGINT)
+             AS n_late,
+           CAST(max(max_prior_ms - ts_ms)
+                FILTER (WHERE ts_ms < max_prior_ms) AS BIGINT) AS max_lag_ms,
+           CAST(sum(max_prior_ms - ts_ms)
+                FILTER (WHERE ts_ms < max_prior_ms) AS BIGINT) AS total_lag_ms
+    FROM seq GROUP BY event_type
+    """,
+)
+def q_cdc_out_of_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-order (late-event) profiling per topic: how many events
+    arrive with an event time BEHIND the running maximum, and how far —
+    the measurement that sizes a streaming watermark (streaming/windows.py
+    uses exactly this delay bound). The fixtures carry no arrival column
+    (event_id order IS time order), so arrival is simulated by the md5
+    permutation of event_id — identical on both engines, giving a
+    deterministic heavily-out-of-order stream. One event_type-keyed window
+    + the same-keyed aggregate: a single exchange, integer-ms arithmetic
+    throughout."""
+    ev = load_events_ms(spark, sf_dir)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.md5(F.col("event_id").cast("string").cast("binary")), "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = ev.select(
+        "event_type",
+        "ts_ms",
+        F.max("ts_ms").over(w).alias("max_prior_ms"),
+    )
+    late = F.col("ts_ms") < F.col("max_prior_ms")
+    lag = F.col("max_prior_ms") - F.col("ts_ms")
+    return seq.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.count_if(late).alias("n_late"),
+        F.max(F.when(late, lag)).alias("max_lag_ms"),
+        F.sum(F.when(late, lag)).alias("total_lag_ms"),
+    )
+
+
+@query(
+    "q_supplier_coverage",
+    oracle="""
+    WITH brand_parts AS (
+      SELECT p_brand, p_partkey FROM part WHERE p_size >= 48
+    ),
+    sp AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem),
+    cover AS (
+      SELECT bp.p_brand, sp.l_suppkey,
+             count(DISTINCT bp.p_partkey) AS n_cov
+      FROM brand_parts bp JOIN sp ON sp.l_partkey = bp.p_partkey
+      GROUP BY bp.p_brand, sp.l_suppkey
+    ),
+    need AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n_need
+             FROM brand_parts GROUP BY p_brand)
+    SELECT cover.p_brand, l_suppkey, n_need
+    FROM cover JOIN need USING (p_brand)
+    WHERE n_cov = n_need
+    """,
+)
+def q_supplier_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RELATIONAL DIVISION — 'suppliers that have shipped EVERY large
+    (size >= 48) part of a brand' — the universal-quantifier join the
+    SQL-92 idiom spells as double NOT EXISTS; here the count-matching
+    form: per (brand, supplier) coverage count == the brand's catalog
+    count. The brand catalog is dimension-sized and BROADCASTS onto the
+    shipped-pairs stream; both aggregates are partial-then-final; the
+    final need-join is broadcast too. Nothing shuffles except the
+    (brand, supplier) coverage cells."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    brand_parts = part.filter(F.col("p_size") >= 48).select(
+        "p_brand", "p_partkey"
+    )
+    sp = li.select("l_suppkey", "l_partkey").distinct()
+    cover = (
+        sp.join(F.broadcast(brand_parts), sp.l_partkey == brand_parts.p_partkey)
+        .groupBy("p_brand", "l_suppkey")
+        .agg(F.count_distinct("p_partkey").alias("n_cov"))
+    )
+    need = brand_parts.groupBy("p_brand").agg(F.count("*").alias("n_need"))
+    return (
+        cover.join(F.broadcast(need), "p_brand")
+        .filter(F.col("n_cov") == F.col("n_need"))
+        .select("p_brand", "l_suppkey", "n_need")
+    )
+
+
+@query(
+    "q_events_cusum",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+      FROM events GROUP BY event_type
+    ),
+    seq AS (
+      SELECT e.event_type,
+             sum((e.value - s.mu) / s.sd) OVER (
+               PARTITION BY e.event_type
+               ORDER BY epoch_ms(e.ts), e.event_id
+               ROWS UNBOUNDED PRECEDING) AS cusum
+      FROM events e JOIN stats s USING (event_type)
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(max(abs(cusum)), 6) AS max_abs_cusum,
+           round(avg(cusum), 6) AS mean_cusum
+    FROM seq GROUP BY event_type
+    """,
+)
+def q_events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift detection per topic (Page 1954): the running cumulative
+    sum of standardized deviations from the topic mean — a persistent
+    shift in the value distribution shows up as |CUSUM| growing linearly,
+    which single-point z-score monitors (q_events_anomaly) miss. The
+    topic-stats table is topics-sized and BROADCASTS onto the stream; the
+    cumulative window and the final rollup share ONE event_type exchange.
+    The window's total order (ts, event_id) fixes the summation order, so
+    both engines accumulate identical doubles."""
+    ev = load_events_ms(spark, sf_dir)
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts_ms", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seq = ev.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        F.sum((F.col("value") - F.col("mu")) / F.col("sd")).over(w).alias("cusum"),
+    )
+    return seq.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.max(F.abs("cusum")), 6).alias("max_abs_cusum"),
+        F.round(F.avg("cusum"), 6).alias("mean_cusum"),
+    )

@@ -144,10 +144,16 @@ def pagerank(edges: DataFrame, damping: float = _PR_DAMPING, iters: int = _PR_IT
     symmetric graphs; for general graphs callers add the dangling mass
     term. Fixed iteration count (not convergence) keeps the result
     engine-reproducible."""
-    deg = edges.groupBy("src").agg(F.count("*").cast("double").alias("deg"))
+    # checkpoint the iteration-invariant side FIRST, then derive everything
+    # downstream from the checkpointed frames — otherwise every iteration's
+    # n_nodes broadcast re-executes the full edge-generation lineage
+    edges = edges.localCheckpoint(eager=True)
+    deg = (
+        edges.groupBy("src")
+        .agg(F.count("*").cast("double").alias("deg"))
+        .localCheckpoint(eager=True)
+    )
     n_nodes = deg.agg(F.count("*").cast("double").alias("n"))
-    edges = edges.localCheckpoint(eager=False)
-    deg = deg.localCheckpoint(eager=False)
     ranks = (
         deg.crossJoin(F.broadcast(n_nodes))
         .select(F.col("src").alias("node"), (F.lit(1.0) / F.col("n")).alias("rank"))
@@ -174,12 +180,12 @@ def pagerank(edges: DataFrame, damping: float = _PR_DAMPING, iters: int = _PR_IT
 def _pagerank_oracle() -> str:
     """The oracle unrolls the ``_PR_ITERS`` power iterations as chained
     CTEs (recursive CTEs disallow aggregation in the recursive member, so
-    unrolling is the portable SQL form). rank*N rescaling keeps 6-dp
+    unrolling is the portable SQL form; MATERIALIZED stops DuckDB re-inlining the pair CTE at every reference, which exhausted temp disk at sf1). rank*N rescaling keeps 6-dp
     rounding far above cross-engine FP summation noise."""
     steps = []
     for i in range(1, _PR_ITERS + 1):
         steps.append(f"""
-    p{i} AS (
+    p{i} AS MATERIALIZED (
       SELECT e.dst AS node,
              (1 - {_PR_DAMPING}) / (SELECT n FROM nn)
                + {_PR_DAMPING} * sum(p.rank / d.deg) AS rank
@@ -190,16 +196,16 @@ def _pagerank_oracle() -> str:
     )""")
     return (
         """
-    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    pairs AS (
+    WITH items AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS MATERIALIZED (
       SELECT a.l_partkey AS src, b.l_partkey AS dst
       FROM items a JOIN items b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
       GROUP BY a.l_partkey, b.l_partkey
       HAVING count(*) >= 2
     ),
-    deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM pairs GROUP BY src),
-    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+    deg AS MATERIALIZED (SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM pairs GROUP BY src),
+    nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
     p0 AS (SELECT src AS node, 1.0 / (SELECT n FROM nn) AS rank FROM deg),"""
         + ",".join(steps)
         + f"""
@@ -229,17 +235,29 @@ def _register_queries() -> None:
 
         li = load_table(spark, sf_dir, "lineitem")
         items = li.select("l_orderkey", "l_partkey").distinct()
-        a, b = items.alias("a"), items.alias("b")
+        # pair expansion without a self-join: ONE basket-keyed shuffle,
+        # then a nested array transform (same shape as q_basket_pairs)
+        per_order = items.groupBy("l_orderkey").agg(
+            F.collect_set("l_partkey").alias("parts")
+        )
+        pair_arr = F.flatten(
+            F.transform(
+                "parts",
+                lambda x: F.filter(
+                    F.transform(
+                        "parts",
+                        lambda y: F.when(
+                            x != y, F.struct(x.alias("src"), y.alias("dst"))
+                        ),
+                    ),
+                    lambda s: s.isNotNull(),
+                ),
+            )
+        )
         edges = (
-            a.join(
-                b,
-                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-                & (F.col("a.l_partkey") != F.col("b.l_partkey")),
-            )
-            .groupBy(
-                F.col("a.l_partkey").alias("src"),
-                F.col("b.l_partkey").alias("dst"),
-            )
+            per_order.select(F.explode(pair_arr).alias("p"))
+            .select(F.col("p.src").alias("src"), F.col("p.dst").alias("dst"))
+            .groupBy("src", "dst")
             .agg(F.count("*").alias("w"))
             .filter(F.col("w") >= 2)
             .select("src", "dst")

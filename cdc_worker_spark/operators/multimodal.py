@@ -2,14 +2,14 @@
 typed metadata, decode / feature-extract plumbing as Arrow-batched Pandas UDFs.
 
 Design: media is an opaque ``binary`` column + metadata struct; all Spark-side
-plumbing (schema, partitioning, batch shape) is real. PNG decode is REAL
-(functions/png_codec.py — the format needs only stdlib zlib/struct):
-payloads carrying the PNG signature yield actual IHDR geometry and pixel
-statistics, oracle-checked end-to-end by q_multimodal_decode_png. JPEG/audio/
-video decode remain STUBBED (no media libraries in this container): the
-default "decoder" derives deterministic fake metadata from the bytes, and
-``decode_media_batch(..., strict=True)`` raises NotImplementedError where a
-real libjpeg/soundfile/ffmpeg call would go.
+plumbing (schema, partitioning, batch shape) is real. Five formats decode for
+REAL via in-repo codecs, one per compression family: PNG (filter+deflate),
+GIF (LZW), baseline JPEG (DCT/Huffman transform coding), PCM WAV, Y4M planar
+video — each oracle-checked end-to-end by its q_multimodal_decode_* query.
+Only MP3/H.264-class formats remain stubbed (their codecs are out of
+stdlib+numpy reach): the default "decoder" derives deterministic fake
+metadata from the bytes, and ``decode_media_batch(..., strict=True)`` raises
+NotImplementedError where a libavcodec/ffmpeg call would go.
 
 At 100 TB: binary payloads dominate bytes — mapInPandas streams Arrow batches
 through the decoder without materializing the whole partition; metadata-only
@@ -358,11 +358,11 @@ def q_multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out[c] = out[c].astype("int32")
             yield out
 
-    # CPU-bound Arrow stage: spread across cores (see decode_jpeg note)
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
+    # CPU-bound Arrow stage: restore parallelism (see decode_jpeg note)
+    from cdc_worker_spark.operators.dedup import ensure_parallelism
+
+    docs = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").select("doc_id")
     )
     return docs.mapInPandas(gen_and_decode, GIF_FEATURES_SCHEMA)
 
@@ -432,13 +432,12 @@ def q_multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out[c] = out[c].astype("int32")
             yield out
 
-    # CPU-bound Arrow stage: spread across cores even when the input is a
-    # single-row-group file (the shuffle ships only doc_id bigints; at
-    # 100 TB many-file inputs already parallelize and AQE coalesces this)
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
+    # CPU-bound Arrow stage: restore parallelism for under-split sources
+    # (no-op at real scale; ships only doc_id bigints otherwise)
+    from cdc_worker_spark.operators.dedup import ensure_parallelism
+
+    docs = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").select("doc_id")
     )
     return docs.mapInPandas(gen_and_decode, GIF_FEATURES_SCHEMA)
 

@@ -21,6 +21,11 @@ from cdc_worker_spark.streaming.registry import (
     resolve_new_ids,
     run_multiplexed_pipeline,
 )
+from cdc_worker_spark.streaming.scd2 import (
+    Scd2State,
+    collapse_runs,
+    run_scd2_pipeline,
+)
 from cdc_worker_spark.streaming.sinks import forward_events, run_forwarding_sink
 from cdc_worker_spark.streaming.windows import (
     running_counters,
@@ -36,6 +41,7 @@ __all__ = [
     "ACCOUNT_FIELDS",
     "ENVELOPE_SCHEMA",
     "LatestWinsState",
+    "Scd2State",
     "SchemaRegistry",
     "TopicSchema",
     "account_payload_schema",
@@ -49,7 +55,9 @@ __all__ = [
     "resolve_new_ids",
     "run_cdc_pipeline",
     "run_multiplexed_pipeline",
+    "collapse_runs",
     "run_forwarding_sink",
+    "run_scd2_pipeline",
     "running_counters",
     "session_counts",
     "sliding_counts",

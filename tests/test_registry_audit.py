@@ -19,9 +19,9 @@ def test_registry_size_matches_docs():
     these numbers; update both together."""
     qs = all_queries()
     oracles = all_oracles()
-    assert len(qs) == 156, f"registry has {len(qs)} queries, docs say 156"
-    assert len(oracles) == 144, (
-        f"{len(oracles)} oracle-checked queries, docs say 144 "
+    assert len(qs) == 162, f"registry has {len(qs)} queries, docs say 162"
+    assert len(oracles) == 150, (
+        f"{len(oracles)} oracle-checked queries, docs say 150 "
         f"({len(qs) - len(oracles)} rows-only by design)"
     )
 
