@@ -56,6 +56,7 @@ HEADLINE = [
     "q_cdc_scd2",           # 3-window gaps-and-islands, one exchange (r5)
     "q_basket_pairs",       # co-partitioned basket self-join (r5)
     "q_multimodal_decode_jpeg",  # Arrow-batched transform-coding decode (r5)
+    "q_graph_pagerank",     # 10-iteration broadcast-state power method (r5)
 ]
 
 

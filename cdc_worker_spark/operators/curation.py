@@ -793,3 +793,159 @@ def q_events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max(F.abs("cusum")), 6).alias("max_abs_cusum"),
         F.round(F.avg("cusum"), 6).alias("mean_cusum"),
     )
+
+
+@query(
+    "q_events_cum_distinct",
+    oracle="""
+    WITH firsts AS (
+      SELECT event_type, user_id, min(CAST(ts AS DATE)) AS first_day
+      FROM events GROUP BY event_type, user_id
+    ),
+    daily AS (
+      SELECT event_type, first_day AS day, CAST(count(*) AS BIGINT) AS new_users
+      FROM firsts GROUP BY event_type, first_day
+    )
+    SELECT event_type, CAST(day AS TIMESTAMP) AS day, new_users,
+           CAST(sum(new_users) OVER (PARTITION BY event_type ORDER BY day
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+    FROM daily
+    """,
+)
+def q_events_cum_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative DISTINCT users per topic per day (the growth-curve
+    metric). count(DISTINCT) over an unbounded window is illegal in every
+    engine; the scalable identity is first-seen collapse: min(first day)
+    per (topic, user) -> daily new-user counts -> running sum. The shuffle
+    carries one row per (topic, user) — the same O(keys) shape as
+    latest-wins — and the running sum runs over the tiny (topic, day)
+    grid. This is the standard rewrite that makes 'users to date' feasible
+    on a 100 TB event log."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy(
+        "event_type", "user_id"
+    ).agg(F.min(F.to_date("ts")).alias("first_day"))
+    daily = firsts.groupBy(
+        "event_type", F.col("first_day").alias("day")
+    ).agg(F.count("*").alias("new_users"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.select(
+        "event_type",
+        # DATE round-trips as python objects through Arrow; emit the
+        # midnight timestamp so both engines hash the same dtype
+        F.col("day").cast("timestamp_ntz").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).alias("cum_users"),
+    )
+
+
+@query(
+    "q_tpch_q3",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1996-06-15'
+      AND l_shipdate > TIMESTAMP '1996-06-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority), adapted to the fixture schema
+    (o_orderpriority stands in for o_shippriority; fixture date domain):
+    the marquee filtered 3-way join + grouped revenue + top-10. Customer
+    (segment-filtered) BROADCASTS onto orders, that result broadcasts
+    onto the lineitem scan, whose ship-date predicate pushes into the
+    parquet reader; the top-10 is TakeOrderedAndProject (bounded heap,
+    never a total sort). DECIMAL-sum-cast-DOUBLE money convention with a
+    full tiebreak makes the top-10 engine-identical."""
+    cutoff = "1996-06-15"
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(cutoff).cast("timestamp_ntz")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(cutoff).cast("timestamp_ntz")
+    )
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+    )
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q_tpch_q5",
+    oracle="""
+    SELECT n_name,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): the 6-table snowflake with the
+    same-nation customer/supplier correlation — the classic join-order
+    stress test. Region -> nation -> supplier collapse to a small
+    broadcast side; the fact-side path keeps lineitem streaming with
+    every dimension broadcast (no lineitem shuffle until the final
+    nations-sized aggregate). Two-year date window pushes into the
+    orders scan."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+    )
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey)
+            & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
