@@ -949,3 +949,128 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.sum(rev).cast("double").alias("revenue"))
     )
+
+
+@query(
+    "q_events_welch_ttest",
+    oracle="""
+    WITH g AS (
+      SELECT event_type, count(*) AS n, avg(value) AS mu, var_samp(value) AS v
+      FROM events WHERE event_type IN ('purchase', 'click')
+      GROUP BY event_type
+    ),
+    w AS (
+      SELECT
+        max(CASE WHEN event_type = 'purchase' THEN mu END) AS mu_a,
+        max(CASE WHEN event_type = 'click' THEN mu END) AS mu_b,
+        max(CASE WHEN event_type = 'purchase' THEN v / n END) AS se_a,
+        max(CASE WHEN event_type = 'click' THEN v / n END) AS se_b,
+        max(CASE WHEN event_type = 'purchase' THEN n END) AS n_a,
+        max(CASE WHEN event_type = 'click' THEN n END) AS n_b
+      FROM g
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           round(mu_a - mu_b, 6) AS mean_diff,
+           round((mu_a - mu_b) / sqrt(se_a + se_b), 6) AS t_stat,
+           round(pow(se_a + se_b, 2)
+                 / (pow(se_a, 2) / (n_a - 1) + pow(se_b, 2) / (n_b - 1)), 6)
+             AS dof
+    FROM w
+    """,
+)
+def q_events_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test (the A/B-testing
+    primitive): purchase vs click value distributions — t statistic and
+    Welch-Satterthwaite degrees of freedom. ONE filtered pass computes
+    both groups' mergeable moments (count/mean/variance partials combine
+    map-side); the test statistic is a 2-row pivot — nothing beyond the
+    moment rows ever shuffles, which is what makes A/B evaluation on a
+    100 TB event log a single cheap aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    g = (
+        ev.filter(F.col("event_type").isin("purchase", "click"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.avg("value").alias("mu"),
+            F.var_samp("value").alias("v"),
+        )
+    )
+    pick = lambda t, c: F.max(F.when(F.col("event_type") == t, c))  # noqa: E731
+    w = g.agg(
+        pick("purchase", F.col("mu")).alias("mu_a"),
+        pick("click", F.col("mu")).alias("mu_b"),
+        pick("purchase", F.col("v") / F.col("n")).alias("se_a"),
+        pick("click", F.col("v") / F.col("n")).alias("se_b"),
+        pick("purchase", F.col("n")).alias("n_a"),
+        pick("click", F.col("n")).alias("n_b"),
+    )
+    se = F.col("se_a") + F.col("se_b")
+    return w.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.round(F.col("mu_a") - F.col("mu_b"), 6).alias("mean_diff"),
+        F.round((F.col("mu_a") - F.col("mu_b")) / F.sqrt(se), 6).alias("t_stat"),
+        F.round(
+            F.pow(se, 2)
+            / (
+                F.pow("se_a", 2) / (F.col("n_a") - 1)
+                + F.pow("se_b", 2) / (F.col("n_b") - 1)
+            ),
+            6,
+        ).alias("dof"),
+    )
+
+
+@query(
+    "q_agg_weighted_median",
+    oracle="""
+    WITH ranked AS (
+      SELECT l_returnflag, l_extendedprice, l_quantity,
+             sum(l_quantity) OVER (PARTITION BY l_returnflag
+                 ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                 ROWS UNBOUNDED PRECEDING) AS cum_w,
+             sum(l_quantity) OVER (PARTITION BY l_returnflag) AS tot_w
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           round(min(l_extendedprice) FILTER (WHERE cum_w >= tot_w / 2), 4)
+             AS weighted_median,
+           CAST(sum(l_quantity) AS BIGINT) AS total_weight
+    FROM ranked GROUP BY l_returnflag
+    """,
+)
+def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED median (price weighted by quantity, per return flag) —
+    the robust center plain percentile_cont cannot produce when rows
+    carry unequal mass. Computed as the first value whose cumulative
+    weight crosses half the total: one partition-keyed exchange serves
+    the cumulative window, the total-weight window AND the final
+    aggregate; the full (price, orderkey, linenumber) tiebreak pins the
+    crossing row on both engines (weights are integer-valued, so the
+    cum/total sums are exact in any order)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wc = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        "l_quantity",
+        F.sum("l_quantity").over(wc).alias("cum_w"),
+        F.sum("l_quantity").over(wt).alias("tot_w"),
+    )
+    return ranked.groupBy("l_returnflag").agg(
+        F.round(
+            F.min(
+                F.when(
+                    F.col("cum_w") >= F.col("tot_w") / 2, F.col("l_extendedprice")
+                )
+            ),
+            4,
+        ).alias("weighted_median"),
+        F.sum("l_quantity").cast("bigint").alias("total_weight"),
+    )

@@ -19,9 +19,9 @@ def test_registry_size_matches_docs():
     these numbers; update both together."""
     qs = all_queries()
     oracles = all_oracles()
-    assert len(qs) == 165, f"registry has {len(qs)} queries, docs say 165"
-    assert len(oracles) == 153, (
-        f"{len(oracles)} oracle-checked queries, docs say 153 "
+    assert len(qs) == 167, f"registry has {len(qs)} queries, docs say 167"
+    assert len(oracles) == 155, (
+        f"{len(oracles)} oracle-checked queries, docs say 155 "
         f"({len(qs) - len(oracles)} rows-only by design)"
     )
 
