@@ -113,6 +113,56 @@ def main() -> int:
         dlq = spark.read.parquet(dirs["dlq"]).collect()
         check(len(dlq) == 1 and int(dlq[0].replay_id) == 104,
               "corrupt event landed in DLQ, stream continued")
+
+        # incremental SCD2 twin (streaming/scd2.py): two micro-batch runs
+        # with a checkpoint restart in between must equal the one-shot
+        # batch build, and the replayed first file must be a no-op
+        from cdc_worker_spark.streaming.scd2 import (
+            Scd2State,
+            collapse_runs,
+            _restitch,
+            run_scd2_pipeline,
+        )
+
+        scd_in = os.path.join(work, "scd_in")
+        scd_state = os.path.join(work, "scd_state")
+        scd_chk = os.path.join(work, "scd_chk")
+        rows1 = [
+            {"user_id": 1, "event_type": "view", "ts_ms": 1000, "event_id": 1},
+            {"user_id": 1, "event_type": "click", "ts_ms": 2000, "event_id": 2},
+        ]
+        rows2 = [
+            {"user_id": 1, "event_type": "click", "ts_ms": 3000, "event_id": 3},
+            {"user_id": 2, "event_type": "signup", "ts_ms": 500, "event_id": 4},
+        ]
+        os.makedirs(scd_in, exist_ok=True)
+        with open(os.path.join(scd_in, "s1.jsonl"), "w") as f:
+            f.writelines(json.dumps(r) + "\n" for r in rows1)
+        run_scd2_pipeline(spark, scd_in, scd_state, scd_chk)
+        with open(os.path.join(scd_in, "s2.jsonl"), "w") as f:
+            f.writelines(json.dumps(r) + "\n" for r in rows2)
+        run_scd2_pipeline(spark, scd_in, scd_state, scd_chk)  # restart
+        got = sorted(
+            (r.user_id, r.version, r.event_type, r.valid_from_ms,
+             r.valid_to_ms, r.n_events)
+            for r in Scd2State(scd_state).read(spark).collect()
+        )
+        all_rows = spark.createDataFrame(
+            [(r["user_id"], r["event_type"], r["ts_ms"], r["event_id"])
+             for r in rows1 + rows2],
+            ["user_id", "event_type", "ts_ms", "event_id"],
+        )
+        want = sorted(
+            (r.user_id, r.version, r.event_type, r.valid_from_ms,
+             r.valid_to_ms, r.n_events)
+            for r in _restitch(collapse_runs(all_rows)).collect()
+        )
+        check(got == want,
+              "incremental SCD2 across checkpoint restart == batch build")
+        check(
+            [r for r in got if r[0] == 1 and r[4] is None][0][5] == 2,
+            "SCD2 run spanning the batch split merged (click x2 open)",
+        )
     finally:
         spark.stop()
         shutil.rmtree(work, ignore_errors=True)
