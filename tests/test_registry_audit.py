@@ -19,9 +19,9 @@ def test_registry_size_matches_docs():
     these numbers; update both together."""
     qs = all_queries()
     oracles = all_oracles()
-    assert len(qs) == 167, f"registry has {len(qs)} queries, docs say 167"
-    assert len(oracles) == 155, (
-        f"{len(oracles)} oracle-checked queries, docs say 155 "
+    assert len(qs) == 169, f"registry has {len(qs)} queries, docs say 169"
+    assert len(oracles) == 157, (
+        f"{len(oracles)} oracle-checked queries, docs say 157 "
         f"({len(qs) - len(oracles)} rows-only by design)"
     )
 
