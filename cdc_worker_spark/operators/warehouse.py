@@ -1,0 +1,793 @@
+"""Warehouse-depth operators (round 5): the SQL a user switching engines
+reaches for beyond the relational core — SCD Type-2 history (the
+keep-every-version twin of the reference's latest-wins state, design doc
+:654-727), out-of-order profiling for watermark sizing, RFM segmentation,
+market-basket mining, forward as-of joins, skylines, relational division,
+CUSUM drift detection, cumulative-distinct growth curves, the marquee
+TPC-H classics, and weighted/robust statistics.
+
+Cross-engine determinism follows the repo conventions: ts_ms BIGINTs for
+event time (functions/exprs.ts_ms_col), DECIMAL-sum-cast-DOUBLE for
+money, explicit total orders under every window/ntile/top-k, and 6-dp
+rounding over any aggregate whose FP summation order differs between
+engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cdc_worker_spark.plans.registry import query
+from cdc_worker_spark.sources.tables import load_events_ms, load_table
+
+@query(
+    "q_cdc_scd2",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY epoch_ms(ts), event_id) AS prev
+      FROM events
+    ),
+    runs AS (
+      SELECT *, sum(CASE WHEN prev IS NULL OR prev <> event_type
+                         THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                        ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM ordered
+    ),
+    collapsed AS (
+      SELECT user_id, CAST(run_id AS BIGINT) AS version, event_type,
+             min(ts_ms) AS valid_from_ms,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM runs GROUP BY user_id, run_id, event_type
+    )
+    SELECT user_id, version, event_type, valid_from_ms,
+           lead(valid_from_ms) OVER (PARTITION BY user_id
+                                     ORDER BY version) AS valid_to_ms,
+           (lead(valid_from_ms) OVER (PARTITION BY user_id
+                                      ORDER BY version)) IS NULL
+             AS is_current,
+           n_events
+    FROM collapsed
+    """,
+)
+def q_cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-Changing-Dimension Type-2 history build from the CDC stream
+    (design doc :654-727 describes latest-wins upsert; SCD2 is the
+    warehouse twin that KEEPS every version with validity intervals).
+    Consecutive equal states collapse into one versioned run
+    (gaps-and-islands), valid_to = next run's valid_from, open interval =
+    current row.
+
+    All three passes (lag, running sum, lead) share ONE partitioning on
+    user_id — a single exchange; the groupBy collapses within the same
+    key space. Interval bounds use the ts_ms BIGINT convention so hashes
+    are time-zone-proof."""
+    ev = load_events_ms(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    prev = F.lag("event_type").over(w)
+    chg = F.when(prev.isNull() | (prev != F.col("event_type")), 1).otherwise(0)
+    runs = ev.select(
+        "user_id",
+        "event_type",
+        "ts_ms",
+        "event_id",
+        F.sum(chg).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("run_id"),
+    )
+    collapsed = runs.groupBy("user_id", "run_id", "event_type").agg(
+        F.min("ts_ms").alias("valid_from_ms"),
+        F.count("*").alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("run_id")
+    valid_to = F.lead("valid_from_ms").over(w2)
+    return collapsed.select(
+        "user_id",
+        F.col("run_id").cast("bigint").alias("version"),
+        "event_type",
+        "valid_from_ms",
+        valid_to.alias("valid_to_ms"),
+        valid_to.isNull().alias("is_current"),
+        "n_events",
+    )
+
+
+@query(
+    "q_cdc_out_of_order",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type, epoch_ms(ts) AS ts_ms,
+             max(epoch_ms(ts)) OVER (
+               PARTITION BY event_type
+               ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS max_prior_ms
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(*) FILTER (WHERE ts_ms < max_prior_ms) AS BIGINT)
+             AS n_late,
+           CAST(max(max_prior_ms - ts_ms)
+                FILTER (WHERE ts_ms < max_prior_ms) AS BIGINT) AS max_lag_ms,
+           CAST(sum(max_prior_ms - ts_ms)
+                FILTER (WHERE ts_ms < max_prior_ms) AS BIGINT) AS total_lag_ms
+    FROM seq GROUP BY event_type
+    """,
+)
+def q_cdc_out_of_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-order (late-event) profiling per topic: how many events
+    arrive with an event time BEHIND the running maximum, and how far —
+    the measurement that sizes a streaming watermark (streaming/windows.py
+    uses exactly this delay bound). The fixtures carry no arrival column
+    (event_id order IS time order), so arrival is simulated by the md5
+    permutation of event_id — identical on both engines, giving a
+    deterministic heavily-out-of-order stream. One event_type-keyed window
+    + the same-keyed aggregate: a single exchange, integer-ms arithmetic
+    throughout."""
+    ev = load_events_ms(spark, sf_dir)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.md5(F.col("event_id").cast("string").cast("binary")), "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = ev.select(
+        "event_type",
+        "ts_ms",
+        F.max("ts_ms").over(w).alias("max_prior_ms"),
+    )
+    late = F.col("ts_ms") < F.col("max_prior_ms")
+    lag = F.col("max_prior_ms") - F.col("ts_ms")
+    return seq.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.count_if(late).alias("n_late"),
+        F.max(F.when(late, lag)).alias("max_lag_ms"),
+        F.sum(F.when(late, lag)).alias("total_lag_ms"),
+    )
+
+
+@query(
+    "q_basket_pairs",
+    oracle="""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pf AS (SELECT l_partkey, CAST(count(*) AS DOUBLE) AS n_ord
+           FROM items GROUP BY l_partkey),
+    n AS (SELECT CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS n_orders
+          FROM items),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             CAST(count(*) AS BIGINT) AS n_both
+      FROM items a
+      JOIN items b ON a.l_orderkey = b.l_orderkey
+                  AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+      HAVING count(*) >= 2
+    )
+    SELECT part_a, part_b, n_both,
+           round(n_both / (SELECT n_orders FROM n), 6) AS support,
+           round(n_both * (SELECT n_orders FROM n)
+                 / (fa.n_ord * fb.n_ord), 6) AS lift
+    FROM pairs
+    JOIN pf fa ON fa.l_partkey = part_a
+    JOIN pf fb ON fb.l_partkey = part_b
+    """,
+)
+def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence mining: part pairs ordered together in
+    >= 2 orders, with support and lift (the association-rule primitives).
+
+    Pair generation is ONE basket-keyed shuffle, no self-join: group each
+    order's distinct parts into an array, expand the ordered pairs with a
+    nested array transform (pure projection — the fan-out is quadratic
+    only in that order's item count, bounded at 7 in TPC-H; unbounded
+    baskets get a per-basket cap in production), then count pairs. The
+    per-part frequency table is O(parts) and BROADCASTS onto the pair
+    counts; n_orders is a 1-row broadcast. Exact integer counts make
+    support/lift bit-deterministic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    pf = items.groupBy("l_partkey").agg(
+        F.count("*").cast("double").alias("n_ord")
+    )
+    n_orders = items.agg(
+        F.count_distinct("l_orderkey").cast("double").alias("n_orders")
+    )
+    per_order = items.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("parts")
+    )
+    # all ordered pairs (x < y) inside each basket: nested transform,
+    # flatten, drop the nulls the >= filter leaves behind
+    pair_arr = F.flatten(
+        F.transform(
+            "parts",
+            lambda x: F.filter(
+                F.transform(
+                    "parts",
+                    lambda y: F.when(x < y, F.struct(x.alias("part_a"), y.alias("part_b"))),
+                ),
+                lambda s: s.isNotNull(),
+            ),
+        )
+    )
+    pairs = (
+        per_order.select(F.explode(pair_arr).alias("p"))
+        .select(F.col("p.part_a").alias("part_a"), F.col("p.part_b").alias("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_both"))
+        .filter(F.col("n_both") >= 2)
+    )
+    fa = pf.select(
+        F.col("l_partkey").alias("part_a"), F.col("n_ord").alias("na")
+    )
+    fb = pf.select(
+        F.col("l_partkey").alias("part_b"), F.col("n_ord").alias("nb")
+    )
+    return (
+        pairs.join(F.broadcast(fa), "part_a")
+        .join(F.broadcast(fb), "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "n_both",
+            F.round(F.col("n_both") / F.col("n_orders"), 6).alias("support"),
+            F.round(
+                F.col("n_both") * F.col("n_orders") / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+@query(
+    "q_join_asof_tol",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+         e AS (SELECT event_id AS e_id, user_id, ts AS e_ts FROM events
+               WHERE event_type = 'error'),
+         m AS (
+           SELECT p.event_id, e.e_id, e.e_ts,
+                  row_number() OVER (PARTITION BY p.event_id
+                                     ORDER BY e.e_ts, e.e_id) AS rn
+           FROM p JOIN e ON p.user_id = e.user_id
+                        AND e.e_ts > p.ts
+                        AND e.e_ts <= p.ts + INTERVAL 48 HOUR)
+    SELECT p.event_id, p.user_id, epoch_ms(p.ts) AS ts_ms,
+           m.e_id AS next_error_id,
+           epoch_ms(m.e_ts) AS next_error_ts_ms
+    FROM p LEFT JOIN (SELECT * FROM m WHERE rn = 1) m USING (event_id)
+    """,
+)
+def q_join_asof_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join with a tolerance bound (the pandas
+    ``merge_asof(direction='forward', tolerance=...)`` surface, the twin of
+    q_join_asof's backward form): for each purchase, the EARLIEST error of
+    the same user strictly after it but within 48 h — unmatched purchases
+    survive with NULLs (left semantics). Same scale shape as the backward
+    form: ONE user_id shuffle serves the equi join, the range predicate
+    prunes candidates before the per-purchase row_number, and the final
+    left join is purchase-keyed. The tolerance bound is what makes this
+    scale-safe: it caps each purchase's candidate window."""
+    ev = load_events_ms(spark, sf_dir)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "ts_ms"
+    )
+    e = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("e_id"),
+        F.col("user_id").alias("e_user_id"),
+        F.col("ts").alias("e_ts"),
+        F.col("ts_ms").alias("e_ts_ms"),
+    )
+    w = Window.partitionBy("event_id").orderBy("e_ts", "e_id")
+    matched = (
+        p.join(
+            e,
+            (p.user_id == e.e_user_id)
+            & (e.e_ts > p.ts)
+            & (e.e_ts <= p.ts + F.expr("INTERVAL 48 HOURS")),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "e_id", "e_ts_ms")
+    )
+    return p.join(matched, "event_id", "left").select(
+        "event_id",
+        "user_id",
+        "ts_ms",
+        F.col("e_id").alias("next_error_id"),
+        F.col("e_ts_ms").alias("next_error_ts_ms"),
+    )
+
+
+@query(
+    "q_part_skyline",
+    oracle="""
+    SELECT p.p_partkey, p.p_brand, p.p_size, p.p_retailprice
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE q.p_brand = p.p_brand
+        AND q.p_retailprice <= p.p_retailprice
+        AND q.p_size >= p.p_size
+        AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+    """,
+)
+def q_part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-frontier) query per brand: parts not dominated on
+    (cheaper price, larger size) by any same-brand part — the classic
+    multi-criteria shortlist operator (Borzsony et al., ICDE 2001).
+
+    Expressed as a dominance anti-join CO-PARTITIONED on p_brand: one
+    brand-keyed shuffle, and the quadratic dominance check is confined to
+    each brand's partition (the standard block-partitioned skyline; an
+    unpartitioned skyline would pre-filter with a grid/sample pass). The
+    anti join keeps exactly the non-dominated rows."""
+    part = load_table(spark, sf_dir, "part")
+    p = part.select("p_partkey", "p_brand", "p_size", "p_retailprice")
+    q = p.select(
+        F.col("p_brand").alias("q_brand"),
+        F.col("p_size").alias("q_size"),
+        F.col("p_retailprice").alias("q_price"),
+    )
+    dominated = (
+        (F.col("q_brand") == F.col("p_brand"))
+        & (F.col("q_price") <= F.col("p_retailprice"))
+        & (F.col("q_size") >= F.col("p_size"))
+        & (
+            (F.col("q_price") < F.col("p_retailprice"))
+            | (F.col("q_size") > F.col("p_size"))
+        )
+    )
+    return p.join(q, dominated, "left_anti")
+
+
+@query(
+    "q_orders_rfm",
+    oracle="""
+    WITH base AS (
+      SELECT o_custkey,
+             date_diff('day', max(o_orderdate),
+                       (SELECT max(o_orderdate) FROM orders)) AS recency_days,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS monetary
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey, CAST(recency_days AS BIGINT) AS recency_days,
+           frequency, monetary,
+           CAST(ntile(5) OVER (ORDER BY recency_days, o_custkey) AS INT)
+             AS r_score,
+           CAST(ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS INT)
+             AS f_score,
+           CAST(ntile(5) OVER (ORDER BY monetary DESC, o_custkey) AS INT)
+             AS m_score
+    FROM base
+    """,
+)
+def q_orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (recency / frequency / monetary quintile
+    scores) — the standard warehouse cohorting primitive. One customer-keyed
+    aggregation, then three ntile windows over the CUSTOMERS-sized result
+    (not the orders stream), each with an explicit custkey tiebreak so both
+    engines assign identical quintiles. Monetary uses the DECIMAL-sum-cast-
+    DOUBLE money convention. The global max date is a 1-row broadcast.
+
+    Scale note: single-partition ntile over all customers is the textbook
+    bottleneck; at 100 TB the quintile boundaries come from approx
+    percentiles (q_agg_approx_percentile) and a broadcast range join —
+    declared here as the exact small-dim form."""
+    o = load_table(spark, sf_dir, "orders")
+    gmax = o.agg(F.max("o_orderdate").alias("gmax"))
+    base = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count("*").alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+        .crossJoin(F.broadcast(gmax))
+        .select(
+            "o_custkey",
+            F.datediff("gmax", "last_order").cast("bigint").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    wr = Window.orderBy("recency_days", "o_custkey")
+    wf = Window.orderBy(F.col("frequency").desc(), "o_custkey")
+    wm = Window.orderBy(F.col("monetary").desc(), "o_custkey")
+    return base.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(5).over(wr).alias("r_score"),
+        F.ntile(5).over(wf).alias("f_score"),
+        F.ntile(5).over(wm).alias("m_score"),
+    )
+
+
+@query(
+    "q_supplier_coverage",
+    oracle="""
+    WITH brand_parts AS (
+      SELECT p_brand, p_partkey FROM part WHERE p_size >= 48
+    ),
+    sp AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem),
+    cover AS (
+      SELECT bp.p_brand, sp.l_suppkey,
+             count(DISTINCT bp.p_partkey) AS n_cov
+      FROM brand_parts bp JOIN sp ON sp.l_partkey = bp.p_partkey
+      GROUP BY bp.p_brand, sp.l_suppkey
+    ),
+    need AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n_need
+             FROM brand_parts GROUP BY p_brand)
+    SELECT cover.p_brand, l_suppkey, n_need
+    FROM cover JOIN need USING (p_brand)
+    WHERE n_cov = n_need
+    """,
+)
+def q_supplier_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RELATIONAL DIVISION — 'suppliers that have shipped EVERY large
+    (size >= 48) part of a brand' — the universal-quantifier join the
+    SQL-92 idiom spells as double NOT EXISTS; here the count-matching
+    form: per (brand, supplier) coverage count == the brand's catalog
+    count. The brand catalog is dimension-sized and BROADCASTS onto the
+    shipped-pairs stream; both aggregates are partial-then-final; the
+    final need-join is broadcast too. Nothing shuffles except the
+    (brand, supplier) coverage cells."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    brand_parts = part.filter(F.col("p_size") >= 48).select(
+        "p_brand", "p_partkey"
+    )
+    sp = li.select("l_suppkey", "l_partkey").distinct()
+    cover = (
+        sp.join(F.broadcast(brand_parts), sp.l_partkey == brand_parts.p_partkey)
+        .groupBy("p_brand", "l_suppkey")
+        .agg(F.count_distinct("p_partkey").alias("n_cov"))
+    )
+    need = brand_parts.groupBy("p_brand").agg(F.count("*").alias("n_need"))
+    return (
+        cover.join(F.broadcast(need), "p_brand")
+        .filter(F.col("n_cov") == F.col("n_need"))
+        .select("p_brand", "l_suppkey", "n_need")
+    )
+
+
+@query(
+    "q_events_cusum",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+      FROM events GROUP BY event_type
+    ),
+    seq AS (
+      SELECT e.event_type,
+             sum((e.value - s.mu) / s.sd) OVER (
+               PARTITION BY e.event_type
+               ORDER BY epoch_ms(e.ts), e.event_id
+               ROWS UNBOUNDED PRECEDING) AS cusum
+      FROM events e JOIN stats s USING (event_type)
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(max(abs(cusum)), 6) AS max_abs_cusum,
+           round(avg(cusum), 6) AS mean_cusum
+    FROM seq GROUP BY event_type
+    """,
+)
+def q_events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift detection per topic (Page 1954): the running cumulative
+    sum of standardized deviations from the topic mean — a persistent
+    shift in the value distribution shows up as |CUSUM| growing linearly,
+    which single-point z-score monitors (q_events_anomaly) miss. The
+    topic-stats table is topics-sized and BROADCASTS onto the stream; the
+    cumulative window and the final rollup share ONE event_type exchange.
+    The window's total order (ts, event_id) fixes the summation order, so
+    both engines accumulate identical doubles."""
+    ev = load_events_ms(spark, sf_dir)
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts_ms", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seq = ev.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        F.sum((F.col("value") - F.col("mu")) / F.col("sd")).over(w).alias("cusum"),
+    )
+    return seq.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.max(F.abs("cusum")), 6).alias("max_abs_cusum"),
+        F.round(F.avg("cusum"), 6).alias("mean_cusum"),
+    )
+
+
+@query(
+    "q_events_cum_distinct",
+    oracle="""
+    WITH firsts AS (
+      SELECT event_type, user_id, min(CAST(ts AS DATE)) AS first_day
+      FROM events GROUP BY event_type, user_id
+    ),
+    daily AS (
+      SELECT event_type, first_day AS day, CAST(count(*) AS BIGINT) AS new_users
+      FROM firsts GROUP BY event_type, first_day
+    )
+    SELECT event_type, CAST(day AS TIMESTAMP) AS day, new_users,
+           CAST(sum(new_users) OVER (PARTITION BY event_type ORDER BY day
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+    FROM daily
+    """,
+)
+def q_events_cum_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative DISTINCT users per topic per day (the growth-curve
+    metric). count(DISTINCT) over an unbounded window is illegal in every
+    engine; the scalable identity is first-seen collapse: min(first day)
+    per (topic, user) -> daily new-user counts -> running sum. The shuffle
+    carries one row per (topic, user) — the same O(keys) shape as
+    latest-wins — and the running sum runs over the tiny (topic, day)
+    grid. This is the standard rewrite that makes 'users to date' feasible
+    on a 100 TB event log."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy(
+        "event_type", "user_id"
+    ).agg(F.min(F.to_date("ts")).alias("first_day"))
+    daily = firsts.groupBy(
+        "event_type", F.col("first_day").alias("day")
+    ).agg(F.count("*").alias("new_users"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.select(
+        "event_type",
+        # DATE round-trips as python objects through Arrow; emit the
+        # midnight timestamp so both engines hash the same dtype
+        F.col("day").cast("timestamp_ntz").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).alias("cum_users"),
+    )
+
+
+@query(
+    "q_events_welch_ttest",
+    oracle="""
+    WITH g AS (
+      SELECT event_type, count(*) AS n, avg(value) AS mu, var_samp(value) AS v
+      FROM events WHERE event_type IN ('purchase', 'click')
+      GROUP BY event_type
+    ),
+    w AS (
+      SELECT
+        max(CASE WHEN event_type = 'purchase' THEN mu END) AS mu_a,
+        max(CASE WHEN event_type = 'click' THEN mu END) AS mu_b,
+        max(CASE WHEN event_type = 'purchase' THEN v / n END) AS se_a,
+        max(CASE WHEN event_type = 'click' THEN v / n END) AS se_b,
+        max(CASE WHEN event_type = 'purchase' THEN n END) AS n_a,
+        max(CASE WHEN event_type = 'click' THEN n END) AS n_b
+      FROM g
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           round(mu_a - mu_b, 6) AS mean_diff,
+           round((mu_a - mu_b) / sqrt(se_a + se_b), 6) AS t_stat,
+           round(pow(se_a + se_b, 2)
+                 / (pow(se_a, 2) / (n_a - 1) + pow(se_b, 2) / (n_b - 1)), 6)
+             AS dof
+    FROM w
+    """,
+)
+def q_events_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test (the A/B-testing
+    primitive): purchase vs click value distributions — t statistic and
+    Welch-Satterthwaite degrees of freedom. ONE filtered pass computes
+    both groups' mergeable moments (count/mean/variance partials combine
+    map-side); the test statistic is a 2-row pivot — nothing beyond the
+    moment rows ever shuffles, which is what makes A/B evaluation on a
+    100 TB event log a single cheap aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    g = (
+        ev.filter(F.col("event_type").isin("purchase", "click"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.avg("value").alias("mu"),
+            F.var_samp("value").alias("v"),
+        )
+    )
+    pick = lambda t, c: F.max(F.when(F.col("event_type") == t, c))  # noqa: E731
+    w = g.agg(
+        pick("purchase", F.col("mu")).alias("mu_a"),
+        pick("click", F.col("mu")).alias("mu_b"),
+        pick("purchase", F.col("v") / F.col("n")).alias("se_a"),
+        pick("click", F.col("v") / F.col("n")).alias("se_b"),
+        pick("purchase", F.col("n")).alias("n_a"),
+        pick("click", F.col("n")).alias("n_b"),
+    )
+    se = F.col("se_a") + F.col("se_b")
+    return w.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.round(F.col("mu_a") - F.col("mu_b"), 6).alias("mean_diff"),
+        F.round((F.col("mu_a") - F.col("mu_b")) / F.sqrt(se), 6).alias("t_stat"),
+        F.round(
+            F.pow(se, 2)
+            / (
+                F.pow("se_a", 2) / (F.col("n_a") - 1)
+                + F.pow("se_b", 2) / (F.col("n_b") - 1)
+            ),
+            6,
+        ).alias("dof"),
+    )
+
+
+@query(
+    "q_agg_weighted_median",
+    oracle="""
+    WITH ranked AS (
+      SELECT l_returnflag, l_extendedprice, l_quantity,
+             sum(l_quantity) OVER (PARTITION BY l_returnflag
+                 ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                 ROWS UNBOUNDED PRECEDING) AS cum_w,
+             sum(l_quantity) OVER (PARTITION BY l_returnflag) AS tot_w
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           round(min(l_extendedprice) FILTER (WHERE cum_w >= tot_w / 2), 4)
+             AS weighted_median,
+           CAST(sum(l_quantity) AS BIGINT) AS total_weight
+    FROM ranked GROUP BY l_returnflag
+    """,
+)
+def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED median (price weighted by quantity, per return flag) —
+    the robust center plain percentile_cont cannot produce when rows
+    carry unequal mass. Computed as the first value whose cumulative
+    weight crosses half the total: one partition-keyed exchange serves
+    the cumulative window, the total-weight window AND the final
+    aggregate; the full (price, orderkey, linenumber) tiebreak pins the
+    crossing row on both engines (weights are integer-valued, so the
+    cum/total sums are exact in any order)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wc = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        "l_quantity",
+        F.sum("l_quantity").over(wc).alias("cum_w"),
+        F.sum("l_quantity").over(wt).alias("tot_w"),
+    )
+    return ranked.groupBy("l_returnflag").agg(
+        F.round(
+            F.min(
+                F.when(
+                    F.col("cum_w") >= F.col("tot_w") / 2, F.col("l_extendedprice")
+                )
+            ),
+            4,
+        ).alias("weighted_median"),
+        F.sum("l_quantity").cast("bigint").alias("total_weight"),
+    )
+
+
+@query(
+    "q_tpch_q3",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1996-06-15'
+      AND l_shipdate > TIMESTAMP '1996-06-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority), adapted to the fixture schema
+    (o_orderpriority stands in for o_shippriority; fixture date domain):
+    the marquee filtered 3-way join + grouped revenue + top-10. Customer
+    (segment-filtered) BROADCASTS onto orders, that result broadcasts
+    onto the lineitem scan, whose ship-date predicate pushes into the
+    parquet reader; the top-10 is TakeOrderedAndProject (bounded heap,
+    never a total sort). DECIMAL-sum-cast-DOUBLE money convention with a
+    full tiebreak makes the top-10 engine-identical."""
+    cutoff = "1996-06-15"
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(cutoff).cast("timestamp_ntz")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(cutoff).cast("timestamp_ntz")
+    )
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+    )
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q_tpch_q5",
+    oracle="""
+    SELECT n_name,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): the 6-table snowflake with the
+    same-nation customer/supplier correlation — the classic join-order
+    stress test. Region -> nation -> supplier collapse to a small
+    broadcast side; the fact-side path keeps lineitem streaming with
+    every dimension broadcast (no lineitem shuffle until the final
+    nations-sized aggregate). Two-year date window pushes into the
+    orders scan."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+    )
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey)
+            & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )

@@ -72,6 +72,8 @@ _QUERY_MODULES = (
     "cdc_worker_spark.operators.graph",
     "cdc_worker_spark.operators.stats",
     "cdc_worker_spark.operators.curation",
+    "cdc_worker_spark.operators.warehouse",
+    "cdc_worker_spark.operators.geo",
 )
 
 
