@@ -791,3 +791,125 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.sum(rev).cast("double").alias("revenue"))
     )
+
+
+@query(
+    "q_events_chi_square",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             CAST(least(3, floor(value / 25.0)) AS BIGINT) AS vbucket
+      FROM events
+    ),
+    obs AS (SELECT event_type, vbucket, CAST(count(*) AS DOUBLE) AS o
+            FROM b GROUP BY event_type, vbucket),
+    rt AS (SELECT event_type, sum(o) AS r FROM obs GROUP BY event_type),
+    ct AS (SELECT vbucket, sum(o) AS c FROM obs GROUP BY vbucket),
+    n AS (SELECT sum(o) AS n FROM obs)
+    SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           round(sum(pow(o - r * c / (SELECT n FROM n), 2)
+                     / (r * c / (SELECT n FROM n))), 6) AS chi2,
+           CAST((count(DISTINCT obs.event_type) - 1)
+                * (count(DISTINCT obs.vbucket) - 1) AS BIGINT) AS dof
+    FROM obs JOIN rt USING (event_type) JOIN ct USING (vbucket)
+    """,
+)
+def q_events_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence (topic x value-quartile
+    contingency) — the categorical sibling of q_events_welch_ttest: does
+    the value distribution depend on the event type? The contingency
+    table is O(types x buckets) regardless of event count (one hash agg
+    over the stream); marginals and the statistic are computed ON that
+    tiny table with broadcast joins. Counts are exact, so the statistic
+    is deterministic to the 6-dp rounding."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        "event_type",
+        F.least(F.lit(3), F.floor(F.col("value") / 25.0))
+        .cast("bigint")
+        .alias("vbucket"),
+    )
+    obs = b.groupBy("event_type", "vbucket").agg(
+        F.count("*").cast("double").alias("o")
+    )
+    rt = obs.groupBy("event_type").agg(F.sum("o").alias("r"))
+    ct = obs.groupBy("vbucket").agg(F.sum("o").alias("c"))
+    n = obs.agg(F.sum("o").alias("n"))
+    e = F.col("r") * F.col("c") / F.col("n")
+    return (
+        obs.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "vbucket")
+        .crossJoin(F.broadcast(n))
+        .agg(
+            F.count("*").alias("n_cells"),
+            F.round(F.sum(F.pow(F.col("o") - e, 2) / e), 6).alias("chi2"),
+            (
+                (F.count_distinct("event_type") - 1)
+                * (F.count_distinct("vbucket") - 1)
+            ).alias("dof"),
+        )
+    )
+
+
+@query(
+    "q_parts_pareto",
+    oracle="""
+    WITH pr AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS rev
+      FROM lineitem GROUP BY l_partkey
+    ),
+    ranked AS (
+      SELECT rev,
+             sum(rev) OVER (ORDER BY rev DESC, l_partkey
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(rev) OVER () AS tot,
+             row_number() OVER (ORDER BY rev DESC, l_partkey) AS rn,
+             count(*) OVER () AS n_parts
+      FROM pr
+    )
+    SELECT CAST(min(rn) FILTER (WHERE cum >= 0.8 * tot) AS BIGINT)
+             AS parts_for_80pct,
+           CAST(max(n_parts) AS BIGINT) AS n_parts,
+           round(CAST(min(rn) FILTER (WHERE cum >= 0.8 * tot) AS DOUBLE)
+                 / max(n_parts), 6) AS share_of_parts
+    FROM ranked
+    """,
+)
+def q_parts_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / revenue-concentration analysis: how many parts cover 80%
+    of revenue (the 80/20 dashboard number). Per-part revenue is one
+    exchange (DECIMAL-sum exact); the cumulative share runs over the
+    PARTS-sized table under a deterministic (rev DESC, key) total order,
+    so the crossing rank is engine-identical. At 100 TB the parts table
+    is the small side — the single-partition window here is
+    O(distinct parts), never O(lineitems); beyond ~100M parts the
+    crossing rank comes from the distributed prefix-sum machinery
+    (operators/sampling.py)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pr = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("rev")
+    )
+    wc = (
+        Window.orderBy(F.col("rev").desc(), "l_partkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy()
+    ranked = pr.select(
+        "rev",
+        F.sum("rev").over(wc).alias("cum"),
+        F.sum("rev").over(wall).alias("tot"),
+        F.row_number().over(Window.orderBy(F.col("rev").desc(), "l_partkey")).alias("rn"),
+        F.count("*").over(wall).alias("n_parts"),
+    )
+    crossing = F.min(F.when(F.col("cum") >= 0.8 * F.col("tot"), F.col("rn")))
+    return ranked.agg(
+        crossing.cast("bigint").alias("parts_for_80pct"),
+        F.max("n_parts").cast("bigint").alias("n_parts"),
+        F.round(crossing.cast("double") / F.max("n_parts"), 6).alias(
+            "share_of_parts"
+        ),
+    )
