@@ -913,3 +913,131 @@ def q_parts_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share_of_parts"
         ),
     )
+
+
+@query(
+    "q_events_ks_test",
+    oracle="""
+    WITH s AS (
+      SELECT value, event_type FROM events
+      WHERE event_type IN ('purchase', 'click')
+    ),
+    n AS (
+      SELECT
+        sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS na,
+        sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS nb
+      FROM s
+    ),
+    r AS (
+      SELECT sum(CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0 END)
+               OVER (ORDER BY value, event_type ROWS UNBOUNDED PRECEDING)
+               AS ca,
+             sum(CASE WHEN event_type = 'click' THEN 1.0 ELSE 0 END)
+               OVER (ORDER BY value, event_type ROWS UNBOUNDED PRECEDING)
+               AS cb
+      FROM s
+    )
+    SELECT CAST((SELECT na FROM n) AS BIGINT) AS n_a,
+           CAST((SELECT nb FROM n) AS BIGINT) AS n_b,
+           round(max(abs(ca / (SELECT na FROM n)
+                         - cb / (SELECT nb FROM n))), 6) AS ks_stat
+    FROM r
+    """,
+)
+def q_events_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic (purchase vs click value
+    distributions): the max ECDF gap — the distribution-free companion to
+    q_events_welch_ttest (mean shift) and q_events_chi_square (category
+    dependence). One merged sort of both samples under a TOTAL order
+    (value, then group — so the tie convention is engine-identical), one
+    cumulative window, one max. The single-partition window is
+    O(filtered sample), the deliberate exact form at probe scale; the
+    sketch path for full-stream KS is the t-digest family."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.filter(F.col("event_type").isin("purchase", "click")).select(
+        "value", "event_type"
+    )
+    is_a = (F.col("event_type") == "purchase").cast("double")
+    is_b = (F.col("event_type") == "click").cast("double")
+    w = (
+        Window.orderBy("value", "event_type")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = s.select(
+        F.sum(is_a).over(w).alias("ca"),
+        F.sum(is_b).over(w).alias("cb"),
+    )
+    n = s.agg(
+        F.sum(is_a).alias("na"), F.sum(is_b).alias("nb")
+    )
+    return (
+        r.crossJoin(F.broadcast(n))
+        .agg(
+            F.max("na").cast("bigint").alias("n_a"),
+            F.max("nb").cast("bigint").alias("n_b"),
+            F.round(
+                F.max(F.abs(F.col("ca") / F.col("na") - F.col("cb") / F.col("nb"))),
+                6,
+            ).alias("ks_stat"),
+        )
+    )
+
+
+@query(
+    "q_events_mann_whitney",
+    oracle="""
+    WITH s AS (
+      SELECT value, event_type FROM events
+      WHERE event_type IN ('purchase', 'click')
+    ),
+    rk AS (
+      SELECT event_type,
+             rank() OVER (ORDER BY value) AS rmin,
+             count(*) OVER (PARTITION BY value) AS cnt
+      FROM s
+    )
+    SELECT CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_a,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_b,
+           round(sum(CASE WHEN event_type = 'purchase'
+                     THEN rmin + (cnt - 1) / 2.0 ELSE 0 END), 6)
+             AS rank_sum_a,
+           round(sum(CASE WHEN event_type = 'purchase'
+                     THEN rmin + (cnt - 1) / 2.0 ELSE 0 END)
+                 - CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                        END) AS DOUBLE)
+                   * (sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                      END) + 1) / 2.0, 6) AS u_stat
+    FROM rk
+    """,
+)
+def q_events_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) statistic with tie-averaged
+    ranks: the nonparametric location test (is one group stochastically
+    larger?). Joint min-ranks come from one ordered window; the
+    per-value tie count turns them into average ranks WITHOUT a second
+    ordering pass (avg rank = min rank + (ties-1)/2). Ranks and counts
+    are exact integers, so U is deterministic to the last bit before the
+    cosmetic rounding."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.filter(F.col("event_type").isin("purchase", "click")).select(
+        "value", "event_type"
+    )
+    rk = s.select(
+        "event_type",
+        F.rank().over(Window.orderBy("value")).alias("rmin"),
+        F.count("*").over(Window.partitionBy("value")).alias("cnt"),
+    )
+    is_a = F.col("event_type") == "purchase"
+    avg_rank = F.col("rmin") + (F.col("cnt") - 1) / 2.0
+    n_a = F.sum(is_a.cast("long"))
+    rank_sum_a = F.sum(F.when(is_a, avg_rank).otherwise(0.0))
+    return rk.agg(
+        n_a.cast("bigint").alias("n_a"),
+        F.sum((~is_a).cast("long")).cast("bigint").alias("n_b"),
+        F.round(rank_sum_a, 6).alias("rank_sum_a"),
+        F.round(
+            rank_sum_a - n_a.cast("double") * (n_a + 1) / 2.0, 6
+        ).alias("u_stat"),
+    )

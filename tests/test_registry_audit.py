@@ -19,9 +19,9 @@ def test_registry_size_matches_docs():
     these numbers; update both together."""
     qs = all_queries()
     oracles = all_oracles()
-    assert len(qs) == 171, f"registry has {len(qs)} queries, docs say 171"
-    assert len(oracles) == 159, (
-        f"{len(oracles)} oracle-checked queries, docs say 159 "
+    assert len(qs) == 173, f"registry has {len(qs)} queries, docs say 173"
+    assert len(oracles) == 161, (
+        f"{len(oracles)} oracle-checked queries, docs say 161 "
         f"({len(qs) - len(oracles)} rows-only by design)"
     )
 
