@@ -298,3 +298,75 @@ def q_emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.stddev_samp("norm"), 6).alias("sd_norm"),
         F.round(F.avg("mean_comp"), 6).alias("avg_mean_comp"),
     )
+
+
+@query(
+    "q_text_heaps_law",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+      FROM documents
+    ),
+    per_doc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok
+                FROM tok GROUP BY doc_id),
+    firsts AS (SELECT t, min(doc_id) AS first_doc FROM tok GROUP BY t),
+    new_vocab AS (SELECT first_doc AS doc_id, CAST(count(*) AS BIGINT) AS n_new
+                  FROM firsts GROUP BY first_doc),
+    cum AS (
+      SELECT p.doc_id,
+             sum(p.n_tok) OVER (ORDER BY p.doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum_tok,
+             sum(coalesce(v.n_new, 0)) OVER (ORDER BY p.doc_id
+                                             ROWS UNBOUNDED PRECEDING)
+               AS cum_vocab
+      FROM per_doc p LEFT JOIN new_vocab v USING (doc_id)
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(max(cum_tok) AS BIGINT) AS total_tokens,
+           CAST(max(cum_vocab) AS BIGINT) AS vocab_size,
+           round(regr_slope(ln(CAST(cum_vocab AS DOUBLE)),
+                            ln(CAST(cum_tok AS DOUBLE))), 6) AS heaps_beta,
+           round(exp(regr_intercept(ln(CAST(cum_vocab AS DOUBLE)),
+                                    ln(CAST(cum_tok AS DOUBLE)))), 6)
+             AS heaps_k
+    FROM cum
+    """,
+)
+def q_text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit: vocabulary growth V(n) ~ K * n^beta over the corpus
+    in doc order — the companion diagnostic to q_text_zipf_fit (natural
+    text sits near beta 0.4-0.6; templated/synthetic corpora flatten).
+    Cumulative DISTINCT vocabulary uses the same first-seen collapse as
+    q_events_cum_distinct (shuffle carries O(vocab) firsts, never the
+    token stream); the regression runs over the docs-sized cumulative
+    table. The doc-id total order pins both engines' cumulative sums."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(_words()).alias("t"))
+    per_doc = tok.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
+    new_vocab = (
+        tok.groupBy("t")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_new"))
+    )
+    w = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = (
+        per_doc.join(new_vocab, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.sum("n_tok").over(w).alias("cum_tok"),
+            F.sum(F.coalesce("n_new", F.lit(0))).over(w).alias("cum_vocab"),
+        )
+    )
+    lv = F.log(F.col("cum_vocab").cast("double"))
+    lt = F.log(F.col("cum_tok").cast("double"))
+    return cum.agg(
+        F.count("*").alias("n_docs"),
+        F.max("cum_tok").cast("bigint").alias("total_tokens"),
+        F.max("cum_vocab").cast("bigint").alias("vocab_size"),
+        F.round(F.regr_slope(lv, lt), 6).alias("heaps_beta"),
+        F.round(F.exp(F.regr_intercept(lv, lt)), 6).alias("heaps_k"),
+    )

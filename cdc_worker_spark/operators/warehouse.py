@@ -1041,3 +1041,41 @@ def q_events_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             rank_sum_a - n_a.cast("double") * (n_a + 1) / 2.0, 6
         ).alias("u_stat"),
     )
+
+
+@query(
+    "q_events_dow_seasonality",
+    oracle="""
+    WITH g AS (
+      SELECT CAST((epoch_ms(ts) // 86400000 + 3) % 7 AS BIGINT) AS dow,
+             CAST(count(*) AS BIGINT) AS n,
+             round(avg(value), 6) AS avg_value
+      FROM events GROUP BY 1
+    ),
+    tot AS (SELECT sum(n) / 7.0 AS expected FROM g)
+    SELECT dow, n, avg_value,
+           round(n / (SELECT expected FROM tot), 6) AS activity_index
+    FROM g
+    """,
+)
+def q_events_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile with a deviation index
+    (observed/expected under uniformity) — the dashboard rollup behind
+    'weekends are 12% quieter'. Day-of-week comes from pure epoch-day
+    arithmetic on ts_ms ((epoch_day + 3) % 7, Monday = 0) so no session
+    time zone or calendar function can skew either engine. One hash agg;
+    the expected-rate denominator is a 1-row broadcast."""
+    ev = load_events_ms(spark, sf_dir)
+    g = ev.groupBy(
+        ((F.floor(F.col("ts_ms") / 86400000) + 3) % 7).cast("bigint").alias("dow")
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    )
+    tot = g.agg((F.sum("n") / 7.0).alias("expected"))
+    return g.crossJoin(F.broadcast(tot)).select(
+        "dow",
+        "n",
+        "avg_value",
+        F.round(F.col("n") / F.col("expected"), 6).alias("activity_index"),
+    )
