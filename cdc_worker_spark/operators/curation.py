@@ -370,3 +370,109 @@ def q_text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_slope(lv, lt), 6).alias("heaps_beta"),
         F.round(F.exp(F.regr_intercept(lv, lt)), 6).alias("heaps_k"),
     )
+
+
+@query(
+    "q_docs_js_divergence",
+    oracle="""
+    WITH tok AS (
+      SELECT source,
+             unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+      FROM documents WHERE source IN ('src0', 'src1')
+    ),
+    c AS (SELECT source, t, CAST(count(*) AS DOUBLE) AS c
+          FROM tok GROUP BY source, t),
+    tot AS (SELECT source, sum(c) AS n FROM c GROUP BY source),
+    p AS (SELECT c.t,
+            max(CASE WHEN c.source = 'src0' THEN c.c / tot.n END) AS pa,
+            max(CASE WHEN c.source = 'src1' THEN c.c / tot.n END) AS pb
+          FROM c JOIN tot USING (source) GROUP BY c.t),
+    f AS (SELECT coalesce(pa, 0) AS pa, coalesce(pb, 0) AS pb,
+                 (coalesce(pa, 0) + coalesce(pb, 0)) / 2 AS m FROM p)
+    SELECT CAST(count(*) AS BIGINT) AS vocab_union,
+           round(sum(CASE WHEN pa > 0 THEN pa * ln(pa / m) ELSE 0 END) / 2
+                 + sum(CASE WHEN pb > 0 THEN pb * ln(pb / m) ELSE 0 END) / 2,
+                 6) AS js_div
+    FROM f
+    """,
+)
+def q_docs_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between two sources' unigram
+    distributions — the domain-shift detector a curation run points at
+    'did this crawl slice drift from the reference corpus' (0 = identical,
+    ln 2 = disjoint; symmetric and finite unlike raw KL). Token counting
+    shuffles O(source x vocab); everything after runs on the vocab-sized
+    distribution table. Probabilities divide exact counts, so only ln()'s
+    last ulp separates engines — absorbed by the 6-dp rounding."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.filter(F.col("source").isin("src0", "src1")).select(
+        "source", F.explode(_words()).alias("t")
+    )
+    c = tok.groupBy("source", "t").agg(F.count("*").cast("double").alias("c"))
+    tot = c.groupBy("source").agg(F.sum("c").alias("n"))
+    p = (
+        c.join(F.broadcast(tot), "source")
+        .groupBy("t")
+        .agg(
+            F.max(F.when(F.col("source") == "src0", F.col("c") / F.col("n"))).alias("pa"),
+            F.max(F.when(F.col("source") == "src1", F.col("c") / F.col("n"))).alias("pb"),
+        )
+    )
+    pa = F.coalesce("pa", F.lit(0.0))
+    pb = F.coalesce("pb", F.lit(0.0))
+    m = (pa + pb) / 2
+    kl_a = F.when(pa > 0, pa * F.log(pa / m)).otherwise(0.0)
+    kl_b = F.when(pb > 0, pb * F.log(pb / m)).otherwise(0.0)
+    return p.agg(
+        F.count("*").alias("vocab_union"),
+        F.round(F.sum(kl_a) / 2 + F.sum(kl_b) / 2, 6).alias("js_div"),
+    )
+
+
+@query(
+    "q_emb_centroid_separation",
+    oracle="""
+    WITH comp AS (
+      SELECT label, i, avg(embedding[i + 1]) AS c
+      FROM embeddings, LATERAL unnest(range(0, 64)) AS t(i)
+      WHERE label < 4
+      GROUP BY label, i
+    )
+    SELECT a.label AS label_a, b.label AS label_b,
+           round(sqrt(sum(pow(CAST(a.c AS DOUBLE) - b.c, 2))), 6) AS dist
+    FROM comp a JOIN comp b ON a.i = b.i AND a.label < b.label
+    GROUP BY a.label, b.label
+    """,
+)
+def q_emb_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-class centroid distance matrix (labels 0-3): the class-
+    separation sanity check run before trusting an embedding space for
+    classification or clustered ANN (collapsed centroids = the space
+    does not separate those classes). Per-dimension means are mergeable
+    aggregates over the posexploded stream (shuffle carries
+    O(labels x dims)); the pairwise matrix is computed on the
+    centroids-sized table. Summation order differs per engine only in
+    the last ulp, absorbed by the rounding."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = (
+        emb.filter(F.col("label") < 4)
+        .select("label", F.posexplode("embedding").alias("i", "x"))
+        .groupBy("label", "i")
+        .agg(F.avg(F.col("x").cast("double")).alias("c"))
+    )
+    a = comp.select(
+        F.col("label").alias("label_a"), "i", F.col("c").alias("ca")
+    )
+    b = comp.select(
+        F.col("label").alias("label_b"), "i", F.col("c").alias("cb")
+    )
+    return (
+        a.join(b, "i")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.round(
+                F.sqrt(F.sum(F.pow(F.col("ca") - F.col("cb"), 2))), 6
+            ).alias("dist")
+        )
+    )

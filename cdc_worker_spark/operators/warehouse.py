@@ -1079,3 +1079,51 @@ def q_events_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "avg_value",
         F.round(F.col("n") / F.col("expected"), 6).alias("activity_index"),
     )
+
+
+@query(
+    "q_orders_interarrival",
+    oracle="""
+    WITH gaps AS (
+      SELECT o_custkey,
+             date_diff('day', lag(o_orderdate) OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey), o_orderdate)
+               AS gap_days
+      FROM orders
+    ),
+    per_cust AS (
+      SELECT o_custkey, median(gap_days) AS med_gap
+      FROM gaps WHERE gap_days IS NOT NULL GROUP BY o_custkey
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_customers,
+           round(avg(med_gap), 6) AS avg_median_gap,
+           round(percentile_cont(0.5) WITHIN GROUP (ORDER BY med_gap), 6)
+             AS p50,
+           round(percentile_cont(0.9) WITHIN GROUP (ORDER BY med_gap), 6)
+             AS p90
+    FROM per_cust
+    """,
+)
+def q_orders_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase-cadence profile: each customer's MEDIAN days between
+    consecutive orders, rolled up to the fleet distribution (the metric
+    behind churn-risk thresholds: 'this customer is 3x past their usual
+    gap'). The lag window and the per-customer median share one custkey
+    exchange; the final percentiles run over the customers-sized medians
+    table. Gaps are exact integer day counts, so the interpolated
+    medians/percentiles agree across engines."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        "o_custkey",
+        F.datediff("o_orderdate", F.lag("o_orderdate").over(w)).alias("gap_days"),
+    ).filter(F.col("gap_days").isNotNull())
+    per_cust = gaps.groupBy("o_custkey").agg(
+        F.median("gap_days").alias("med_gap")
+    )
+    return per_cust.agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.avg("med_gap"), 6).alias("avg_median_gap"),
+        F.round(F.percentile("med_gap", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("med_gap", F.lit(0.9)), 6).alias("p90"),
+    )
