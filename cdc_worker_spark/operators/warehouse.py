@@ -1127,3 +1127,91 @@ def q_orders_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("med_gap", F.lit(0.5)), 6).alias("p50"),
         F.round(F.percentile("med_gap", F.lit(0.9)), 6).alias("p90"),
     )
+
+
+@query(
+    "q_parts_gini",
+    oracle="""
+    WITH pr AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS rev
+      FROM lineitem GROUP BY l_partkey
+    ),
+    r AS (
+      SELECT rev, row_number() OVER (ORDER BY rev, l_partkey) AS rn,
+             count(*) OVER () AS n, sum(rev) OVER () AS tot
+      FROM pr
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_parts,
+           round((2.0 * sum(rn * rev) / (max(n) * max(tot)))
+                 - (max(n) + 1.0) / max(n), 6) AS gini
+    FROM r
+    """,
+)
+def q_parts_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of revenue concentration across parts — the
+    single-number inequality companion to q_parts_pareto's crossing rank
+    (0 = evenly spread, 1 = one part takes everything), via the exact
+    sorted-rank identity G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n. Ranks
+    come from the parts-sized table under a (rev, key) total order;
+    revenue sums are DECIMAL-exact, so the statistic is deterministic to
+    the rounding."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pr = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("rev")
+    )
+    r = pr.select(
+        "rev",
+        F.row_number().over(Window.orderBy("rev", "l_partkey")).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+        F.sum("rev").over(Window.partitionBy()).alias("tot"),
+    )
+    return r.agg(
+        F.max("n").cast("bigint").alias("n_parts"),
+        F.round(
+            (2.0 * F.sum(F.col("rn") * F.col("rev")))
+            / (F.max("n") * F.max("tot"))
+            - (F.max("n") + 1.0) / F.max("n"),
+            6,
+        ).alias("gini"),
+    )
+
+
+@query(
+    "q_orders_sla_latency",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(avg(CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 30
+                     THEN 1.0 ELSE 0.0 END), 6) AS sla_30d_rate,
+           round(avg(date_diff('day', o_orderdate, l_shipdate)), 6)
+             AS avg_latency_days
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def q_orders_sla_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship SLA dashboard: per priority class, the 30-day
+    fulfilment rate and mean latency — the operational rollup a CDC-fed
+    warehouse serves continuously. The orders side (key + two small
+    columns) BROADCASTS onto the lineitem stream, so the fact table never
+    shuffles; latencies are exact integer day differences."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    lat = F.datediff("l_shipdate", "o_orderdate")
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(F.avg(F.when(lat <= 30, 1.0).otherwise(0.0)), 6).alias(
+                "sla_30d_rate"
+            ),
+            F.round(F.avg(lat), 6).alias("avg_latency_days"),
+        )
+    )
