@@ -50,8 +50,10 @@ def _zigzag_order() -> list[tuple[int, int]]:
     """The T.81 zigzag scan as (row, col) pairs, generated, not hardcoded."""
     order = []
     for s in range(15):
+        # T.81 Figure 5: odd diagonals run top-right -> bottom-left
+        # ((0,s)..(s,0), row increasing), even diagonals the reverse.
         diag = [(s - j, j) for j in range(s + 1) if 0 <= s - j < 8 and 0 <= j < 8]
-        order.extend(diag if s % 2 else [(j, i) for (i, j) in diag])
+        order.extend([(j, i) for (i, j) in diag] if s % 2 else diag)
     return order
 
 

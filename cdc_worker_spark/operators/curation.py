@@ -175,9 +175,11 @@ def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrays_zip over two slices: a pure projection, no self-join."""
     docs = load_table(spark, sf_dir, "documents")
     ws = _words()
-    n = F.size(ws)
+    # slice() throws on negative length, so clamp for empty/one-word docs
+    # (n-1 would be -1 on whitespace-only text) — they yield zero bigrams.
+    n = F.greatest(F.size(ws) - F.lit(1), F.lit(0))
     pairs = F.arrays_zip(
-        F.slice(ws, 1, n - 1).alias("w1"), F.slice(ws, 2, n - 1).alias("w2")
+        F.slice(ws, 1, n).alias("w1"), F.slice(ws, 2, n).alias("w2")
     )
     big = (
         docs.select("doc_id", pairs.alias("ps"))

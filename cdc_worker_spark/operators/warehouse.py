@@ -929,12 +929,14 @@ def q_parts_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM s
     ),
     r AS (
-      SELECT sum(CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0 END)
+      SELECT value,
+             sum(CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0 END)
                OVER (ORDER BY value, event_type ROWS UNBOUNDED PRECEDING)
                AS ca,
              sum(CASE WHEN event_type = 'click' THEN 1.0 ELSE 0 END)
                OVER (ORDER BY value, event_type ROWS UNBOUNDED PRECEDING)
-               AS cb
+               AS cb,
+             lead(value) OVER (ORDER BY value, event_type) AS nxt
       FROM s
     )
     SELECT CAST((SELECT na FROM n) AS BIGINT) AS n_a,
@@ -942,31 +944,36 @@ def q_parts_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(max(abs(ca / (SELECT na FROM n)
                          - cb / (SELECT nb FROM n))), 6) AS ks_stat
     FROM r
+    WHERE nxt IS NULL OR value <> nxt
     """,
 )
 def q_events_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample Kolmogorov-Smirnov statistic (purchase vs click value
     distributions): the max ECDF gap — the distribution-free companion to
     q_events_welch_ttest (mean shift) and q_events_chi_square (category
-    dependence). One merged sort of both samples under a TOTAL order
-    (value, then group — so the tie convention is engine-identical), one
-    cumulative window, one max. The single-partition window is
-    O(filtered sample), the deliberate exact form at probe scale; the
-    sketch path for full-stream KS is the t-digest family."""
+    dependence). One merged sort of both samples; the gap is evaluated
+    only at the LAST row of each distinct value (both ECDFs are step
+    functions jumping at distinct values — mid-tie prefixes are not points
+    of either ECDF and would overstate D), so the statistic is the true
+    KS D on tied data and tie order inside a value group cannot matter.
+    The single-partition window is O(filtered sample), the deliberate
+    exact form at probe scale; the sketch path for full-stream KS is the
+    t-digest family."""
     ev = load_table(spark, sf_dir, "events")
     s = ev.filter(F.col("event_type").isin("purchase", "click")).select(
         "value", "event_type"
     )
     is_a = (F.col("event_type") == "purchase").cast("double")
     is_b = (F.col("event_type") == "click").cast("double")
-    w = (
-        Window.orderBy("value", "event_type")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    w_ord = Window.orderBy("value", "event_type")
+    w = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    nxt = F.lead("value").over(w_ord)
     r = s.select(
+        "value",
         F.sum(is_a).over(w).alias("ca"),
         F.sum(is_b).over(w).alias("cb"),
-    )
+        nxt.alias("nxt"),
+    ).filter(F.col("nxt").isNull() | (F.col("value") != F.col("nxt")))
     n = s.agg(
         F.sum(is_a).alias("na"), F.sum(is_b).alias("nb")
     )

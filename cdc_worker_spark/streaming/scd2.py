@@ -42,7 +42,9 @@ from pyspark.sql.types import (
     StructType,
 )
 
-#: stored interval rows (one per version per entity)
+#: stored interval rows (one per version per entity). anchor_id is the
+#: event_id of the version's first event — the deterministic tiebreak that
+#: keeps restitch order total when two runs share a valid_from_ms.
 SCD2_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),
@@ -51,15 +53,19 @@ SCD2_SCHEMA = StructType(
         StructField("valid_from_ms", LongType()),
         StructField("valid_to_ms", LongType()),
         StructField("n_events", LongType()),
+        StructField("anchor_id", LongType()),
     ]
 )
 
 
 def collapse_runs(events: DataFrame) -> DataFrame:
     """(user_id, event_type, ts_ms, event_id) -> closed/open runs
-    (user_id, event_type, valid_from_ms, n_events), one row per maximal
-    same-type run in (ts_ms, event_id) order. The batch-side half of the
-    SCD2 build; versions/valid_to are assigned after stitching."""
+    (user_id, event_type, valid_from_ms, n_events, anchor_id), one row per
+    maximal same-type run in (ts_ms, event_id) order. anchor_id = the
+    event_id of the run's first event under that total order, carried so
+    downstream stitching stays deterministic when two runs of one user
+    start at the same ts_ms. The batch-side half of the SCD2 build;
+    versions/valid_to are assigned after stitching."""
     w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
     prev = F.lag("event_type").over(w)
     chg = F.when(prev.isNull() | (prev != F.col("event_type")), 1).otherwise(0)
@@ -67,6 +73,7 @@ def collapse_runs(events: DataFrame) -> DataFrame:
         "user_id",
         "event_type",
         "ts_ms",
+        "event_id",
         F.sum(chg).over(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ).alias("run_id"),
@@ -74,6 +81,7 @@ def collapse_runs(events: DataFrame) -> DataFrame:
     return runs.groupBy("user_id", "run_id", "event_type").agg(
         F.min("ts_ms").alias("valid_from_ms"),
         F.count("*").alias("n_events"),
+        F.min(F.struct("ts_ms", "event_id"))["event_id"].alias("anchor_id"),
     ).drop("run_id")
 
 
@@ -82,8 +90,11 @@ def _restitch(runs: DataFrame) -> DataFrame:
     event at its valid_from) and assign version/valid_to/is-open. The
     second collapse is what makes incremental maintenance associative:
     collapse(collapse(A) ∪ collapse(B)) == collapse(A ∪ B) for
-    time-ordered A, B."""
-    w = Window.partitionBy("user_id").orderBy("valid_from_ms")
+    time-ordered A, B. Runs are ordered by (valid_from_ms, anchor_id) —
+    the anchor tiebreak mirrors the event-level (ts_ms, event_id) total
+    order, so equal-timestamp adjacent runs stitch deterministically
+    (matching the batch q_cdc_scd2 convention)."""
+    w = Window.partitionBy("user_id").orderBy("valid_from_ms", "anchor_id")
     prev = F.lag("event_type").over(w)
     chg = F.when(prev.isNull() | (prev != F.col("event_type")), 1).otherwise(0)
     grouped = (
@@ -92,6 +103,7 @@ def _restitch(runs: DataFrame) -> DataFrame:
             "event_type",
             "valid_from_ms",
             "n_events",
+            "anchor_id",
             F.sum(chg).over(
                 w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
             ).alias("version"),
@@ -100,6 +112,9 @@ def _restitch(runs: DataFrame) -> DataFrame:
         .agg(
             F.min("valid_from_ms").alias("valid_from_ms"),
             F.sum("n_events").alias("n_events"),
+            F.min(F.struct("valid_from_ms", "anchor_id"))["anchor_id"].alias(
+                "anchor_id"
+            ),
         )
     )
     w2 = Window.partitionBy("user_id").orderBy("version")
@@ -110,6 +125,7 @@ def _restitch(runs: DataFrame) -> DataFrame:
         "valid_from_ms",
         F.lead("valid_from_ms").over(w2).alias("valid_to_ms"),
         "n_events",
+        "anchor_id",
     )
 
 
@@ -159,13 +175,28 @@ class Scd2State:
             return None
         return spark.read.schema(SCD2_SCHEMA).parquet(*paths)
 
-    def merge_batch(self, spark: SparkSession, batch: DataFrame) -> None:
+    def committed_batch_ids(self) -> set[int]:
+        """Batch ids already folded into the stored history. Recorded in
+        the SAME manifest os.replace that publishes the data, so "state
+        merged" and "batch committed" are one atomic step — no
+        crash-between-two-writes replay corruption (a separate ledger file
+        had exactly that window)."""
+        return set(self._manifest().get("committed_batch_ids", []))
+
+    def merge_batch(
+        self, spark: SparkSession, batch: DataFrame, batch_id: int | None = None
+    ) -> None:
         """Stitch one micro-batch of events into the stored history.
 
         Reads ONLY the buckets the batch touches; unioned stored runs +
         batch runs re-collapse (associativity, see _restitch) and the
-        touched buckets rewrite under a new manifest version."""
+        touched buckets rewrite under a new manifest version. When
+        ``batch_id`` is given, the merge is exactly-once: an id already in
+        the manifest's committed set is a no-op, and the id is committed
+        by the same atomic manifest replace that publishes the buckets."""
         self.sync_layout()
+        if batch_id is not None and batch_id in self.committed_batch_ids():
+            return
         batch_runs = collapse_runs(batch).localCheckpoint(eager=True)
         touched = sorted(
             r[0]
@@ -174,10 +205,18 @@ class Scd2State:
             .collect()
         )
         if not touched:
+            if batch_id is not None:
+                manifest = self._manifest()
+                ids = set(manifest.get("committed_batch_ids", []))
+                ids.add(int(batch_id))
+                manifest["committed_batch_ids"] = sorted(ids)
+                self._write_manifest(manifest)
             return
         stored = self.read(spark, buckets=touched)
         stored_runs = (
-            stored.select("user_id", "event_type", "valid_from_ms", "n_events")
+            stored.select(
+                "user_id", "event_type", "valid_from_ms", "n_events", "anchor_id"
+            )
             if stored is not None
             else None
         )
@@ -203,6 +242,10 @@ class Scd2State:
         manifest["n_buckets"] = self.n_buckets
         for b in touched:
             manifest["buckets"][str(b)] = new_version
+        if batch_id is not None:
+            ids = set(manifest.get("committed_batch_ids", []))
+            ids.add(int(batch_id))
+            manifest["committed_batch_ids"] = sorted(ids)
         self._write_manifest(manifest)
 
 
@@ -215,25 +258,15 @@ def run_scd2_pipeline(
     available_now: bool = True,
 ):
     """Stream jsonl change events (user_id, event_type, ts_ms, event_id)
-    into an incrementally-maintained SCD2 dimension. foreachBatch +
-    committed-batch ledger = exactly-once interval counts under replay."""
+    into an incrementally-maintained SCD2 dimension. foreachBatch with the
+    batch id committed INSIDE the state manifest (one os.replace publishes
+    buckets + commit record together) = exactly-once interval counts under
+    replay, with no crash window between "merged" and "recorded"."""
     os.makedirs(checkpoint_dir, exist_ok=True)
     state = Scd2State(state_dir)
-    ledger = os.path.join(checkpoint_dir, "_scd2_committed")
-
-    def _committed() -> set[int]:
-        try:
-            with open(ledger) as fh:
-                return {int(line) for line in fh if line.strip()}
-        except FileNotFoundError:
-            return set()
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id in _committed():
-            return
-        state.merge_batch(spark, batch_df)
-        with open(ledger, "a") as fh:
-            fh.write(f"{batch_id}\n")
+        state.merge_batch(spark, batch_df, batch_id=batch_id)
 
     event_schema = StructType(
         [

@@ -188,3 +188,22 @@ def test_skyline_is_maximal_and_undominated(spark, sf_dir):
                     )
                 )
                 assert not dominates
+
+
+def test_bigram_lm_robust_to_empty_and_one_word_docs(spark, tmp_path):
+    """Zero- and one-word documents must yield zero bigrams (not a
+    negative-length slice error) and drop out of the per-doc result."""
+    docs = spark.createDataFrame(
+        [
+            (1, "", "en", "web", 0),
+            (2, "   ", "en", "web", 3),
+            (3, "solo", "en", "web", 4),
+            (4, "two words here", "en", "web", 14),
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rows = QUERIES["q_text_bigram_lm"](spark, str(tmp_path)).collect()
+    by_doc = {r["doc_id"]: r for r in rows}
+    assert set(by_doc) == {4}  # only the multi-word doc produces bigrams
+    assert by_doc[4]["n_bigrams"] == 2

@@ -111,3 +111,58 @@ def test_rejects_malformed():
 def test_pixels_size_mismatch_raises():
     with pytest.raises(ValueError, match="pixels length"):
         encode_jpeg(8, 8, bytes(63))
+
+
+#: ITU T.81 Figure A.6 zigzag scan, linearized row*8+col — hardcoded so a
+#: generator bug (e.g. the transposed variant: self-consistent, but wrong
+#: against every external JPEG) cannot pass silently.
+_T81_ZIGZAG_LINEAR = [
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def test_zigzag_matches_t81_standard_table():
+    """The generated scan order must equal the published T.81 table
+    exactly — interoperability with externally-produced JPEGs depends on
+    it (round-trip tests alone cannot catch a transposed scan)."""
+    from cdc_worker_spark.functions.jpeg_codec import _ZIGZAG
+
+    assert [r * 8 + c for (r, c) in _ZIGZAG] == _T81_ZIGZAG_LINEAR
+    # and it is a permutation that starts at DC and steps to (0,1) per spec
+    assert _ZIGZAG[0] == (0, 0) and _ZIGZAG[1] == (0, 1) and _ZIGZAG[2] == (1, 0)
+
+
+def test_decode_externally_constructed_stream():
+    """A minimal 8x8 stream hand-assembled against the SPEC (not via
+    encode_jpeg): flat quant table 16, single DC coefficient +2 -> every
+    pixel 128 + 2*16/8-rounded IDCT = 160. Exercises the standard zigzag
+    DQT layout independently of the encoder."""
+    import struct as _s
+
+    from cdc_worker_spark.functions.jpeg_codec import decode_jpeg
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + _s.pack(">H", 67) + b"\x00" + bytes([16] * 64)
+    out += b"\xff\xc0" + _s.pack(">HBHHB", 11, 8, 8, 8, 1) + bytes((1, 0x11, 0))
+    # DC table: symbol s gets an s-bit... simplest valid: 12 symbols, 4-bit
+    dc_counts = [0, 0, 0, 12] + [0] * 12
+    out += b"\xff\xc4" + _s.pack(">H", 2 + 17 + 12) + bytes([0x00] + dc_counts) + bytes(range(12))
+    # AC table: single symbol EOB with a 1-bit code
+    ac_counts = [1] + [0] * 15
+    out += b"\xff\xc4" + _s.pack(">H", 2 + 17 + 1) + bytes([0x10] + ac_counts) + bytes([0x00])
+    out += b"\xff\xda" + _s.pack(">HB", 8, 1) + bytes((1, 0x00, 0, 63, 0))
+    # entropy: DC size=2 (code 0b0010, 4 bits), amplitude 2 (0b10), EOB (0b0)
+    # bits: 0010 10 0 -> 0b00101000 = 0x28
+    out += bytes([0x28])
+    out += b"\xff\xd9"
+    img = decode_jpeg(bytes(out))
+    assert img["width"] == 8 and img["height"] == 8
+    # recon = 128 + IDCT(DC=2*16) = 128 + 32/8 = 132 everywhere
+    assert set(img["pixels"]) == {132}

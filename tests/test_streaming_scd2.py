@@ -108,18 +108,15 @@ def test_pipeline_replay_is_noop_and_restart_resumes(spark, tmp_path):
     first = _rows(Scd2State(state_dir).read(spark))
     assert first == _rows(_batch_build(spark, EVENTS))
 
-    # simulate the foreachBatch replay window: clear the ledger entry's
-    # checkpoint but keep the ledger -> the same batch_id re-applies and
-    # must be skipped (counts unchanged)
+    # simulate the foreachBatch replay window: the committed batch ids
+    # live INSIDE the state manifest (atomic with the data), so a
+    # replayed apply of batch 0 is a no-op (counts unchanged)
     state = Scd2State(state_dir)
-    batch = spark.createDataFrame(EVENTS, COLS)
-    ledger = os.path.join(ckpt, "_scd2_committed")
-    committed_before = open(ledger).read()
-    # direct double-apply through the pipeline's guard: batch 0 is in the
-    # ledger, so a replayed apply is a no-op
+    committed_before = state.committed_batch_ids()
+    assert committed_before  # batch 0 recorded atomically with its merge
     run_scd2_pipeline(spark, input_dir, state_dir, ckpt)  # no new files
     assert _rows(Scd2State(state_dir).read(spark)) == first
-    assert open(ledger).read() == committed_before
+    assert Scd2State(state_dir).committed_batch_ids() == committed_before
 
     # a genuinely new file resumes from the checkpoint and stitches
     extra = [(1, "click", 6000, 20)]
@@ -131,12 +128,50 @@ def test_pipeline_replay_is_noop_and_restart_resumes(spark, tmp_path):
 
 
 def test_unsafe_double_merge_without_ledger_double_counts(spark, tmp_path):
-    """Documents WHY the ledger exists: merge_batch alone is NOT
-    idempotent (re-collapsing the same events doubles n_events on the
-    spanning run) — the ledger is load-bearing."""
+    """Documents WHY the commit record exists: merge_batch without a
+    batch_id is NOT idempotent (re-collapsing the same events doubles
+    n_events on the spanning run) — the manifest commit is load-bearing."""
     state = Scd2State(str(tmp_path / "scd2"))
     batch = spark.createDataFrame(EVENTS, COLS)
     state.merge_batch(spark, batch)
     state.merge_batch(spark, batch)
     u2 = [r for r in _rows(state.read(spark)) if r[0] == 2]
-    assert u2[0][5] == 2  # 1 click counted twice — hence the ledger
+    assert u2[0][5] == 2  # 1 click counted twice — hence the commit record
+
+
+def test_merge_with_batch_id_is_exactly_once(spark, tmp_path):
+    """The replay-safe path: the batch id commits in the SAME manifest
+    os.replace as the data, so re-applying the identical batch_id is a
+    no-op — there is no crash window between 'merged' and 'recorded'."""
+    state = Scd2State(str(tmp_path / "scd2"))
+    batch = spark.createDataFrame(EVENTS, COLS)
+    state.merge_batch(spark, batch, batch_id=0)
+    once = _rows(state.read(spark))
+    state.merge_batch(spark, batch, batch_id=0)  # foreachBatch replay
+    assert _rows(state.read(spark)) == once
+    assert state.committed_batch_ids() == {0}
+    # an empty batch still records its id (no re-merge on replay)
+    state.merge_batch(spark, spark.createDataFrame([], "user_id long, event_type string, ts_ms long, event_id long"), batch_id=1)
+    assert state.committed_batch_ids() == {0, 1}
+
+
+def test_restitch_equal_timestamp_runs_deterministic(spark, tmp_path):
+    """Two adjacent runs of one user starting at the SAME ts_ms: the
+    anchor_id tiebreak orders them like the event-level (ts_ms, event_id)
+    total order, so version numbering and valid_to_ms are deterministic
+    and incremental == batch holds."""
+    rows = [
+        (9, "view", 1000, 1),
+        (9, "click", 1000, 2),   # same ts as the first run's start
+        (9, "view", 1000, 3),    # and a third run, still at ts 1000
+        (9, "view", 2000, 4),
+    ]
+    want = _rows(_batch_build(spark, rows))
+    # versions must follow event_id order at the tied timestamp
+    types_in_order = [r[2] for r in sorted(want, key=lambda r: r[1])]
+    assert types_in_order == ["view", "click", "view"]
+    for split in (1, 2, 3):
+        state = Scd2State(str(tmp_path / f"scd2_{split}"), n_buckets=4)
+        state.merge_batch(spark, spark.createDataFrame(rows[:split], COLS))
+        state.merge_batch(spark, spark.createDataFrame(rows[split:], COLS))
+        assert _rows(state.read(spark)) == want
