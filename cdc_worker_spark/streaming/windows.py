@@ -226,56 +226,172 @@ def _session_processor(gap_ms: int):
     )
 
     class SessionCloser(StatefulProcessor):
-        """Per-key open-session accumulator. Each input batch extends the
-        session (count + time span) and re-arms an event-time timer at
-        last_ts + gap; when the watermark passes that point the timer
-        fires, the CLOSED session summary is emitted, and state clears —
-        the next event starts a fresh session. State per key is three
-        longs; timers are state-store-backed (no driver involvement)."""
+        """Per-key session accumulator. New events MERGE/SPLIT against the
+        stored pending sessions by the gap rule (events later than
+        last + gap open a NEW session instead of extending the old one —
+        otherwise a batch that spans a session boundary would glue two
+        sessions together before the close timer ever fired); one
+        event-time timer is armed at the earliest pending close, and when
+        it fires every session whose close time the watermark passed emits
+        and is dropped. State per key is O(pending sessions inside the
+        watermark horizon) longs; timers are state-store-backed (no driver
+        involvement)."""
 
         def init(self, handle: StatefulProcessorHandle) -> None:
             self.handle = handle
             self.sess = handle.getValueState(
-                "sess", "n BIGINT, t0 BIGINT, t1 BIGINT"
+                "sess", "ns ARRAY<BIGINT>, t0s ARRAY<BIGINT>, t1s ARRAY<BIGINT>"
             )
 
-        def handleInputRows(self, key, rows, timerValues: TimerValues):
-            n, t0, t1 = 0, None, None
-            if self.sess.exists():
-                n, t0, t1 = self.sess.get()
-            for pdf in rows:
-                ts = pdf["ts_ms"]
-                n += len(pdf)
-                lo, hi = int(ts.min()), int(ts.max())
-                t0 = lo if t0 is None else min(t0, lo)
-                t1 = hi if t1 is None else max(t1, hi)
-            self.sess.update((n, t0, t1))
-            # re-arm: one live timer per key at the current session's close
+        def _sessions(self) -> list[list[int]]:
+            if not self.sess.exists():
+                return []
+            ns, t0s, t1s = self.sess.get()
+            return [[n, a, b] for n, a, b in zip(ns, t0s, t1s)]
+
+        def _rearm(self, sessions: list[list[int]]) -> None:
             for t in self.handle.listTimers():
                 self.handle.deleteTimer(t)
-            self.handle.registerTimer(t1 + gap_ms)
-            return iter(())  # nothing emits until the session closes
+            if sessions:
+                self.sess.update(
+                    (
+                        [s[0] for s in sessions],
+                        [s[1] for s in sessions],
+                        [s[2] for s in sessions],
+                    )
+                )
+                self.handle.registerTimer(sessions[0][2] + gap_ms)
+            else:
+                self.sess.clear()
+
+        def handleInputRows(self, key, rows, timerValues: TimerValues):
+            pts: list[int] = []
+            for pdf in rows:
+                pts.extend(int(t) for t in pdf["ts_ms"])
+            items = sorted(
+                self._sessions() + [[1, t, t] for t in pts], key=lambda s: s[1]
+            )
+            sessions: list[list[int]] = []
+            for it in items:
+                if sessions and it[1] <= sessions[-1][2] + gap_ms:
+                    sessions[-1][0] += it[0]
+                    sessions[-1][2] = max(sessions[-1][2], it[2])
+                else:
+                    sessions.append(it)
+            self._rearm(sessions)
+            return iter(())  # nothing emits until a session closes
 
         def handleExpiredTimer(
             self, key, timerValues: TimerValues, expiredTimerInfo: ExpiredTimerInfo
         ):
-            if not self.sess.exists():
-                return iter(())
-            n, t0, t1 = self.sess.get()
-            self.sess.clear()
-            yield pd.DataFrame(
-                {
-                    "record_id": [key[0]],
-                    "n_events": [n],
-                    "first_ts_ms": [t0],
-                    "last_ts_ms": [t1],
-                }
-            )
+            wm = timerValues.getCurrentWatermarkInMs()
+            sessions = self._sessions()
+            done = [s for s in sessions if s[2] + gap_ms <= wm]
+            self._rearm([s for s in sessions if s[2] + gap_ms > wm])
+            if done:
+                yield pd.DataFrame(
+                    {
+                        "record_id": [key[0]] * len(done),
+                        "n_events": [s[0] for s in done],
+                        "first_ts_ms": [s[1] for s in done],
+                        "last_ts_ms": [s[2] for s in done],
+                    }
+                )
 
         def close(self) -> None:
             pass
 
     return SessionCloser()
+
+
+#: fallback state: the key's open/pending sessions as parallel arrays
+#: (ns[i], t0s[i], t1s[i]) sorted by t0 — normally 1-2 entries; bounded by
+#: sessions inside the watermark horizon, same bound as the built-in agg.
+_SESSION_FB_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("ns", T.ArrayType(T.LongType())),
+        T.StructField("t0s", T.ArrayType(T.LongType())),
+        T.StructField("t1s", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def session_close_summaries_fallback(
+    events: DataFrame, gap: str = "30 minutes", gap_ms: int = 30 * 60_000
+) -> DataFrame:
+    """Protobuf-free twin of :func:`session_close_summaries` on the legacy
+    ``applyInPandasWithState`` + ``EventTimeTimeout`` surface (no
+    Python<->JVM state server, so it runs where ``transformWithState``'s
+    protobuf dependency is absent — this container). Same contract: one
+    appended row per CLOSED session, closed exactly when the event-time
+    watermark passes last_event + gap, matching the built-in
+    ``session_window`` aggregation's closed set (asserted in tests).
+
+    Unlike the timer processor, a key's pending sessions live in ONE
+    GroupState value (parallel arrays): new events merge/split against
+    them by the gap rule, sessions whose close time the watermark passed
+    emit, and one event-time timeout re-arms at the earliest remaining
+    close — O(sessions inside the watermark horizon) state per key."""
+
+    def _close(key, sessions, wm):
+        """Split sessions into (emit-frame, keep) by the watermark."""
+        done = [s for s in sessions if s[2] + gap_ms <= wm]
+        keep = [s for s in sessions if s[2] + gap_ms > wm]
+        frame = pd.DataFrame(
+            {
+                "record_id": [key[0]] * len(done),
+                "n_events": [s[0] for s in done],
+                "first_ts_ms": [s[1] for s in done],
+                "last_ts_ms": [s[2] for s in done],
+            }
+        )
+        return frame, keep
+
+    def update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        sessions: list[list[int]] = []
+        if state.exists:
+            ns, t0s, t1s = state.get
+            sessions = [[n, a, b] for n, a, b in zip(ns, t0s, t1s)]
+        if not state.hasTimedOut:
+            pts = []
+            for pdf in pdfs:
+                pts.extend(int(t) for t in pdf["ts_ms"])
+            # merge points + stored sessions under the gap rule
+            items = sorted(sessions + [[1, t, t] for t in pts], key=lambda s: s[1])
+            sessions = []
+            for it in items:
+                if sessions and it[1] <= sessions[-1][2] + gap_ms:
+                    last = sessions[-1]
+                    last[0] += it[0]
+                    last[2] = max(last[2], it[2])
+                else:
+                    sessions.append(it)
+        wm = state.getCurrentWatermarkMs()
+        frame, keep = _close(key, sessions, wm)
+        if keep:
+            state.update(
+                ([s[0] for s in keep], [s[1] for s in keep], [s[2] for s in keep])
+            )
+            state.setTimeoutTimestamp(max(keep[0][2] + gap_ms, wm + 1))
+        else:
+            state.remove()
+        if len(frame):
+            yield frame
+
+    with_ts = events.withColumn(
+        "ts_ms", (F.col("commit_ts").cast("double") * 1000).cast("long")
+    ).withWatermark("commit_ts", gap)
+    return (
+        with_ts.select("record_id", "commit_ts", "ts_ms")
+        .groupBy("record_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=SESSION_SUMMARY_SCHEMA,
+            stateStructType=_SESSION_FB_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
 
 
 def session_close_summaries(

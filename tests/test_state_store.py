@@ -206,7 +206,13 @@ def test_delta_merge_sink_matches_latest_wins_state(spark, tmp_path):
     ``spark.jars`` load can work offline. In a networked deployment this
     test runs by adding io.delta:delta-spark_2.13:4.0.0 to
     spark.jars.packages + ``pip install delta-spark`` — the body below is
-    the real A/B, not a placeholder."""
+    the real A/B, not a placeholder.
+
+    Round-6 attempt (2026-08-14): retried — DNS resolution itself fails
+    for repo1.maven.org and the pip index ("Name or service not known"),
+    so no jar or wheel can ever be fetched from this container. Third
+    consecutive documented failure; closing the question per VERDICT r05
+    next #2."""
     import pytest
 
     try:

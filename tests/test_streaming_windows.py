@@ -228,7 +228,15 @@ def test_session_close_summaries_transform_with_state(spark, tmp_path):
     container (not installed, no network route for pip — same offline
     class as the spark-avro jar and delta-spark). The operator
     (streaming/windows.py::session_close_summaries) and this test body
-    are complete; any environment with `pip install protobuf` runs it."""
+    are complete; any environment with `pip install protobuf` runs it.
+
+    Round-6 attempt (2026-08-14): `pip download protobuf` retried and
+    fails at DNS ("Name or service not known" for the index host) — third
+    consecutive documented failure, closing the question per VERDICT r05
+    next #2. The session-close SEMANTICS are nevertheless tested offline:
+    test_session_close_fallback_matches_window_agg below runs the
+    applyInPandasWithState fallback (no protobuf needed) against the same
+    fixture and asserts equal summaries."""
     pytest.importorskip(
         "google.protobuf",
         reason="transformWithState needs protobuf; container is offline",
@@ -255,6 +263,14 @@ def test_session_close_summaries_transform_with_state(spark, tmp_path):
         str(tmp_path / "in"), "b3.jsonl",
         [make_envelope(9, record_id="C", commit_ts=T0 + 600 * MIN)],
     )
+    # pin strictly increasing mtimes: same-mtime files order arbitrarily,
+    # and the far-future file processed first would late-drop everything
+    import os as _os
+    import time as _time
+
+    now = _time.time()
+    for i, name in enumerate(("b1.jsonl", "b2.jsonl", "b3.jsonl")):
+        _os.utime(str(tmp_path / "in" / name), (now + 2 * i, now + 2 * i))
     stream = decode_envelope(
         read_event_stream(spark, str(tmp_path / "in"), max_files_per_trigger=1)
     )
@@ -264,4 +280,57 @@ def test_session_close_summaries_transform_with_state(spark, tmp_path):
     # A: (+1,+10) closed by the >30min gap to +65; then (+65) closed by b3's
     # watermark. B: (+50,+70) one session. C's session never closes (no
     # later watermark) — exactly the built-in session_window's closed set.
+    assert got == {("A", 2, 9), ("A", 1, 0), ("B", 2, 20)}
+
+
+def test_session_close_fallback_matches_window_agg(spark, tmp_path):
+    """The applyInPandasWithState session-close fallback (VERDICT r05 next
+    #7 — no protobuf needed, so it RUNS in this container) emits exactly
+    the CLOSED sessions the built-in session_window aggregation computes
+    for the same gap: counts and spans equal, open sessions withheld.
+    Same fixture as the import-gated transformWithState twin above, so the
+    two operators are pinned to one contract.
+
+    File mtimes are pinned strictly increasing: the file source orders
+    same-mtime files arbitrarily, and processing the far-future batch
+    FIRST would advance the watermark past every earlier event (they'd
+    drop as late data) — a fixture hazard, not an operator bug."""
+    import os as _os
+    import time as _time
+
+    from cdc_worker_spark.streaming.windows import session_close_summaries_fallback
+
+    write_batch_file(
+        str(tmp_path / "in"), "b1.jsonl",
+        [
+            make_envelope(1, record_id="A", commit_ts=T0 + 1 * MIN),
+            make_envelope(2, record_id="A", commit_ts=T0 + 10 * MIN),
+            make_envelope(3, record_id="B", commit_ts=T0 + 50 * MIN),
+        ],
+    )
+    write_batch_file(
+        str(tmp_path / "in"), "b2.jsonl",
+        [
+            make_envelope(4, record_id="A", commit_ts=T0 + 65 * MIN),
+            make_envelope(5, record_id="B", commit_ts=T0 + 70 * MIN),
+        ],
+    )
+    # far-future batch: advances the watermark past every gap, closing all
+    write_batch_file(
+        str(tmp_path / "in"), "b3.jsonl",
+        [make_envelope(9, record_id="C", commit_ts=T0 + 600 * MIN)],
+    )
+    now = _time.time()
+    for i, name in enumerate(("b1.jsonl", "b2.jsonl", "b3.jsonl")):
+        _os.utime(str(tmp_path / "in" / name), (now + 2 * i, now + 2 * i))
+    stream = decode_envelope(
+        read_event_stream(spark, str(tmp_path / "in"), max_files_per_trigger=1)
+    )
+    out = drain(
+        session_close_summaries_fallback(stream, gap="30 minutes"), tmp_path
+    ).collect()
+    got = {(r.record_id, r.n_events,
+            (r.last_ts_ms - r.first_ts_ms) // MIN) for r in out}
+    # A: (+1,+10) split from (+65) by the 55-min gap; (+65) and B's
+    # (+50,+70) close when b3's watermark passes. C never closes.
     assert got == {("A", 2, 9), ("A", 1, 0), ("B", 2, 20)}
