@@ -181,6 +181,136 @@ def pagerank(edges: DataFrame, damping: float = _PR_DAMPING, iters: int = _PR_IT
     return ranks
 
 
+def pagerank_general(
+    edges: DataFrame, damping: float = _PR_DAMPING, iters: int = _PR_ITERS
+) -> DataFrame:
+    """PageRank correct on GENERAL directed graphs (VERDICT r05 next #4):
+    the node universe is src ∪ dst (sink-only nodes hold rank too), and
+    each iteration redistributes the DANGLING MASS — the rank sitting on
+    nodes with no out-edges — uniformly, so total rank stays exactly 1
+    instead of leaking (the classic power-iteration correction; Brin &
+    Page 1998 §2.1.1). :func:`pagerank` remains the fast path for graphs
+    where every node has out-edges (e.g. symmetric graphs — there the two
+    are identical and the dangling machinery is dead weight: an extra
+    anti-join + scalar aggregate per iteration).
+
+    Scale shape: same as :func:`pagerank` — one src-keyed join + one
+    dst-keyed sum per iteration — plus a per-iteration scalar (the
+    dangling mass) computed as a 1-row broadcast, and a node-keyed left
+    join to pay ranks to in-degree-0 nodes. Everything chains as one plan;
+    no driver-side collects."""
+    edges = edges.localCheckpoint(eager=True)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        edges.groupBy("src")
+        .agg(F.count("*").cast("double").alias("deg"))
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = nodes.agg(F.count("*").cast("double").alias("n"))
+    ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("rank")
+    )
+    contrib_edges = edges.join(deg, "src").localCheckpoint(eager=True)
+    for i in range(iters):
+        dangling = (
+            ranks.join(deg, ranks["node"] == deg["src"], "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+        )
+        contrib = (
+            contrib_edges.join(ranks, contrib_edges["src"] == ranks["node"])
+            .groupBy(F.col("dst").alias("cnode"))
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("contrib"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["node"] == contrib["cnode"], "left")
+            .crossJoin(F.broadcast(dangling))
+            .crossJoin(F.broadcast(n_nodes))
+            .select(
+                "node",
+                (
+                    (1.0 - damping) / F.col("n")
+                    + damping
+                    * (
+                        F.coalesce(F.col("contrib"), F.lit(0.0))
+                        + F.col("dm") / F.col("n")
+                    )
+                ).alias("rank"),
+            )
+        )
+        if (i + 1) % 3 == 0:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks
+
+
+def pagerank_bucketed(
+    spark,
+    edges: DataFrame,
+    table_name: str,
+    path: str,
+    n_buckets: int | None = None,
+    damping: float = _PR_DAMPING,
+    iters: int = _PR_ITERS,
+) -> DataFrame:
+    """:func:`pagerank` against a MATERIALIZED src-bucketed edge layout —
+    the written form of the docstring promise "at web scale the edge table
+    is bucketed by src so only rank state moves" (VERDICT r05 next #4).
+
+    The iteration-invariant contribution table (src, dst, deg) is written
+    ONCE via ``bucketBy(n_buckets, src)`` + ``sortBy(src)``; every
+    iteration's src-keyed join then reads the bucketed scan with NO
+    exchange on the edge side — only the O(nodes) rank state shuffles
+    (into the join, and out of the dst-keyed sum). At 100 TB the edge
+    table is the 1000x-bigger side, so this converts the per-iteration
+    shuffle from O(edges) to O(nodes). Plan-asserted in
+    tests/test_graph_cc.py (bucketed scan + exactly the two rank-side
+    exchanges per iteration).
+
+    ``n_buckets`` defaults to ``spark.sql.shuffle.partitions``: when the
+    bucket count equals the shuffle partitioning the rank aggregate's
+    output already co-partitions with the buckets and the planner keeps
+    the bucketed scan; with a MISMATCH Spark's
+    DisableUnnecessaryBucketedScan may instead re-shuffle the EDGE side
+    to reuse the rank side's partitioning — the exact wrong choice at
+    scale (measured: 'Bucketed: false (disabled by query planner)')."""
+    from cdc_worker_spark.sources.bucketing import write_bucketed
+
+    if n_buckets is None:
+        n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    deg = edges.groupBy("src").agg(F.count("*").cast("double").alias("deg"))
+    write_bucketed(
+        edges.join(deg, "src"), table_name, "src", n_buckets, path=path
+    )
+    ce = spark.table(table_name)
+    # degrees/nodes re-derived FROM the bucketed table: groupBy(src) reuses
+    # the bucket partitioning, so even setup adds no edge-side exchange
+    bdeg = ce.groupBy("src").agg(F.first("deg").alias("deg"))
+    n_nodes = bdeg.agg(F.count("*").cast("double").alias("n"))
+    ranks = bdeg.crossJoin(F.broadcast(n_nodes)).select(
+        F.col("src").alias("node"), (F.lit(1.0) / F.col("n")).alias("rank")
+    )
+    for i in range(iters):
+        ranks = (
+            ce.join(ranks, ce["src"] == ranks["node"])
+            .groupBy(F.col("dst").alias("_dst"))
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("contrib"))
+            .crossJoin(F.broadcast(n_nodes))
+            .select(
+                F.col("_dst").alias("node"),
+                (
+                    (1.0 - damping) / F.col("n") + damping * F.col("contrib")
+                ).alias("rank"),
+            )
+        )
+        if (i + 1) % 5 == 0:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks
+
+
 def _pagerank_oracle() -> str:
     """The oracle unrolls the ``_PR_ITERS`` power iterations as chained
     CTEs (recursive CTEs disallow aggregation in the recursive member, so
@@ -215,6 +345,69 @@ def _pagerank_oracle() -> str:
         + f"""
     SELECT node, round(rank * (SELECT n FROM nn), 6) AS rank_scaled
     FROM p{_PR_ITERS}
+    """
+    )
+
+
+#: directed-variant iteration count: 5 keeps the unrolled dangling-mass
+#: oracle (2 CTEs per step) readable while still compounding the mass
+#: redistribution enough that a missing term would diverge by iteration 2
+_PR_DIR_ITERS = 5
+
+#: dst namespace offset: l_suppkey and l_partkey overlap numerically, so
+#: part nodes shift far above any supplier key
+_PR_DIR_DST_SHIFT = 100_000_000
+
+
+def _pagerank_directed_oracle() -> str:
+    """Unrolled power iterations for the DIRECTED supplier->part graph:
+    every part is a sink (no out-edges), so each step must compute the
+    dangling mass dm_i (rank parked on sinks) and redistribute dm_i / N to
+    every node — without it, total rank leaks ~85% of the sink mass per
+    iteration and nothing matches."""
+    steps = []
+    for i in range(1, _PR_DIR_ITERS + 1):
+        steps.append(f"""
+    dm{i} AS MATERIALIZED (
+      SELECT COALESCE(sum(p.rank), 0) AS dm
+      FROM p{i - 1} p LEFT JOIN deg d ON d.src = p.node
+      WHERE d.src IS NULL
+    ),
+    p{i} AS MATERIALIZED (
+      SELECT nd.node,
+             (1 - {_PR_DAMPING}) / (SELECT n FROM nn)
+             + {_PR_DAMPING} * (COALESCE(c.contrib, 0)
+                                + (SELECT dm FROM dm{i}) / (SELECT n FROM nn))
+               AS rank
+      FROM nodes nd LEFT JOIN (
+        SELECT e.dst AS node, sum(p.rank / d.deg) AS contrib
+        FROM p{i - 1} p
+        JOIN edges e ON e.src = p.node
+        JOIN deg d ON d.src = p.node
+        GROUP BY e.dst
+      ) c ON c.node = nd.node
+    )""")
+    return (
+        f"""
+    WITH edges AS MATERIALIZED (
+      SELECT DISTINCT l_suppkey AS src,
+                      l_partkey + {_PR_DIR_DST_SHIFT} AS dst
+      FROM lineitem
+    ),
+    nodes AS MATERIALIZED (
+      SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges
+    ),
+    deg AS MATERIALIZED (
+      SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM edges GROUP BY src
+    ),
+    nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    p0 AS MATERIALIZED (
+      SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes
+    ),"""
+        + ",".join(steps)
+        + f"""
+    SELECT node, round(rank * (SELECT n FROM nn), 6) AS rank_scaled
+    FROM p{_PR_DIR_ITERS}
     """
     )
 
@@ -269,6 +462,40 @@ def _register_queries() -> None:
         deg = edges.groupBy("src").agg(F.count("*").cast("double").alias("n_out"))
         n_nodes = deg.agg(F.count("*").cast("double").alias("n"))
         ranks = pagerank(edges)
+        return ranks.crossJoin(F.broadcast(n_nodes)).select(
+            "node", F.round(F.col("rank") * F.col("n"), 6).alias("rank_scaled")
+        )
+
+    @query("q_graph_pagerank_directed", oracle=_pagerank_directed_oracle())
+    def q_graph_pagerank_directed(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """PageRank on a genuinely DIRECTED graph with sinks — supplier ->
+        part shipment edges (every part node is dangling: no out-edges) —
+        via :func:`pagerank_general`, which redistributes the dangling
+        mass each iteration so total rank stays 1. ORACLE-CHECKED against
+        the unrolled dangling-mass SQL (_pagerank_directed_oracle): a
+        missing or misplaced dm term diverges by iteration 2, so the hash
+        match pins the correction itself, not just the happy path the
+        symmetric q_graph_pagerank exercises. 5 iterations, damping 0.85,
+        ranks rescaled by N for 6-dp stability."""
+        from cdc_worker_spark.sources.tables import load_table
+
+        li = load_table(spark, sf_dir, "lineitem")
+        edges = (
+            li.select(
+                F.col("l_suppkey").cast("long").alias("src"),
+                (F.col("l_partkey") + F.lit(_PR_DIR_DST_SHIFT))
+                .cast("long")
+                .alias("dst"),
+            )
+            .distinct()
+        )
+        nodes = (
+            edges.select(F.col("src").alias("node"))
+            .union(edges.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+        n_nodes = nodes.agg(F.count("*").cast("double").alias("n"))
+        ranks = pagerank_general(edges, iters=_PR_DIR_ITERS)
         return ranks.crossJoin(F.broadcast(n_nodes)).select(
             "node", F.round(F.col("rank") * F.col("n"), 6).alias("rank_scaled")
         )

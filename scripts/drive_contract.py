@@ -37,19 +37,133 @@ def values_equal(x, y) -> bool:
     return x == y
 
 
+def _type_tag(v) -> str:
+    """Coarse type fingerprint for the streamed compare's schema check
+    (the collected path compares pandas dtypes; this is the row-level
+    twin: bigint vs double vs decimal vs string mismatches must fail)."""
+    import datetime
+    import decimal
+
+    if v is None:
+        return "null"
+    if isinstance(v, bool):
+        return "bool"
+    if isinstance(v, int):
+        return "int"
+    if isinstance(v, float):
+        return "float"
+    if isinstance(v, decimal.Decimal):
+        return "decimal"
+    if isinstance(v, datetime.datetime):
+        return "timestamp"
+    if isinstance(v, datetime.date):
+        return "date"
+    if isinstance(v, (list, tuple)):
+        return "array"
+    return type(v).__name__
+
+
+def _as_ts(v):
+    """date -> midnight datetime, mirroring pandas' datetime64 coercion in
+    the collected path (DuckDB DATE and Spark date_trunc TIMESTAMP must
+    compare equal, as they do there)."""
+    import datetime
+
+    if isinstance(v, datetime.date) and not isinstance(v, datetime.datetime):
+        return datetime.datetime(v.year, v.month, v.day)
+    return v
+
+
+def stream_compare(sdf, con, sql, chunk_rows: int = 8192):
+    """Bounded-memory result compare (VERDICT r05 next #5): both engines
+    emit their result in ONE canonical sort order (all columns asc, nulls
+    first — Spark's asc default, pinned on the DuckDB session) and the
+    driver merge-compares row pairs as they stream: Spark partitions
+    arrive one at a time via toLocalIterator (the sort is distributed;
+    the driver never holds the result), DuckDB pages via fetchmany. Same
+    verdict semantics as the collected path — column names, row count,
+    value equality under the 1e-9 relative tolerance, plus a per-value
+    type fingerprint standing in for the dtype check — at O(partition)
+    driver memory instead of O(result), so the sf1/sf10 sweeps run in the
+    vanilla 1 GB driver."""
+    cols = sorted(sdf.columns)
+    res = con.execute(f"SELECT * FROM ({sql}) AS oracle_probe LIMIT 0")
+    ocols = sorted(d[0] for d in res.description)
+    if cols != ocols:
+        return False, 0, f"columns {cols} != {ocols}"
+    quoted = ", ".join(f'"{c}"' for c in cols)
+    order = ", ".join(f"{i + 1} NULLS FIRST" for i in range(len(cols)))
+    cur = con.execute(
+        f"SELECT {quoted} FROM ({sql}) AS oracle_q ORDER BY {order}"
+    )
+    # LTZ timestamps: toPandas renders session-tz wall time but
+    # toLocalIterator renders SYSTEM-tz — cast to NTZ (session-tz wall
+    # time) so the streamed path sees what the collected path saw.
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampType
+
+    sel = [
+        F.col(c).cast("timestamp_ntz").alias(c)
+        if isinstance(sdf.schema[c].dataType, TimestampType)
+        else F.col(c)
+        for c in cols
+    ]
+    sit = sdf.select(*sel).sort(*cols).toLocalIterator()
+    n = 0
+    typechecked = 0
+    while True:
+        batch = cur.fetchmany(chunk_rows)
+        if not batch:
+            break
+        for orow in batch:
+            try:
+                srow = next(sit)
+            except StopIteration:
+                return False, n, f"spark exhausted at oracle row {n}"
+            for c, x, y in zip(cols, tuple(srow), orow):
+                if typechecked < 256 and x is not None and y is not None:
+                    tx, ty = _type_tag(x), _type_tag(y)
+                    # int/decimal and date/timestamp pairs coerce equal in
+                    # the collected path's pandas frames — same verdict here
+                    if tx != ty and {tx, ty} not in (
+                        {"int", "decimal"},
+                        {"date", "timestamp"},
+                    ):
+                        return False, n, f"type {c}: {tx} != {ty}"
+            typechecked += 1
+            for c, x, y in zip(cols, tuple(srow), orow):
+                if not values_equal(_as_ts(x), _as_ts(y)):
+                    return False, n, f"value {c}: {x!r} != {y!r} at row {n}"
+            n += 1
+    try:
+        next(sit)
+        return False, n, f"oracle exhausted at spark row {n}"
+    except StopIteration:
+        pass
+    return True, n, None
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--tz", default="America/New_York")
     ap.add_argument("--only", default=None)
     ap.add_argument(
+        "--hash-mode",
+        choices=("collected", "streamed"),
+        default="collected",
+        help="collected: full toPandas + sort on the driver (byte-faithful "
+        "to the external driver harness). streamed: distributed sort + "
+        "toLocalIterator/fetchmany merge-compare — O(partition) driver "
+        "memory, runs sf1/sf10 in the vanilla 1g driver.",
+    )
+    ap.add_argument(
         "--driver-mem",
         default=None,
         help="driver heap (e.g. 8g). Default: Spark's vanilla 1g — the "
-        "external contract fidelity setting. The sf1 scale sweep needs "
-        "more because THIS HARNESS collects full result sets for "
-        "hashing (millions of rows at sf1), which shares the heap with "
-        "broadcast builds.",
+        "external contract fidelity setting. Only the collected hash "
+        "mode needs more at sf>=1 (it collects full result sets); "
+        "--hash-mode streamed runs any sf in the default heap.",
     )
     args = ap.parse_args()
 
@@ -74,6 +188,9 @@ def main() -> int:
     assert n_entry > 0, "entry() returned no rows"
 
     con = duckdb.connect()
+    if args.hash_mode == "streamed":
+        # match Spark's asc-sort convention (nulls first) for the merge
+        con.execute("SET default_null_order='nulls_first'")
     for t in TABLES.split():
         # driver fixtures are single files; Spark-written fixtures (e.g. the
         # sf1 scale set from scripts/make_sf1.py) are directories of parts
@@ -87,6 +204,19 @@ def main() -> int:
     fails = []
     for name in names:
         try:
+            if args.hash_mode == "streamed":
+                sdf = qs[name](spark, args.sf)
+                if name not in osql:
+                    print(f"{name}: rows-only, rows={sdf.count()} OK")
+                    continue
+                ok, n, why = stream_compare(sdf, con, osql[name])
+                if not ok:
+                    fails.append(name)
+                print(
+                    f"{name}: rows={n} "
+                    f"{'MATCH' if ok else 'MISMATCH (' + str(why) + ')'}"
+                )
+                continue
             got = norm(qs[name](spark, args.sf).toPandas())
             if name not in osql:
                 print(f"{name}: rows-only, rows={len(got)} OK")

@@ -21,6 +21,11 @@ Copy 0 is byte-identical content to sf0.1, so every query keyed on low ids
 (point lookups, probe sets) still finds its rows.
 
 Usage: python scripts/make_sf1.py [--out /root/repo/.fixtures/sf1] [--factor 10]
+
+Round 6 generalization (VERDICT r05 next #1): ``--factor 100`` builds the
+sf10 set (~1.7 GB parquet) for the two-decade scale sweep; rotation-wrapped
+embedding copies (factor > 64 dims) are sign-flipped so no copy clones
+another.
 """
 
 from __future__ import annotations
@@ -70,6 +75,14 @@ def build_sf1(spark, factor: int, out_dir: str) -> None:
                             F.slice("embedding", rot + 1, n - rot),
                             F.slice("embedding", 1, rot),
                         ),
+                    )
+                if (i // n) % 2 == 1:
+                    # factor > dim wraps the rotation; negate wrapped
+                    # copies so no copy is a verbatim clone of another
+                    # (cosine of v and -rot(v) is ~-cosine — decorrelated)
+                    df = df.withColumn(
+                        "embedding",
+                        F.transform("embedding", lambda x: -x),
                     )
             parts.append(df)
         out = parts[0]
