@@ -160,6 +160,16 @@ def main() -> None:
         streaming = _stream_bench(spark)
     except Exception as e:  # noqa: BLE001 — artifact must still emit
         streaming = {"error": f"{type(e).__name__}: {e}"}
+    # multi-topic scale-out evidence (VERDICT r05 next #3): aggregate MB/s
+    # of the multiplexed pipeline over 6 concurrent topics
+    try:
+        from scripts.bench_streaming import multi_topic_bench as _mt_bench
+
+        if isinstance(streaming, dict):
+            streaming["multi_topic"] = _mt_bench(spark)
+    except Exception as e:  # noqa: BLE001 — artifact must still emit
+        if isinstance(streaming, dict):
+            streaming["multi_topic"] = {"error": f"{type(e).__name__}: {e}"}
 
     total = round(sum(timings.values()), 3)
     print(

@@ -240,6 +240,16 @@ def main() -> int:
         except Exception as ex:  # noqa: BLE001 — report and continue the sweep
             fails.append(name)
             print(f"{name}: ERROR {str(ex)[:160]}")
+        finally:
+            # drop per-query block-manager state (localCheckpoint RDDs,
+            # caches) before the next query: at sf>=1 in the vanilla 1g
+            # driver ~90 queries' worth of lingering blocks otherwise
+            # accumulate until the JVM dies mid-sweep (ContextCleaner
+            # only fires on Python GC of the DataFrame refs)
+            import gc
+
+            spark.catalog.clearCache()
+            gc.collect()
     print("FAILED:", fails if fails else "none")
     return 1 if fails else 0
 

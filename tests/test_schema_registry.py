@@ -243,3 +243,74 @@ def test_multiplexed_avro_py_demux_with_dlq(spark):
 
     typed = decode_topic(raw, reg, "contact-cdc-v1", codec="avro_py").collect()
     assert len(typed) == 1 and typed[0].event.Email == "x@y.z"
+
+
+def test_multi_topic_pipeline_exactly_once_and_ordered(spark, tmp_path):
+    """Multi-topic scale-out invariants (VERDICT r05 next #3): the
+    multiplexed pipeline over an interleaved 4-topic bus, one file per
+    micro-batch, must deliver every topic's events EXACTLY ONCE (replay-id
+    sets equal per topic, no loss, no dup) and preserve per-topic
+    per-record order: reconstructing latest state from the output by max
+    replay_id equals the last event the generator wrote for that record —
+    the same ordering contract the reference's one-worker-per-topic model
+    guarantees, here through one multiplexed stream."""
+    import os
+
+    from cdc_worker_spark.streaming.registry import run_multiplexed_pipeline
+    from tests.test_streaming import write_batch_file
+
+    n_topics, n_files, per_file = 4, 6, 50
+    reg = SchemaRegistry()
+    for t in range(n_topics):
+        reg.register(
+            TopicSchema(
+                schema_id=f"mtt{t}-v1",
+                fields=ACCOUNT_FIELDS,
+                child_fields=ACCOUNT_CHILD_FIELDS,
+                payload_schema=account_payload_schema(),
+            )
+        )
+    dirs = {k: str(tmp_path / k) for k in ("input", "out", "dlq", "chk")}
+    expected = {}  # (topic, record) -> (last replay_id, last city)
+    per_topic_replays: dict[int, set[int]] = {t: set() for t in range(n_topics)}
+    rid = 0
+    for f_idx in range(n_files):
+        rows = []
+        for _ in range(per_file):
+            topic = rid % n_topics
+            rec = f"T{topic}R{rid % 13}"
+            city = f"City{rid}"
+            e = make_envelope(rid, record_id=rec, commit_ts=1696444513000 + rid, city=city)
+            e["schema_id"] = f"mtt{topic}-v1"
+            rows.append(e)
+            expected[(topic, rec)] = (rid, city)
+            per_topic_replays[topic].add(rid)
+            rid += 1
+        write_batch_file(dirs["input"], f"f{f_idx:02d}.jsonl", rows)
+        os.utime(
+            os.path.join(dirs["input"], f"f{f_idx:02d}.jsonl"),
+            (1_700_000_000 + 2 * f_idx,) * 2,
+        )
+    q = run_multiplexed_pipeline(
+        spark, dirs["input"], dirs["out"], dirs["dlq"], dirs["chk"], reg,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(300)
+    assert not q.isActive
+    out = spark.read.parquet(dirs["out"]).collect()
+    assert len(out) == rid  # exactly once: no loss, no dup
+    got_replays: dict[int, set[int]] = {t: set() for t in range(n_topics)}
+    latest: dict[tuple, tuple] = {}
+    for r in out:
+        topic = int(r.schema_id.removeprefix("mtt").split("-")[0])
+        rp = int(r.replay_id)
+        got_replays[topic].add(rp)
+        key = (topic, r.record_id)
+        if key not in latest or rp > latest[key][0]:
+            city = (json.loads(r.event_json).get("BillingAddress") or {}).get("City")
+            latest[key] = (rp, city)
+    assert got_replays == per_topic_replays  # per-topic exactly-once
+    assert latest == expected  # per-topic per-record order preserved
+    assert not os.path.exists(dirs["dlq"]) or not spark.read.parquet(
+        dirs["dlq"]
+    ).count()
