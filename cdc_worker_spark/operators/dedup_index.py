@@ -97,7 +97,10 @@ def extend_dedup_index(docs: DataFrame, path: str, token: str | None = None) -> 
 
 
 def compact_dedup_index(
-    spark: SparkSession, path: str, target_rows_per_file: int = 4_000_000
+    spark: SparkSession,
+    path: str,
+    target_rows_per_file: int = 4_000_000,
+    gc_grace_seconds: float = 0.0,
 ) -> None:
     """Rewrite each index table into right-sized files. Every
     :func:`extend_dedup_index` call appends a few small files; after many
@@ -113,15 +116,19 @@ def compact_dedup_index(
     before the flip leaves a dangling unpublished directory, a crash after
     it leaves the stale old one; both are garbage-collected by the next
     run's ``gc_generations``. There is no instant at which the table is
-    unreadable."""
+    unreadable. With CONCURRENT readers, pass ``gc_grace_seconds`` >= the
+    longest reader scan so a flip never deletes a generation a reader
+    resolved moments ago (see index_layout.gc_generations)."""
     for table in ("digests", "signatures", "bands"):
-        gc_generations(path, table)  # clear prior crash debris first
+        # clear prior crash debris first (grace-aware: live readers may
+        # still be scanning a generation an earlier flip retired)
+        gc_generations(path, table, grace_seconds=gc_grace_seconds)
         df = spark.read.parquet(*live_paths(path, table))
         n_files = max(1, -(-df.count() // target_rows_per_file))
         gen = next_generation(path, table)
         df.coalesce(n_files).write.parquet(os.path.join(path, gen))
         publish_generation(path, table, gen)  # also folds segments into base
-        gc_generations(path, table)
+        gc_generations(path, table, grace_seconds=gc_grace_seconds)
 
 
 def probe_dedup_index(

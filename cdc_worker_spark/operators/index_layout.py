@@ -147,18 +147,36 @@ def publish_generation(root: str, table: str, gen_name: str) -> None:
     _write_pointer(root, cur)
 
 
-def gc_generations(root: str, table: str) -> None:
+def gc_generations(root: str, table: str, grace_seconds: float = 0.0) -> None:
     """Remove every directory of ``table`` the pointer does not reference:
     stale bases/segments from completed flips and dangling ones from
-    crashed writes. Safe whenever no append/compaction is in flight."""
+    crashed writes. Safe whenever no append/compaction is in flight.
+
+    ``grace_seconds`` protects CONCURRENT READERS: a reader resolves
+    ``live_paths`` and then scans them — if a compaction flips the pointer
+    and GC deletes the old generation inside that window, the scan fails
+    mid-read. Deployments with live readers pass a grace >= the longest
+    reader scan (the object-store version of a snapshot retention window);
+    directories younger than the grace survive one GC pass and die on a
+    later one, so directory count stays bounded over time either way.
+    The default 0 keeps offline maintenance (no readers) immediate."""
     import shutil
+    import time
 
     e = _entry(root, table)
     live = {e["base"], *e["segments"]}
+    now = time.time()
     for name in os.listdir(root):
         if name in live:
             continue
         if name == table or name.startswith(table + ".g") or name.startswith(
             table + ".s-"
         ):
-            shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+            full = os.path.join(root, name)
+            if grace_seconds > 0:
+                try:
+                    if now - os.path.getmtime(full) < grace_seconds:
+                        continue
+                except OSError:
+                    continue
+            shutil.rmtree(full, ignore_errors=True)

@@ -242,3 +242,115 @@ def test_extend_crash_mid_append_replays_exactly_once(spark, tmp_path):
         assert len(paths) == 1
         assert (spark.read.parquet(*paths).count()
                 == base_n[t] + delta[t]), t
+
+
+def test_endurance_churn_with_crashes_and_concurrent_reader(spark, tmp_path):
+    """Lifetime test (VERDICT r05 next #8): 50 ingest batches with
+    interleaved compactions, deterministic crash injection on both the
+    append and compaction paths, and a CONCURRENT reader thread scanning
+    the index the whole time. Asserts: the reader never errors (the
+    gc grace window protects in-flight scans across pointer flips),
+    row counts stay exactly-once through every replay, and a final
+    grace-0 GC actually bounds the directory count."""
+    import os
+    import shutil
+    import threading
+
+    from cdc_worker_spark.operators.dedup_index import compact_dedup_index
+    from cdc_worker_spark.operators.index_layout import (
+        begin_segment,
+        live_paths,
+        next_generation,
+        publish_segment,
+        segment_registered,
+    )
+
+    path = str(tmp_path / "idx")
+    os.makedirs(path)
+
+    def batch_rows(b):
+        # 5 docs per batch, globally unique ids and content
+        return [
+            (b * 100 + j,
+             f"batch {b} doc {j} " + " ".join(f"w{b}x{j}y{k}" for k in range(12)),
+             "en", "s", 0)
+            for j in range(5)
+        ]
+
+    build_dedup_index(_docs(spark, batch_rows(0)), path)
+
+    reader_errors: list[str] = []
+    reader_scans = [0]
+    stop = threading.Event()
+
+    def reader():
+        while not stop.is_set():
+            try:
+                n = spark.read.parquet(*live_paths(path, "digests")).count()
+                assert n >= 5  # never less than the base build
+                reader_scans[0] += 1
+            except Exception as ex:  # noqa: BLE001 — the assertion target
+                reader_errors.append(f"{type(ex).__name__}: {ex}")
+                return
+
+    t = threading.Thread(target=reader, daemon=True)
+    t.start()
+
+    n_batches = 50
+    crash_mid_write = {7, 23, 41}      # segment dir written, never published
+    crash_partial_publish = {15, 33}   # only the first table published
+    try:
+        for b in range(1, n_batches + 1):
+            docs = _docs(spark, batch_rows(b))
+            token = f"b{b:03d}"
+            if b in crash_mid_write:
+                # crashed attempt: unregistered garbage debris for one table
+                seg = begin_segment(path, "signatures", token)
+                os.makedirs(seg)
+                with open(os.path.join(seg, "part-zzz.parquet"), "w") as f:
+                    f.write("truncated by crash")
+            if b in crash_partial_publish:
+                # crashed attempt: digests committed, the rest never ran
+                from cdc_worker_spark.operators.dedup_index import _index_frames
+
+                digests, _, _ = _index_frames(docs)
+                digests.write.parquet(begin_segment(path, "digests", token))
+                publish_segment(path, "digests", token)
+                assert segment_registered(path, "digests", token)
+            # the replay / normal path: must be exactly-once either way
+            extend_dedup_index(docs, path, token=token)
+            if b in crash_mid_write | crash_partial_publish:
+                extend_dedup_index(docs, path, token=token)  # full replay
+            if b % 10 == 0:
+                if b == 20:
+                    # crash BEFORE a flip: dangling unpublished generation
+                    g = os.path.join(path, next_generation(path, "bands"))
+                    os.makedirs(g)
+                    with open(os.path.join(g, "junk"), "w") as f:
+                        f.write("crash debris")
+                # grace shields the concurrent reader's in-flight scans
+                compact_dedup_index(spark, path, gc_grace_seconds=300)
+    finally:
+        stop.set()
+        t.join(timeout=60)
+
+    assert not reader_errors, reader_errors
+    assert reader_scans[0] > 10  # the reader genuinely ran during churn
+
+    expected = 5 * (n_batches + 1)
+    got = spark.read.parquet(*live_paths(path, "digests"))
+    assert got.count() == expected                    # exactly-once rows
+    assert got.select("doc_id").distinct().count() == expected
+    sigs = spark.read.parquet(*live_paths(path, "signatures"))
+    assert sigs.count() == expected
+
+    # a replayed old doc probes as 'replay', not as a dup of something else
+    probe = probe_dedup_index(spark, path, _docs(spark, batch_rows(3))).collect()
+    assert probe and all(r.kind == "replay" for r in probe)
+
+    # final offline GC (no readers) at grace 0 bounds the directory count:
+    # one live base generation per table, zero stale dirs, zero segments
+    compact_dedup_index(spark, path)
+    for table in ("digests", "signatures", "bands"):
+        dirs = [d for d in os.listdir(path) if d.startswith(table)]
+        assert len(dirs) == 1, (table, dirs)
