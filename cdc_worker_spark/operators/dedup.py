@@ -308,10 +308,26 @@ def minhash_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     # row per doc, not the exploded (doc, shingle) table — the candidate x
     # shingle intermediate is the thing that blows up at scale) and compute
     # exact Jaccard via array_intersect.
+    # the shingle-set side is O(corpus) rows of ARRAYS: its in-memory hash
+    # relation is far larger than its compressed shuffle size, so an AQE
+    # broadcast "upgrade" of this join is always wrong (at 100 TB it cannot
+    # fit; in the 1 GB sf1 contract sweep it concretely failed with "Not
+    # enough memory to build and broadcast"). Pin both verify joins to
+    # sort-merge — spillable, and co-partitioned on the doc key.
     sets = tok.groupBy("doc_id").agg(F.collect_set("w").alias("ws"))
     inter = (
-        cand.join(sets.select(F.col("doc_id").alias("doc_a"), F.col("ws").alias("ws_a")), "doc_a")
-        .join(sets.select(F.col("doc_id").alias("doc_b"), F.col("ws").alias("ws_b")), "doc_b")
+        cand.join(
+            sets.select(
+                F.col("doc_id").alias("doc_a"), F.col("ws").alias("ws_a")
+            ).hint("merge"),
+            "doc_a",
+        )
+        .join(
+            sets.select(
+                F.col("doc_id").alias("doc_b"), F.col("ws").alias("ws_b")
+            ).hint("merge"),
+            "doc_b",
+        )
         .withColumn("n_common", F.size(F.array_intersect("ws_a", "ws_b")))
     )
     jac = F.col("n_common").cast("double") / (
@@ -475,9 +491,12 @@ def embedding_dedup_pairs(
     cos = dot_col(F.col("dv_a"), F.col("dv_b")) / (
         F.sqrt(F.col("nrm_a")) * F.sqrt(F.col("nrm_b"))
     )
+    # vector sides are O(corpus) rows of dense arrays — same
+    # never-broadcast rule as minhash_pairs' shingle sets (the in-memory
+    # hash relation dwarfs the compressed size estimate AQE sees)
     return (
-        cand.join(va, "vec_a")
-        .join(vb, "vec_b")
+        cand.join(va.hint("merge"), "vec_a")
+        .join(vb.hint("merge"), "vec_b")
         .withColumn("cos", cos)
         .filter(F.col("cos") > threshold)
     )

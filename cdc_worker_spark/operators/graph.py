@@ -14,14 +14,22 @@ O(log^2 n) rounds with edge volume that SHRINKS monotonically.
 
 Scale shape per round: symmetrize (projection) -> one groupBy(min) per
 star step -> join back -> distinct. Lineage is truncated per round with
-``localCheckpoint`` (the r3 pointer-jumping lesson: persist caches data,
-not plan size).
+:func:`~cdc_worker_spark.plans.checkpoints.disk_checkpoint` (the r3
+pointer-jumping lesson: persist caches data, not plan size; the r6 lesson:
+localCheckpoint pins the blocks in executor storage memory and loses them
+on executor death — disk checkpoints are the production form, see
+plans/checkpoints.py). The per-round min-label table is O(nodes) — at web
+scale that must NEVER broadcast (billions of rows; the 1 GB sf1 contract
+sweep also proved the failure concretely: "Not enough memory to build and
+broadcast"), so both star steps pin their label join to sort-merge.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from cdc_worker_spark.plans.checkpoints import disk_checkpoint
 
 
 def _symmetrize(edges: DataFrame) -> DataFrame:
@@ -41,7 +49,7 @@ def _large_star(sym: DataFrame) -> DataFrame:
         F.least(F.min("b"), F.first("a")).alias("m")
     )
     return (
-        sym.join(m, "a")
+        sym.join(m.hint("merge"), "a")
         .filter(F.col("b") > F.col("a"))
         .select(F.col("b").alias("a"), F.col("m").alias("b"))
         .filter(F.col("a") != F.col("b"))
@@ -55,7 +63,7 @@ def _small_star(sym: DataFrame) -> DataFrame:
     small = sym.filter(F.col("b") <= F.col("a"))
     m = small.groupBy("a").agg(F.min("b").alias("m"))
     re_hung = (
-        small.join(m, "a")
+        small.join(m.hint("merge"), "a")
         .select(F.col("b").alias("a"), F.col("m").alias("b"))
     )
     self_edge = m.select(F.col("a"), F.col("m").alias("b"))
@@ -84,16 +92,16 @@ def cc_star(edges: DataFrame, max_rounds: int = 25) -> DataFrame:
     (self-loop-only rows) keep themselves.
 
     Convergence = the edge set reaches a fixpoint (star graphs); each round
-    `localCheckpoint`s so the logical plan stays O(1) per round."""
-    e = _symmetrize(edges).localCheckpoint(eager=True)
+    disk-checkpoints so the logical plan stays O(1) per round and no round's
+    edge set pins executor memory (the set shrinks monotonically, so the
+    per-round parquet spill shrinks too)."""
+    e = disk_checkpoint(_symmetrize(edges), "cc-edges")
     prev = None
     converged = False
     for _ in range(max_rounds):
         # large-star reads the SYMMETRIC adjacency (its output, and
         # small-star's, is canonically (bigger, smaller)-directed)
-        e = _small_star(_large_star(_symmetrize(e))).localCheckpoint(
-            eager=True
-        )
+        e = disk_checkpoint(_small_star(_large_star(_symmetrize(e))), "cc-round")
         fp = _edge_fingerprint(e)
         if fp == prev:
             converged = True
@@ -144,25 +152,24 @@ def pagerank(edges: DataFrame, damping: float = _PR_DAMPING, iters: int = _PR_IT
     10-step chain pipelines as ONE Spark action (a broadcast-the-ranks
     variant was measured SLOWER at every tested scale: 10 sequential
     broadcast collects = 10 driver round-trips, ~0.5 s each, vs chained
-    exchanges of an O(nodes) rank table). Ranks ``localCheckpoint`` every
+    exchanges of an O(nodes) rank table). Ranks disk-checkpoint every
     5 rounds so the plan stays O(1) like :func:`cc_star`; at web scale
     the edge table is bucketed by src so only rank state moves per
-    iteration. Dangling nodes are absent by construction for symmetric
-    graphs; for general graphs callers add the dangling mass term. Fixed
-    iteration count (not convergence) keeps the result
-    engine-reproducible."""
-    edges = edges.localCheckpoint(eager=True)
-    deg = (
-        edges.groupBy("src")
-        .agg(F.count("*").cast("double").alias("deg"))
-        .localCheckpoint(eager=True)
+    iteration (:func:`pagerank_bucketed` is that layout, written). Dangling
+    nodes are absent by construction for symmetric graphs; for general
+    graphs callers add the dangling mass term. Fixed iteration count (not
+    convergence) keeps the result engine-reproducible."""
+    edges = disk_checkpoint(edges, "pr-edges")
+    deg = disk_checkpoint(
+        edges.groupBy("src").agg(F.count("*").cast("double").alias("deg")),
+        "pr-deg",
     )
     n_nodes = deg.agg(F.count("*").cast("double").alias("n"))
     ranks = (
         deg.crossJoin(F.broadcast(n_nodes))
         .select(F.col("src").alias("node"), (F.lit(1.0) / F.col("n")).alias("rank"))
     )
-    contrib_edges = edges.join(deg, "src").localCheckpoint(eager=True)
+    contrib_edges = disk_checkpoint(edges.join(deg, "src"), "pr-ce")
     for i in range(iters):
         ranks = (
             contrib_edges.join(ranks, contrib_edges["src"] == ranks["node"])
@@ -177,7 +184,7 @@ def pagerank(edges: DataFrame, damping: float = _PR_DAMPING, iters: int = _PR_IT
             )
         )
         if (i + 1) % 5 == 0:
-            ranks = ranks.localCheckpoint(eager=False)
+            ranks = disk_checkpoint(ranks, "pr-ranks")
     return ranks
 
 
@@ -199,23 +206,22 @@ def pagerank_general(
     dangling mass) computed as a 1-row broadcast, and a node-keyed left
     join to pay ranks to in-degree-0 nodes. Everything chains as one plan;
     no driver-side collects."""
-    edges = edges.localCheckpoint(eager=True)
-    nodes = (
+    edges = disk_checkpoint(edges, "prg-edges")
+    nodes = disk_checkpoint(
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        "prg-nodes",
     )
-    deg = (
-        edges.groupBy("src")
-        .agg(F.count("*").cast("double").alias("deg"))
-        .localCheckpoint(eager=True)
+    deg = disk_checkpoint(
+        edges.groupBy("src").agg(F.count("*").cast("double").alias("deg")),
+        "prg-deg",
     )
     n_nodes = nodes.agg(F.count("*").cast("double").alias("n"))
     ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
         "node", (F.lit(1.0) / F.col("n")).alias("rank")
     )
-    contrib_edges = edges.join(deg, "src").localCheckpoint(eager=True)
+    contrib_edges = disk_checkpoint(edges.join(deg, "src"), "prg-ce")
     for i in range(iters):
         dangling = (
             ranks.join(deg, ranks["node"] == deg["src"], "left_anti")
@@ -243,7 +249,7 @@ def pagerank_general(
             )
         )
         if (i + 1) % 3 == 0:
-            ranks = ranks.localCheckpoint(eager=False)
+            ranks = disk_checkpoint(ranks, "prg-ranks")
     return ranks
 
 
@@ -307,7 +313,7 @@ def pagerank_bucketed(
             )
         )
         if (i + 1) % 5 == 0:
-            ranks = ranks.localCheckpoint(eager=False)
+            ranks = disk_checkpoint(ranks, "prb-ranks")
     return ranks
 
 
