@@ -57,6 +57,7 @@ HEADLINE = [
     "q_basket_pairs",       # co-partitioned basket self-join (r5)
     "q_multimodal_decode_jpeg",  # Arrow-batched transform-coding decode (r5)
     "q_graph_pagerank",     # 10-iteration broadcast-state power method (r5)
+    "q_graph_pagerank_directed",  # dangling-mass PageRank on a sink-heavy graph (r6)
 ]
 
 

@@ -39,7 +39,44 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _tune_for_heap(spark)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _tune_for_heap(spark: SparkSession) -> None:
+    """Memory-aware engine knobs for sessions the engine did not build.
+
+    The contract hands the engine an arbitrary SparkSession — including
+    Spark's vanilla 1 GB heap, where in local mode that single heap is
+    simultaneously the driver AND every executor. Two defaults are sized
+    for multi-GB executors and concretely OOM a 1 GB JVM on the sf1 sweep:
+
+    - AQE's 64 MB post-shuffle partition target makes each task's
+      hash-agg spill-merge fan-in (one ~1 MB reader buffer per spill file)
+      scale past the per-task memory slice (measured: HashAggregateExec
+      finishAggregate OOM in q_dedup_ngram_jaccard at sf1);
+    - the 10 MB broadcast threshold admits build sides whose in-memory
+      hash relation is several times their compressed estimate.
+
+    Both are runtime-settable SQL confs, so when the heap is small the
+    engine shrinks them — the same sizing a cluster deployment would do
+    per-executor-GB. Sessions with normal executor memory (>= 4 GB heap)
+    keep Spark's defaults; user-set values are never overridden (the knob
+    is only touched while it still holds its default)."""
+    try:
+        max_heap = int(
+            spark._jvm.java.lang.Runtime.getRuntime().maxMemory()  # noqa: SLF001
+        )
+    except Exception:  # pragma: no cover — Connect or restricted gateway
+        return
+    if max_heap >= 4 * 1024**3:
+        return
+    adv = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    if spark.conf.get(adv, "64MB") in ("64MB", "64m", "67108864b", "67108864"):
+        spark.conf.set(adv, "16m")
+    thr = "spark.sql.autoBroadcastJoinThreshold"
+    if spark.conf.get(thr, "10MB") in ("10MB", "10m", "10485760b", "10485760"):
+        spark.conf.set(thr, "4m")
 
 
 def load_events_ms(spark: SparkSession, sf_dir: str) -> DataFrame:

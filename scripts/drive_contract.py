@@ -158,6 +158,14 @@ def main() -> int:
         "memory, runs sf1/sf10 in the vanilla 1g driver.",
     )
     ap.add_argument(
+        "--cpus",
+        type=int,
+        default=8,
+        help="local[N] worker threads. 8 = the external driver's shape; "
+        "the sf10 sweep raises it (correctness is thread-count-invariant; "
+        "wall-clock is not).",
+    )
+    ap.add_argument(
         "--driver-mem",
         default=None,
         help="driver heap (e.g. 8g). Default: Spark's vanilla 1g — the "
@@ -171,7 +179,7 @@ def main() -> int:
     from pyspark.sql import SparkSession
 
     builder = (
-        SparkSession.builder.master("local[8]")
+        SparkSession.builder.master(f"local[{args.cpus}]")
         .appName("drive-contract")
         .config("spark.sql.session.timeZone", args.tz)
     )
