@@ -77,6 +77,14 @@ def _tune_for_heap(spark: SparkSession) -> None:
     thr = "spark.sql.autoBroadcastJoinThreshold"
     if spark.conf.get(thr, "10MB") in ("10MB", "10m", "10485760b", "10485760"):
         spark.conf.set(thr, "4m")
+    # scan tasks are where map-side partial aggregation happens; a 128 MB
+    # scan split of compressed parquet can explode (shingle/pair
+    # generation) into dozens of sort spills whose MERGE allocates one
+    # read-ahead buffer per spill file — the measured q_graph_pagerank OOM
+    # at sf1. Smaller splits bound the per-task spill fan-in.
+    mpb = "spark.sql.files.maxPartitionBytes"
+    if spark.conf.get(mpb, "128MB") in ("128MB", "128m", "134217728b", "134217728"):
+        spark.conf.set(mpb, "16m")
 
 
 def load_events_ms(spark: SparkSession, sf_dir: str) -> DataFrame:
