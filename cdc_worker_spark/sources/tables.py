@@ -73,7 +73,14 @@ def _tune_for_heap(spark: SparkSession) -> None:
         return
     adv = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
     if spark.conf.get(adv, "64MB") in ("64MB", "64m", "67108864b", "67108864"):
-        spark.conf.set(adv, "16m")
+        spark.conf.set(adv, "8m")
+    # parallelismFirst makes AQE coalesce to ~defaultParallelism partitions
+    # regardless of the advisory size (min partition size 1 MB) — exactly
+    # wrong at small heap: 8 fat post-shuffle partitions of compressed text
+    # decompress past the per-task memory slice. Respect the advisory.
+    pf = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
+    if spark.conf.get(pf, "true") == "true":
+        spark.conf.set(pf, "false")
     thr = "spark.sql.autoBroadcastJoinThreshold"
     if spark.conf.get(thr, "10MB") in ("10MB", "10m", "10485760b", "10485760"):
         spark.conf.set(thr, "4m")
