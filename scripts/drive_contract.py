@@ -196,6 +196,16 @@ def main() -> int:
     assert n_entry > 0, "entry() returned no rows"
 
     con = duckdb.connect()
+    # an in-memory DuckDB has NO temp spill path, so any blocking operator
+    # that exceeds the memory limit hard-fails instead of offloading
+    # ("Failed to allocate block" on the sf10 levenshtein oracle); give it
+    # one, and a cap that coexists with the Spark JVM on the same box
+    import tempfile
+
+    con.execute(
+        f"SET temp_directory='{tempfile.gettempdir()}/duckdb_spill_contract'"
+    )
+    con.execute("SET memory_limit='24GB'")
     if args.hash_mode == "streamed":
         # match Spark's asc-sort convention (nulls first) for the merge
         con.execute("SET default_null_order='nulls_first'")
