@@ -149,6 +149,13 @@ def main() -> int:
     ap.add_argument("--tz", default="America/New_York")
     ap.add_argument("--only", default=None)
     ap.add_argument(
+        "--start-after",
+        default=None,
+        help="skip queries up to and including this name (resume a sweep "
+        "after an infrastructure failure without repeating hours of "
+        "already-green queries)",
+    )
+    ap.add_argument(
         "--hash-mode",
         choices=("collected", "streamed"),
         default="collected",
@@ -219,6 +226,8 @@ def main() -> int:
 
     qs, osql = e.queries(), e.oracle_sql()
     names = [args.only] if args.only else sorted(qs)
+    if args.start_after:
+        names = names[names.index(args.start_after) + 1 :]
     fails = []
     for name in names:
         try:
