@@ -212,7 +212,10 @@ def main() -> int:
     con.execute(
         f"SET temp_directory='{tempfile.gettempdir()}/duckdb_spill_contract'"
     )
-    con.execute("SET memory_limit='24GB'")
+    # cap low enough to coexist with the Spark JVM, high enough that the
+    # sf10 window oracles don't have to spill their whole working set (the
+    # tmpfs budget here is smaller than the memory budget)
+    con.execute("SET memory_limit='56GB'")
     if args.hash_mode == "streamed":
         # match Spark's asc-sort convention (nulls first) for the merge
         con.execute("SET default_null_order='nulls_first'")
