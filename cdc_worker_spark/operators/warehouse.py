@@ -914,6 +914,319 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_tpch_q6",
+    oracle="""
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount >= 0.045 AND l_discount <= 0.075
+      AND l_quantity < 24
+    """,
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): the canonical pure
+    scan-aggregate. Scale shape: every predicate (ship-date year, discount
+    band, quantity cap) pushes into the parquet scan as a min/max-prunable
+    filter, the projection is 2 columns, and the plan is a single
+    partial+final agg with no shuffle of data rows — at 100 TB this is
+    I/O-bound on exactly the row groups the year predicate admits. The
+    discount band uses half-open interior bounds (0.045/0.075) so no stored
+    value sits on a comparison boundary in either engine."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_discount") >= 0.045)
+        & (F.col("l_discount") <= 0.075)
+        & (F.col("l_quantity") < 24)
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * F.col(
+        "l_discount"
+    ).cast("decimal(18,2)")
+    return li.agg(F.sum(rev).cast("double").alias("revenue"))
+
+
+@query(
+    "q_tpch_q8",
+    oracle="""
+    SELECT o_year,
+           round(CAST(sum(CASE WHEN nation = 'NATION_3' THEN volume
+                               ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                 / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
+    FROM (
+      SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+             CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(1 - l_discount AS DECIMAL(18,2)) AS volume,
+             n2.n_name AS nation
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region    ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'EUROPE'
+        AND o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o_orderdate < TIMESTAMP '1997-01-01'
+        AND p_type = 'PROMO'
+    ) all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): NATION_3's share of PROMO-part
+    revenue sold into the EUROPE market, by order year. Scale shape: the
+    type-filtered part side is dim-sized and broadcasts, so lineitem is
+    pre-filtered to PROMO rows by a broadcast hash join before anything
+    shuffles; the two-year window pushes into the orders scan; both nation
+    aliases and region broadcast. The only fact-sized exchange is the
+    lineitem-orders key join; the numerator/denominator ride in ONE grouped
+    aggregate (conditional sum), so share needs no self-join. DECIMAL sums
+    are exact, making the 6-dp-rounded double ratio engine-identical."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"),
+        F.col("n_regionkey").alias("n1_region"),
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    vol = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+    )
+    nation_vol = F.when(F.col("nation") == "NATION_3", vol).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_region") == F.col("r_regionkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(nation_vol).cast("double") / F.sum(vol).cast("double"), 6
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "q_tpch_q13",
+    oracle="""
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+      FROM customer
+      LEFT JOIN orders ON c_custkey = o_custkey
+                      AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer order-count distribution), with the comment
+    LIKE-filter adapted to the fixture's priority column: how many
+    customers placed exactly k non-urgent orders, INCLUDING the zero-order
+    customers the left join preserves. Scale shape: the priority filter
+    lives in the join condition (not a WHERE — that would silently turn
+    the outer join inner); one c_custkey-keyed shuffle builds the
+    per-customer counts, and the histogram re-agg is O(distinct counts),
+    effectively free. At 100 TB both sides are fact-sized so the key join
+    shuffles — no broadcast is claimed."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").cast("bigint").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@query(
+    "q_tpch_q15",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * CAST(1 - l_discount AS DECIMAL(18,2))) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name,
+           CAST(total_revenue AS DOUBLE) AS total_revenue
+    FROM supplier
+    JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): supplier(s) with the maximum quarterly
+    revenue — the view-plus-scalar-subquery classic. Scale shape: the
+    quarter filter pushes into the lineitem scan; ONE l_suppkey-keyed
+    shuffle materializes the revenue view, which is computed once and
+    consumed twice (max + equality filter) out of the same exchange; the
+    1-row max broadcasts back as a cross join, and the supplier dim joins
+    broadcast-wise onto the (tiny) winning set. The max-equality compare
+    happens on the exact DECIMAL sums, never on doubles, so ties are
+    engine-identical; the double cast is only on output."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(rev).alias("total_revenue")
+    )
+    best = revenue.agg(F.max("total_revenue").alias("best_revenue"))
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        revenue.join(F.broadcast(best))
+        .filter(F.col("total_revenue") == F.col("best_revenue"))
+        .join(s, F.col("supplier_no") == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q_tpch_q17",
+    oracle="""
+    SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                      AS DOUBLE) / 7.0, 6) AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#23' AND p_type = 'SMALL'
+      AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+                        FROM lineitem l2
+                        WHERE l2.l_partkey = p_partkey)
+    """,
+)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue), container predicate
+    adapted to the fixture's (brand, type) columns: revenue lost if orders
+    below 20%% of a part's average quantity were not taken. Scale shape:
+    the brand/type-filtered part set is dim-sized and broadcasts, so BOTH
+    lineitem passes (the per-part average and the priced rows) are
+    broadcast-pre-filtered to the handful of matching parts before any
+    aggregation; the correlated scalar subquery decorrelates into a
+    per-part avg that is itself tiny and broadcasts back. l_quantity is
+    integer-valued, so the double average is an exact integer/count ratio
+    — the 0.2*avg threshold compare is engine-identical."""
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#23") & (F.col("p_type") == "SMALL")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    matched = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    thresholds = matched.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_cap")
+    )
+    return (
+        matched.join(
+            F.broadcast(thresholds.withColumnRenamed("l_partkey", "t_partkey")),
+            F.col("l_partkey") == F.col("t_partkey"),
+        )
+        .filter(F.col("l_quantity") < F.col("qty_cap"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast(
+                    "double"
+                )
+                / 7.0,
+                6,
+            ).alias("avg_yearly")
+        )
+    )
+
+
+@query(
+    "q_tpch_q18",
+    oracle="""
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           CAST(sum(l_quantity) AS DOUBLE) AS total_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                         GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+    LIMIT 100
+    """,
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): top-100 orders whose total
+    quantity exceeds 300 units. Scale shape: the textbook form scans
+    lineitem twice (the IN-subquery and the outer sum); this plan computes
+    the per-order quantity sum ONCE — the same aggregate both qualifies the
+    order (HAVING) and supplies total_qty — so lineitem shuffles exactly
+    once on l_orderkey. The surviving set is selectivity-tiny (threshold
+    sits in the far tail of lines-per-order), so the orders and customer
+    attachments are dim-lookups on it, and the top-100 is
+    TakeOrderedAndProject with a full (price, date, key) tiebreak.
+    l_quantity is integer-valued: the sums are exact in either engine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty_sum"))
+        .filter(F.col("qty_sum") > 300)
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("qty_sum").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderdate", "o_orderkey")
+        .limit(100)
+    )
+
+
+@query(
     "q_events_chi_square",
     oracle="""
     WITH b AS (

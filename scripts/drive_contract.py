@@ -228,7 +228,7 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
     qs, osql = e.queries(), e.oracle_sql()
-    names = [args.only] if args.only else sorted(qs)
+    names = args.only.split(",") if args.only else sorted(qs)
     if args.start_after:
         names = names[names.index(args.start_after) + 1 :]
     fails = []
