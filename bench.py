@@ -58,6 +58,8 @@ HEADLINE = [
     "q_multimodal_decode_jpeg",  # Arrow-batched transform-coding decode (r5)
     "q_graph_pagerank",     # 10-iteration broadcast-state power method (r5)
     "q_graph_pagerank_directed",  # dangling-mass PageRank on a sink-heavy graph (r6)
+    "q_tpch_q8",            # 8-table snowflake, conditional-sum market share (r6)
+    "q_tpch_q18",           # single-shuffle large-volume-customer agg (r6)
 ]
 
 

@@ -356,11 +356,15 @@ def q_agg_salted_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_dedup_levenshtein",
     oracle="""
-    WITH tri AS (
+    WITH tri_all AS (
       SELECT DISTINCT doc_id, lang,
              ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
       FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents) d,
            LATERAL unnest(range(1, greatest(len(ws) - 1, 1))) AS t(i)
+    ),
+    tri AS (
+      SELECT doc_id, lang, g FROM tri_all
+      QUALIFY count(*) OVER (PARTITION BY lang, g) <= 100
     ),
     cand AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -386,7 +390,11 @@ def q_dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(len_a x len_b) Levenshtein verify runs only on plausible pairs, then
     kept when the distance is <= 30% of the longer text. The threshold
     compares INTEGERS (dist*10 <= 3*maxlen) — no float boundary; rel_dist
-    is reported rounded. The edit-distance pass is the expensive exact
+    is reported rounded. The oracle applies the engine's df<=100 QUALIFY
+    cap in its trigram CTE (same as q_dedup_ngram_jaccard): the DECLARED
+    candidate semantics is the capped blocking, and an uncapped oracle
+    self-join is quadratic in hot-gram df — at sf10 it spilled past the
+    sandbox disk (r6) while the capped form is bounded by df^2 per gram. The edit-distance pass is the expensive exact
     verifier of the dedup family: blocking bounds candidates, the verify
     cost per pair is explicit, and both engines' levenshtein agree
     exactly."""
@@ -397,8 +405,11 @@ def q_dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_worker_spark.sources.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents")
+    # 8-byte hashed gram keys through the df window + self-join, as in
+    # q_dedup_ngram_jaccard — the gram string itself never shuffles
+    tri = shingles_distinct(docs).withColumn("g", F.xxhash64("g"))
     cand = (
-        ngram_candidate_pairs(shingles_distinct(docs), max_shingle_df=100)
+        ngram_candidate_pairs(tri, max_shingle_df=100)
         .filter(F.col("n_common") >= 3)
         .select("doc_a", "doc_b")
     )
@@ -694,11 +705,15 @@ def q_cdc_field_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_docs_dup_rate",
     oracle="""
-    WITH tri AS (
+    WITH tri_all AS (
       SELECT DISTINCT doc_id, lang,
              ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
       FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents) d,
            LATERAL unnest(range(1, greatest(len(ws) - 1, 1))) AS t(i)
+    ),
+    tri AS (
+      SELECT doc_id, lang, g FROM tri_all
+      QUALIFY count(*) OVER (PARTITION BY lang, g) <= 100
     ),
     sizes AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id),
     inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
@@ -727,17 +742,26 @@ def q_docs_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     curation run reports before/after dedup. Composes the df-capped shingle
     blocking + verify pipeline and reduces to a languages-sized summary;
     the dup-id set is doc-cardinality at worst and broadcasts onto the
-    per-language count."""
+    per-language count. Jaccard here is the CAPPED estimator of
+    q_dedup_ngram_jaccard — sizes and intersections both exclude df>100
+    shingles, and the oracle applies the identical QUALIFY cap (r6: the
+    old uncapped-sizes/uncapped-oracle form was both inconsistent with the
+    declared capped semantics and disk-infeasible at sf10, where the
+    uncapped oracle self-join spilled past the sandbox disk)."""
     from cdc_worker_spark.operators.dedup import (
+        df_capped_shingles,
         ngram_candidate_pairs,
         shingles_distinct,
     )
     from cdc_worker_spark.sources.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    tri = shingles_distinct(docs)
+    tri = df_capped_shingles(
+        shingles_distinct(docs).withColumn("g", F.xxhash64("g")),
+        max_shingle_df=100,
+    )
     sizes = tri.groupBy("doc_id").agg(F.count("*").alias("n"))
-    inter = ngram_candidate_pairs(tri, max_shingle_df=100)
+    inter = ngram_candidate_pairs(tri, max_shingle_df=None)
     sa, sb = sizes.alias("sa"), sizes.alias("sb")
     jac = F.col("n_common").cast("double") / (
         F.col("sa.n") + F.col("sb.n") - F.col("n_common")
