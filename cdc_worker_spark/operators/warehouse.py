@@ -1655,3 +1655,115 @@ def q_orders_sla_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(lat), 6).alias("avg_latency_days"),
         )
     )
+
+
+@query(
+    "q_tpch_q1",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+             AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(1 - l_discount AS DECIMAL(5,3))) AS DOUBLE)
+             AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(1 - l_discount AS DECIMAL(5,3))
+                    * CAST(1 + l_tax AS DECIMAL(5,3))) AS DOUBLE)
+             AS sum_charge,
+           round(avg(l_quantity), 6) AS avg_qty,
+           round(avg(l_extendedprice), 6) AS avg_price,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate < TIMESTAMP '2001-08-06'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 (pricing summary report): the canonical single-table
+    scan-aggregate over ~all of lineitem — the benchmark's raw-throughput
+    yardstick. Fixture adaptation: the DELTA-90-days cutoff lands at
+    2001-08-06 against this fixture's 2001-11-04 shipdate horizon.
+    Scale shape: ONE pass over the fact table, the shipdate predicate and
+    7-column projection push into the parquet scan, and the 6-group
+    partial+final hash aggregate shuffles six rows per map task —
+    at 100 TB this is purely scan-bandwidth-bound, the plan a columnar
+    engine cannot improve on. Money sums ride exact DECIMAL lattices
+    sized so the three-factor charge product (12,2)x(5,3)x(5,3) stays
+    inside precision 38 in BOTH engines (no overflow rounding); the
+    per-group doubles averages are 6-dp rounded against FP summation-order
+    drift."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") < F.lit("2001-08-06").cast("timestamp_ntz")
+    )
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    ep = F.col("l_extendedprice").cast("decimal(12,2)")
+    one_minus_disc = (F.lit(1) - F.col("l_discount")).cast("decimal(5,3)")
+    one_plus_tax = (F.lit(1) + F.col("l_tax")).cast("decimal(5,3)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(ep).cast("double").alias("sum_base_price"),
+            F.sum(ep * one_minus_disc).cast("double").alias("sum_disc_price"),
+            F.sum(ep * one_minus_disc * one_plus_tax)
+            .cast("double")
+            .alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "q_tpch_q14",
+    oracle="""
+    SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                                  THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                                       * CAST(1 - l_discount AS DECIMAL(18,2))
+                                  ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                 / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE),
+                 6) AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+      AND l_shipdate < TIMESTAMP '1997-10-01'
+    """,
+)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): PROMO parts' share of one month's
+    discounted revenue. Fixture adaptation: p_type is a flat category
+    (no three-word hierarchy), so the PROMO% prefix match becomes
+    equality. Scale shape: the month predicate prunes the lineitem scan
+    to ~1/80th of the fact table before anything joins; part is dim-sized
+    and BROADCASTS (the fact side never shuffles — zero exchanges of
+    lineitem rows in the whole plan); numerator and denominator ride ONE
+    aggregate via a conditional sum, so the ratio needs no second pass.
+    Exact DECIMAL sums make the 6-dp-rounded double ratio
+    engine-identical."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp_ntz"))
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(18,2)")
+    zero = F.lit(0).cast("decimal(18,2)")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero))
+                .cast("double")
+                / F.sum(rev).cast("double"),
+                6,
+            ).alias("promo_revenue")
+        )
+    )

@@ -19,9 +19,9 @@ def test_registry_size_matches_docs():
     these numbers; update both together."""
     qs = all_queries()
     oracles = all_oracles()
-    assert len(qs) == 181, f"registry has {len(qs)} queries, docs say 181"
-    assert len(oracles) == 169, (
-        f"{len(oracles)} oracle-checked queries, docs say 169 "
+    assert len(qs) == 191, f"registry has {len(qs)} queries, docs say 191"
+    assert len(oracles) == 179, (
+        f"{len(oracles)} oracle-checked queries, docs say 179 "
         f"({len(qs) - len(oracles)} rows-only by design)"
     )
 
