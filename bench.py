@@ -60,6 +60,7 @@ HEADLINE = [
     "q_graph_pagerank_directed",  # dangling-mass PageRank on a sink-heavy graph (r6)
     "q_tpch_q8",            # 8-table snowflake, conditional-sum market share (r6)
     "q_tpch_q18",           # single-shuffle large-volume-customer agg (r6)
+    "q_tpch_q1",            # pricing summary report: the scan-bandwidth yardstick (r6)
 ]
 
 

@@ -358,13 +358,15 @@ def q_agg_salted_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH tri_all AS (
       SELECT DISTINCT doc_id, lang,
-             ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+             hash(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS g
       FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents) d,
            LATERAL unnest(range(1, greatest(len(ws) - 1, 1))) AS t(i)
     ),
+    keep AS (
+      SELECT lang, g FROM tri_all GROUP BY lang, g HAVING count(*) <= 100
+    ),
     tri AS (
-      SELECT doc_id, lang, g FROM tri_all
-      QUALIFY count(*) OVER (PARTITION BY lang, g) <= 100
+      SELECT t.doc_id, t.lang, t.g FROM tri_all t JOIN keep k USING (lang, g)
     ),
     cand AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -390,11 +392,19 @@ def q_dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(len_a x len_b) Levenshtein verify runs only on plausible pairs, then
     kept when the distance is <= 30% of the longer text. The threshold
     compares INTEGERS (dist*10 <= 3*maxlen) — no float boundary; rel_dist
-    is reported rounded. The oracle applies the engine's df<=100 QUALIFY
-    cap in its trigram CTE (same as q_dedup_ngram_jaccard): the DECLARED
+    is reported rounded. The oracle applies the engine's df<=100 cap in
+    its trigram CTE (same as q_dedup_ngram_jaccard): the DECLARED
     candidate semantics is the capped blocking, and an uncapped oracle
     self-join is quadratic in hot-gram df — at sf10 it spilled past the
-    sandbox disk (r6) while the capped form is bounded by df^2 per gram. The edit-distance pass is the expensive exact
+    sandbox disk (r6) while the capped form is bounded by df^2 per gram.
+    The oracle also ships 8-byte hash(g) keys and expresses the cap as an
+    aggregate + semi-join rather than a QUALIFY window: DuckDB's window
+    over ~10^8 40-byte gram STRINGS at sf10 overran RAM past its memory
+    cap (OOM-killed at 121 GB RSS), while the hashed aggregate form
+    spills; each engine's hash is independent (Spark xxhash64, DuckDB
+    hash) — only collision-freedom on the observed grams matters, the
+    same assumption the engine side already makes.
+    The edit-distance pass is the expensive exact
     verifier of the dedup family: blocking bounds candidates, the verify
     cost per pair is explicit, and both engines' levenshtein agree
     exactly."""
@@ -707,13 +717,15 @@ def q_cdc_field_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH tri_all AS (
       SELECT DISTINCT doc_id, lang,
-             ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+             hash(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS g
       FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents) d,
            LATERAL unnest(range(1, greatest(len(ws) - 1, 1))) AS t(i)
     ),
+    keep AS (
+      SELECT lang, g FROM tri_all GROUP BY lang, g HAVING count(*) <= 100
+    ),
     tri AS (
-      SELECT doc_id, lang, g FROM tri_all
-      QUALIFY count(*) OVER (PARTITION BY lang, g) <= 100
+      SELECT t.doc_id, t.lang, t.g FROM tri_all t JOIN keep k USING (lang, g)
     ),
     sizes AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id),
     inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
@@ -744,10 +756,13 @@ def q_docs_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the dup-id set is doc-cardinality at worst and broadcasts onto the
     per-language count. Jaccard here is the CAPPED estimator of
     q_dedup_ngram_jaccard — sizes and intersections both exclude df>100
-    shingles, and the oracle applies the identical QUALIFY cap (r6: the
+    shingles, and the oracle applies the identical cap (r6: the
     old uncapped-sizes/uncapped-oracle form was both inconsistent with the
     declared capped semantics and disk-infeasible at sf10, where the
-    uncapped oracle self-join spilled past the sandbox disk)."""
+    uncapped oracle self-join spilled past the sandbox disk). The oracle
+    hashes grams to 8 bytes and expresses the cap as an aggregate +
+    semi-join instead of a QUALIFY window — the window over sf10's ~10^8
+    gram strings overran DuckDB's memory cap (see q_dedup_levenshtein)."""
     from cdc_worker_spark.operators.dedup import (
         df_capped_shingles,
         ngram_candidate_pairs,
