@@ -443,3 +443,102 @@ def q_win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_id", "value",
         F.round(med, 6).alias("med7"),
     )
+
+
+@query(
+    "q_events_benford",
+    oracle="""
+    WITH digits AS (
+      SELECT event_type,
+             CAST(regexp_extract(CAST(value AS VARCHAR), '[1-9]') AS INT) AS d
+      FROM events WHERE value > 0
+    ),
+    counts AS (
+      SELECT event_type, d, count(*) AS cnt FROM digits GROUP BY 1, 2
+    ),
+    spine AS (
+      SELECT event_type, t.d, coalesce(cnt, 0) AS cnt
+      FROM (SELECT DISTINCT event_type FROM counts) e
+      CROSS JOIN (SELECT unnest(range(1, 10)) AS d) t
+      LEFT JOIN counts USING (event_type, d)
+    ),
+    stats AS (
+      SELECT event_type, d, cnt,
+             sum(cnt) OVER (PARTITION BY event_type) AS n,
+             ln(1.0 + 1.0 / d) / ln(10.0) AS exp_share
+      FROM spine
+    )
+    SELECT event_type, CAST(max(n) AS BIGINT) AS n_values,
+           round(sum((cnt - n * exp_share) * (cnt - n * exp_share)
+                     / (n * exp_share)), 6) AS chi_square,
+           CAST(min(CASE WHEN rn = 1 THEN d END) AS INT) AS top_digit,
+           round(max(CASE WHEN rn = 1 THEN cnt / CAST(n AS DOUBLE) END), 6)
+             AS top_digit_share
+    FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                                       ORDER BY cnt DESC, d) AS rn
+          FROM stats)
+    GROUP BY event_type
+    """,
+)
+def q_events_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law conformance per event type: chi-square distance of the
+    first-significant-digit distribution from log10(1+1/d), plus the modal
+    digit — the classic fabricated-data / unit-mixup detector a warehouse
+    runs over money-like measures. Scale shape: ONE scan of the fact table
+    projects the leading digit (a regexp over the decimal rendering — no
+    log10/floor, whose FP boundary at exact powers of ten flips the digit
+    between engines), a partial+final agg shuffles O(types x 9) cells, and
+    the digit spine / chi-square / argmax all run on that 9-row-per-type
+    frame. The expected share uses ln(1+1/d)/ln(10) identically on both
+    engines with 6-dp rounding absorbing last-ulp libm differences."""
+    ev = load_events_ms(spark, sf_dir).filter(F.col("value") > 0)
+    digits = ev.select(
+        "event_type",
+        F.regexp_extract(F.col("value").cast("string"), "[1-9]", 0)
+        .cast("int")
+        .alias("d"),
+    )
+    counts = digits.groupBy("event_type", "d").agg(F.count("*").alias("cnt"))
+    spine = (
+        counts.select("event_type")
+        .distinct()
+        .crossJoin(spark.range(1, 10).select(F.col("id").cast("int").alias("d")))
+        .join(counts, ["event_type", "d"], "left")
+        .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0)))
+    )
+    wn = Window.partitionBy("event_type")
+    stats = spine.select(
+        "event_type",
+        "d",
+        "cnt",
+        F.sum("cnt").over(wn).alias("n"),
+        (F.log(F.lit(1.0) + 1.0 / F.col("d")) / F.log(F.lit(10.0))).alias(
+            "exp_share"
+        ),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("event_type").orderBy(F.col("cnt").desc(), "d")
+    )
+    dev = F.col("cnt") - F.col("n") * F.col("exp_share")
+    return (
+        stats.withColumn("rn", rn)
+        .groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n_values"),
+            F.round(
+                F.sum(dev * dev / (F.col("n") * F.col("exp_share"))), 6
+            ).alias("chi_square"),
+            F.min(F.when(F.col("rn") == 1, F.col("d")))
+            .cast("int")
+            .alias("top_digit"),
+            F.round(
+                F.max(
+                    F.when(
+                        F.col("rn") == 1,
+                        F.col("cnt") / F.col("n").cast("double"),
+                    )
+                ),
+                6,
+            ).alias("top_digit_share"),
+        )
+    )
