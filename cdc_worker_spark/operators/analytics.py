@@ -429,13 +429,20 @@ def q_dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     tb = docs.select(
         F.col("doc_id").alias("doc_b"), F.col("text").alias("_tb")
     )
-    dist = F.levenshtein("_ta", "_tb")
+    # thresholded (banded) DP: any KEPT pair satisfies dist <= 3*maxlen/10
+    # <= 3*corpus_max_len/10, so banding at that global bound is exact for
+    # keepers while the dominant dissimilar pairs exit the band early —
+    # O(bound * min_len) per pair instead of O(len_a * len_b). The bound is
+    # a 1-row plan constant (same literalization discipline as IVF nprobe).
+    max_len = docs.agg(F.max(F.length("text"))).collect()[0][0] or 0
+    bound = int(3 * max_len // 10)
+    dist = F.levenshtein("_ta", "_tb", bound)  # -1 when dist > bound
     maxlen = F.greatest(F.length("_ta"), F.length("_tb"))
     return (
         cand.join(ta, "doc_a")
         .join(tb, "doc_b")
         .withColumn("dist", dist.cast("long"))  # DuckDB levenshtein is BIGINT
-        .filter(F.col("dist") * 10 <= 3 * maxlen)
+        .filter((F.col("dist") >= 0) & (F.col("dist") * 10 <= 3 * maxlen))
         .select(
             "doc_a",
             "doc_b",

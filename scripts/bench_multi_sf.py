@@ -76,6 +76,9 @@ DEFAULT_QUERIES = [
     "q_events_cusum",
     "q_cdc_scd2",
     "q_tpch_q5",
+    "q_tpch_q1",
+    "q_tpch_q8",
+    "q_tpch_q18",
 ]
 
 
