@@ -719,31 +719,45 @@ def q_cdc_field_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: one bucket of the dup-rate oracle's pair aggregation (see the docstring:
+#: bucketing bounds DuckDB's peak aggregate spill; buckets run sequentially)
+_DUP_RATE_BRANCH = """
+      SELECT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM tri a JOIN tri b ON a.g = b.g AND a.lang = b.lang
+                             AND a.doc_id < b.doc_id
+        WHERE a.doc_id % 16 = {k}
+        GROUP BY 1, 2) i
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+      WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.3"""
+
+
 @query(
     "q_docs_dup_rate",
     oracle="""
-    WITH tri_all AS (
+    WITH tri_all AS MATERIALIZED (
       SELECT DISTINCT doc_id, lang,
              hash(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS g
       FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents) d,
            LATERAL unnest(range(1, greatest(len(ws) - 1, 1))) AS t(i)
     ),
-    keep AS (
+    keep AS MATERIALIZED (
       SELECT lang, g FROM tri_all GROUP BY lang, g HAVING count(*) <= 100
     ),
-    tri AS (
+    tri AS MATERIALIZED (
       SELECT t.doc_id, t.lang, t.g FROM tri_all t JOIN keep k USING (lang, g)
     ),
-    sizes AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id),
-    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-              FROM tri a JOIN tri b ON a.g = b.g AND a.lang = b.lang
-                                   AND a.doc_id < b.doc_id
-              GROUP BY 1, 2),
+    sizes AS MATERIALIZED (
+      SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id
+    ),
     pairs AS (
-      SELECT doc_a, doc_b FROM inter
-      JOIN sizes sa ON doc_a = sa.doc_id
-      JOIN sizes sb ON doc_b = sb.doc_id
-      WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.3),
+"""
+    + "\n      UNION ALL\n".join(
+        _DUP_RATE_BRANCH.format(k=k) for k in range(16)
+    )
+    + """
+    ),
     dup_ids AS (
       SELECT DISTINCT doc_id FROM (
         SELECT doc_a AS doc_id FROM pairs
@@ -769,7 +783,14 @@ def q_docs_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     uncapped oracle self-join spilled past the sandbox disk). The oracle
     hashes grams to 8 bytes and expresses the cap as an aggregate +
     semi-join instead of a QUALIFY window — the window over sf10's ~10^8
-    gram strings overran DuckDB's memory cap (see q_dedup_levenshtein)."""
+    gram strings overran DuckDB's memory cap (see q_dedup_levenshtein) —
+    and BUCKETS the pair aggregation into 16 sequential UNION ALL branches
+    on doc_a % 16 over a MATERIALIZED tri: unlike this query's Jaccard>=0.3
+    output filter, the aggregate's hash table holds EVERY co-gram pair, and
+    one monolithic aggregate spilled past the sandbox disk at sf10 (>78 GB);
+    per-bucket spill is ~1/16 and is reclaimed between branches. The engine
+    needs no such split — Spark's partial aggregation spreads the same
+    table across executors, which is the point of the comparison."""
     from cdc_worker_spark.operators.dedup import (
         df_capped_shingles,
         ngram_candidate_pairs,
