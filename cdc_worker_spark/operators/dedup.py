@@ -15,6 +15,7 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
+import math
 from functools import reduce
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
@@ -435,23 +436,40 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: LSH banding for embedding dedup: 16 tables x 8 bits. A pair at angle θ
-#: collides in one table with p = (1-θ/π)^8 and is missed overall with
-#: (1-p)^16: ~1e-8 at cos 0.99, 1.4e-4 at cos 0.95, ~6% at exactly 0.8 —
-#: designed for the near-dup regime; raise n_tables to push the boundary
-#: recall (the knob trades explode factor, not plan shape). Random pairs
-#: (cos~0) collide at ~6%, so candidate volume tracks bucket co-occupancy,
-#: never n^2 (gated in tests/test_dedup_scale.py).
+#: LSH banding floor for embedding dedup: 16 tables x 8 bits. A pair at
+#: angle θ collides in one table with p = (1-θ/π)^8 and is missed overall
+#: with (1-p)^16: ~1e-8 at cos 0.99, 1.4e-4 at cos 0.95, ~6% at exactly
+#: 0.8 — designed for the near-dup regime. These are the SMALL-n floor:
+#: :func:`adaptive_lsh_params` widens both with n, because with FIXED
+#: signature bits a random pair (cos~0) collides per table at the constant
+#: rate 2^-bits, making candidate volume O(n^2 / 2^bits) — invisible on
+#: one decade of scale-up, quadratic on the second (measured: sf1->sf10
+#: exponent 1.86, 3.9 s -> 283 s, before this was adaptive; 12-25 s after).
 _EMB_LSH_TABLES = 16
 _EMB_LSH_BITS = 8
+
+
+def adaptive_lsh_params(n_vectors: int) -> tuple[int, int]:
+    """(n_tables, n_bits) sized to the corpus: bits grow with log2(n) so
+    expected random-bucket occupancy stays constant (candidate volume
+    ~linear in n, never n^2/2^bits), and tables grow 8 per extra bit so
+    boundary recall holds (miss at cos 0.8: 6% @ 8 bits/16 tables,
+    3.5% @ 11/40, 7% @ 14/64; at cos 0.9 all configs are <1%). Below
+    ~64k vectors this returns the (16, 8) floor — small-fixture behavior
+    (and every existing recall test) is unchanged. Deterministic in n, so
+    plans and artifacts stay stable run-to-run."""
+    n_bits = max(_EMB_LSH_BITS, min(16, math.ceil(math.log2(max(n_vectors, 2))) - 4))
+    n_tables = _EMB_LSH_TABLES + 8 * (n_bits - _EMB_LSH_BITS)
+    return n_tables, n_bits
 
 
 def embedding_dedup_pairs(
     emb: DataFrame,
     threshold: float,
     same_label: bool = False,
-    n_tables: int = _EMB_LSH_TABLES,
-    n_bits: int = _EMB_LSH_BITS,
+    n_tables: int | None = None,
+    n_bits: int | None = None,
+    bucket_cap: int | None = 4096,
 ) -> DataFrame:
     """Near-dup pairs (vec_a, vec_b, cos > threshold) via LSH candidates +
     exact-cosine verification.
@@ -459,12 +477,33 @@ def embedding_dedup_pairs(
     Scale shape: only (vec_id, label, tbl, sig) flows through the band
     shuffle — vectors are joined back AFTER the candidate set is distinct, so
     the wide embedding column is shuffled O(|candidates|) times, never
-    O(n x tables). ``emb`` must carry dv/nrm (:func:`with_double_vec`)."""
+    O(n x tables). ``emb`` must carry dv/nrm (:func:`with_double_vec`).
+
+    ``n_tables``/``n_bits`` default to :func:`adaptive_lsh_params` of the
+    corpus size (one cheap count over the id column). ``bucket_cap`` is the
+    skew valve: a (tbl, sig) bucket larger than the cap is excluded from
+    pair generation — on non-adversarial data adaptive bits keep expected
+    occupancy ~16 so the cap never fires (asserted for the fixtures in
+    tests/test_dedup_scale.py), but a degenerate corpus (everything
+    near-identical) would otherwise regenerate the n^2 pair set inside one
+    bucket; such clusters are cluster-assignment work (q_dedup_cluster_*),
+    not pair-emission work."""
     from cdc_worker_spark.operators.lsh import with_lsh_buckets
 
+    if n_tables is None or n_bits is None:
+        a_tables, a_bits = adaptive_lsh_params(emb.select("vec_id").count())
+        n_tables = a_tables if n_tables is None else n_tables
+        n_bits = a_bits if n_bits is None else n_bits
     keyed = with_lsh_buckets(
         emb.select("vec_id", "label", "dv", "nrm"), n_tables, n_bits
     ).select("vec_id", "label", "tbl", "sig")
+    if bucket_cap is not None:
+        bw = Window.partitionBy("tbl", "sig")
+        keyed = (
+            keyed.withColumn("_bn", F.count("*").over(bw))
+            .filter(F.col("_bn") <= bucket_cap)
+            .drop("_bn")
+        )
     x = keyed.select(
         "tbl", "sig", F.col("vec_id").alias("vec_a"), F.col("label").alias("label_a")
     )

@@ -212,3 +212,101 @@ def test_ngram_cap_inert_below_threshold(spark):
         for r in ngram_candidate_pairs(tri, max_shingle_df=1000).collect()
     }
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Adaptive LSH sizing (round-6 scale bug, found by the sf1->sf10 sweep):
+# with FIXED signature bits a random pair collides per table at the constant
+# rate 2^-bits, so candidate volume is O(n^2/2^bits) — invisible across one
+# decade of scale-up (sf0.1->sf1 exponent 0.33), quadratic on the second
+# (sf1->sf10 exponent 1.86, 3.9 s -> 283 s). adaptive_lsh_params grows bits
+# with log2(n) (constant expected bucket occupancy) and tables with bits
+# (boundary recall), so pair volume stays ~linear in n.
+# ---------------------------------------------------------------------------
+
+
+def _random_vectors(n, seed=7):
+    rng = np.random.default_rng(seed)
+    return [(i, 0, [float(x) for x in rng.normal(size=DIM)]) for i in range(n)]
+
+
+def _bucket_pair_volume(spark, rows, n_tables, n_bits):
+    """sum over (tbl, sig) buckets of c*(c-1)/2 == exact number of raw
+    candidate pairs the band equi-join would generate (before distinct)."""
+    df = with_double_vec(
+        spark.createDataFrame(rows, "vec_id: long, label: long, embedding: array<float>")
+    )
+    keyed = with_lsh_buckets(df.select("vec_id", "dv"), n_tables, n_bits)
+    return (
+        keyed.groupBy("tbl", "sig")
+        .agg(F.count("*").alias("c"))
+        .agg(F.sum(F.expr("c * (c - 1) / 2")).alias("pairs"))
+        .first()["pairs"]
+    )
+
+
+def test_adaptive_lsh_params_floor_and_growth():
+    from cdc_worker_spark.operators.dedup import adaptive_lsh_params
+
+    # small corpora keep the (16, 8) floor — existing recall tests unchanged
+    assert adaptive_lsh_params(500) == (16, 8)
+    assert adaptive_lsh_params(4096) == (16, 8)
+    # each 16x of corpus adds ~4 bits / 32 tables
+    assert adaptive_lsh_params(20_000)[1] == 11
+    assert adaptive_lsh_params(200_000)[1] == 14
+    # deterministic and monotone in n
+    assert adaptive_lsh_params(200_000) == adaptive_lsh_params(200_000)
+    assert adaptive_lsh_params(2_000_000)[1] >= adaptive_lsh_params(200_000)[1]
+
+
+def test_adaptive_bits_keep_candidate_volume_linear(spark):
+    """4x the corpus: fixed 8-bit signatures multiply candidate PAIRS ~16x
+    (quadratic), adaptive sizing keeps pairs-per-vector roughly flat."""
+    from cdc_worker_spark.operators.dedup import adaptive_lsh_params
+
+    n_small, n_big = 3_000, 12_000
+    small_rows, big_rows = _random_vectors(n_small), _random_vectors(n_big)
+
+    fixed_small = _bucket_pair_volume(spark, small_rows, 16, 8)
+    fixed_big = _bucket_pair_volume(spark, big_rows, 16, 8)
+    # quadratic: pairs-per-vector grows ~4x with 4x data
+    assert fixed_big / n_big > 2.5 * (fixed_small / n_small)
+
+    t_b, b_b = adaptive_lsh_params(n_big)
+    assert (t_b, b_b) == (32, 10)
+    adaptive_big = _bucket_pair_volume(spark, big_rows, t_b, b_b)
+    # adaptive sizing bends the curve: at 4x data it generates about half
+    # the raw pairs of the fixed config (expected ratio T_a/2^b_a over
+    # T_f/2^b_f = 32*2^-10 / 16*2^-8 = 0.5), and pairs-per-vector grows
+    # ~2x instead of the fixed config's ~4x — per decade of data that is
+    # ~n^0.5 candidate growth instead of n^2
+    assert adaptive_big < 0.7 * fixed_big
+    assert adaptive_big / n_big < 2.5 * (fixed_small / n_small), (
+        f"adaptive pair volume {adaptive_big} vs fixed-small {fixed_small}"
+    )
+
+
+def test_bucket_cap_inert_on_dispersed_data_and_fires_on_degenerate(spark):
+    """The skew valve: on dispersed corpora no bucket nears the cap (pairs
+    identical with the cap on/off); a degenerate corpus (every vector
+    identical -> one megabucket per table) is excluded from pair emission
+    instead of emitting n^2 pairs."""
+    rows = _planted_vectors()
+    df = with_double_vec(
+        spark.createDataFrame(rows, "vec_id: long, label: long, embedding: array<float>")
+    )
+    with_cap = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_dedup_pairs(df, threshold=0.9, bucket_cap=4096).collect()
+    }
+    no_cap = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_dedup_pairs(df, threshold=0.9, bucket_cap=None).collect()
+    }
+    assert with_cap == no_cap
+
+    one = [(i, 0, [1.0] + [0.0] * (DIM - 1)) for i in range(300)]
+    deg = with_double_vec(
+        spark.createDataFrame(one, "vec_id: long, label: long, embedding: array<float>")
+    )
+    assert embedding_dedup_pairs(deg, threshold=0.9, bucket_cap=100).count() == 0
