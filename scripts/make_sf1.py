@@ -84,6 +84,33 @@ def build_sf1(spark, factor: int, out_dir: str) -> None:
                         "embedding",
                         F.transform("embedding", lambda x: -x),
                     )
+                wrap2 = i // (2 * n)
+                if wrap2 > 0:
+                    # factor > 2*dim wraps (rotation, sign) pairs too
+                    # (first hit at factor>128): apply a deterministic
+                    # per-wrap Rademacher mask (md5-derived ±1 per dim,
+                    # ~half flipped) so wrapped copies decorrelate
+                    # (cosine of v and mask*v is ~0) instead of cloning
+                    import hashlib
+
+                    mask = [
+                        1.0
+                        if int(
+                            hashlib.md5(f"sfmask:{wrap2}:{d}".encode()).hexdigest()[:2],
+                            16,
+                        )
+                        % 2
+                        else -1.0
+                        for d in range(n)
+                    ]
+                    df = df.withColumn(
+                        "embedding",
+                        F.zip_with(
+                            "embedding",
+                            F.array(*[F.lit(m) for m in mask]),
+                            lambda x, m: x * m,
+                        ),
+                    )
             parts.append(df)
         out = parts[0]
         for p in parts[1:]:
