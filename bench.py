@@ -61,6 +61,9 @@ HEADLINE = [
     "q_tpch_q8",            # 8-table snowflake, conditional-sum market share (r6)
     "q_tpch_q18",           # single-shuffle large-volume-customer agg (r6)
     "q_tpch_q1",            # pricing summary report: the scan-bandwidth yardstick (r6)
+    "q_text_passage_dedup", # cross-doc passage dedup, hashed-key df pass (r6)
+    "q_emb_pq",             # product quantization, Arrow matmul encode (r6)
+    "q_text_bpe_vocab",     # BPE merge training, per-round pair-count rounds (r6)
 ]
 
 

@@ -1,0 +1,332 @@
+"""Training-data pipeline extensions, wave 2 (round 6): cross-document
+passage dedup (boilerplate removal), temperature-scaled source mixing,
+product quantization over embeddings, and distributed BPE-merge training.
+
+These are the corpus-preparation steps a 100 TB LLM data pipeline runs after
+the per-document filters (operators/text.py, operators/curation.py) and the
+document-level dedup family (operators/dedup.py):
+
+- ``q_text_passage_dedup`` removes *within-document spans* that repeat across
+  the corpus (the Falcon/RefinedWeb line-dedup idea re-expressed over
+  fixed-width word segments, since the fixture text has no newlines);
+- ``q_docs_mix_temperature`` computes the temperature-scaled source mixture
+  (w_s ∝ p_s^α) used to rebalance heterogeneous sources before sampling;
+- ``q_emb_pq`` product-quantizes the embedding table (m subspaces × k
+  codewords, Lloyd-trained per subspace) and reports reconstruction error —
+  the storage/ANN compression step (IVF-PQ's second half);
+- ``q_text_bpe_vocab`` learns byte-pair-encoding merges from corpus word
+  frequencies — pair counting is the corpus-scale part and runs as a
+  distributed explode + groupBy per merge round.
+
+Scale notes are on each operator; none of them shuffles document text or
+raw vectors more than once, and the only driver-side state is O(k·dim)
+centroids / O(1) top-pair rows per BPE round.
+"""
+
+# NB: no `from __future__ import annotations` — pandas_udf (via the reused
+# ivf.centroid_dists_udf) infers eval mode from real type hints elsewhere;
+# keep this module consistent with operators/ivf.py.
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cdc_worker_spark.operators.dedup import dot_col, with_double_vec
+from cdc_worker_spark.operators.ivf import (
+    centroid_dists_udf,
+    kmeans_centroids_cached,
+)
+from cdc_worker_spark.plans.registry import query
+from cdc_worker_spark.sources.tables import load_table
+
+#: fixed-width word segment length for passage dedup (the fixture corpus is
+#: single-line, so "lines" are 10-word windows; real corpora would split on
+#: newline first and fall back to fixed windows for wall-of-text documents).
+SEG_WORDS = 10
+
+#: a segment is boilerplate when it appears in at least this many distinct
+#: documents (Falcon's line-dedup threshold, scaled to the fixture corpus).
+BOILER_MIN_DOCS = 3
+
+
+def _segments(docs: DataFrame) -> DataFrame:
+    """(doc_id, seg) — consecutive non-overlapping SEG_WORDS-word windows,
+    last partial window included. Pure projection: no shuffle until the
+    segment groupBy."""
+    ws = F.split("text", " ")
+    n_seg = F.ceil(F.size(ws) / F.lit(SEG_WORDS)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_seg - F.lit(1)),
+        lambda i: F.array_join(
+            F.slice(ws, i * SEG_WORDS + 1, SEG_WORDS), " "
+        ),
+    )
+    return docs.select("doc_id", F.explode(segs).alias("seg"))
+
+
+@query(
+    "q_text_passage_dedup",
+    oracle=f"""
+    WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         idx AS (SELECT doc_id, w,
+                        unnest(range(0, CAST(ceil(len(w) / {SEG_WORDS}.0) AS BIGINT))) AS i
+                 FROM ws),
+         segs AS (SELECT doc_id,
+                         array_to_string(w[(i * {SEG_WORDS} + 1):(i * {SEG_WORDS} + {SEG_WORDS})], ' ') AS seg
+                  FROM idx),
+         c AS (SELECT seg, count(DISTINCT doc_id) AS nd FROM segs GROUP BY seg)
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_seg,
+           CAST(sum(CASE WHEN c.nd >= {BOILER_MIN_DOCS} THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+           round(1.0 - sum(CASE WHEN c.nd >= {BOILER_MIN_DOCS} THEN 1 ELSE 0 END) / count(*), 4)
+               AS retained_ratio
+    FROM segs s JOIN c USING (seg)
+    GROUP BY s.doc_id
+    """,
+)
+def q_text_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document passage dedup (Falcon/RefinedWeb line-dedup over
+    fixed 10-word segments): a segment occurring in >= BOILER_MIN_DOCS
+    distinct documents is boilerplate; report per-document segment counts
+    and the retained fraction.
+
+    100 TB design: the doc-frequency pass groups on xxhash64(seg) — the
+    shuffle carries (8-byte key, doc_id), never segment text; the join back
+    to segments is on the same hashed key so both sides share one hash
+    partitioning. The oracle groups raw segment text instead (DuckDB has no
+    xxhash64) — per-doc outputs agree unless 64-bit collisions occur, which
+    at corpus scale is the standard accepted hashing assumption (same
+    contract as q_text_repeated_passages).
+    Reference scope: beyond the reference (LLM-pipeline extension set,
+    SURVEY §2.3)."""
+    segs = _segments(load_table(spark, sf_dir, "documents")).withColumn(
+        "segh", F.xxhash64("seg")
+    )
+    df_counts = segs.groupBy("segh").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    return (
+        segs.join(df_counts, "segh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_seg"),
+            F.sum(
+                F.when(F.col("nd") >= BOILER_MIN_DOCS, 1).otherwise(0)
+            ).alias("n_boiler"),
+        )
+        .withColumn(
+            "retained_ratio",
+            F.round(1.0 - F.col("n_boiler") / F.col("n_seg"), 4),
+        )
+    )
+
+
+#: mixing temperature: w_s ∝ p_s^ALPHA. α=0.5 (the multilingual-training
+#: sqrt rule) keeps the math engine-exact: sqrt is IEEE correctly rounded,
+#: so Spark and DuckDB agree bit-for-bit where a general pow() might not.
+MIX_ALPHA = 0.5
+
+
+@query(
+    "q_docs_mix_temperature",
+    oracle="""
+    WITH per_src AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+      FROM documents GROUP BY source),
+         p AS (
+      SELECT source, n_docs, tokens,
+             tokens / (sum(tokens) OVER ()) AS p_raw
+      FROM per_src)
+    SELECT source, n_docs, tokens,
+           round(p_raw, 6) AS p_raw,
+           round(sqrt(p_raw) / sum(sqrt(p_raw)) OVER (), 6) AS mix_weight,
+           round((sqrt(p_raw) / sum(sqrt(p_raw)) OVER ()) / p_raw, 4) AS boost
+    FROM p
+    """,
+)
+def q_docs_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixture: per-source token share p_s, the
+    α=0.5 mixture weight w_s = p_s^α / Σ p^α, and the oversampling boost
+    w_s/p_s — the knob that up-weights small sources before sampling
+    (the standard multilingual/multi-source rebalancing step).
+
+    100 TB design: one corpus scan → per-source partial agg (O(sources)
+    rows shuffle); the normalizing windows run over the O(sources) frame,
+    not the corpus. Reference scope: beyond the reference (LLM-pipeline
+    extension set, SURVEY §2.3)."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("tokens"),
+    )
+    w = Window.partitionBy()
+    p_raw = F.col("tokens") / F.sum("tokens").over(w)
+    mix = F.sqrt(p_raw) / F.sum(F.sqrt(p_raw)).over(w)
+    return per_src.select(
+        "source",
+        "n_docs",
+        "tokens",
+        F.round(p_raw, 6).alias("p_raw"),
+        F.round(mix, 6).alias("mix_weight"),
+        F.round(mix / p_raw, 4).alias("boost"),
+    )
+
+
+#: PQ geometry: M subspaces × K codewords over the 64-dim fixture vectors.
+PQ_M = 4
+PQ_K = 16
+
+
+def pq_codes(
+    emb: DataFrame, emb_path: str, m: int = PQ_M, k: int = PQ_K
+) -> DataFrame:
+    """Product-quantize ``emb`` (must carry dv): per subspace j, Lloyd-train
+    K centroids on the dim/m-wide slice, assign the nearest codeword, and
+    carry the squared quantization error. Adds columns code_0..code_{m-1}
+    (int) and sq_err (double, sum of per-subspace residuals).
+
+    Scale design: training reuses :func:`kmeans_centroids_cached` (sampled
+    Lloyd — O(k·dim) driver state, vectors never collect); assignment is a
+    pure projection (one Arrow-batched distance matmul per subspace), so
+    encoding shuffles nothing. The codebook is the broadcast side by
+    construction. Production stores codes + codebook and reconstructs at
+    probe time (IVF-PQ); here the error column is the quality signal."""
+    first = emb.select(F.size("dv").alias("d")).first()
+    dim = int(first.d) if first is not None else 0
+    if dim == 0 or dim % m != 0:
+        raise ValueError(f"PQ needs dim % m == 0, got dim={dim}, m={m}")
+    sub_w = dim // m  # fixture: 64/4 = 16
+    out = emb
+    for j in range(m):
+        sub_col = F.slice("dv", j * sub_w + 1, sub_w)
+        sub = out.select("vec_id", sub_col.alias("dv")).withColumn(
+            "nrm", dot_col(F.col("dv"), F.col("dv"))
+        )
+        cents = kmeans_centroids_cached(
+            sub, cache_key=f"{emb_path}#pq{m}x{k}s{j}", k=k, n_iters=2
+        )
+        out = out.withColumn(f"_d{j}", centroid_dists_udf(cents)(sub_col))
+    code_cols = []
+    err_total = F.lit(0.0)
+    for j in range(m):
+        d = F.col(f"_d{j}")
+        code_cols.append(
+            (F.array_position(d, F.array_min(d)) - 1)
+            .cast("int")
+            .alias(f"code_{j}")
+        )
+        # the |x|^2+|c|^2-2xc expansion can go epsilon-negative at exact hits
+        err_total = err_total + F.greatest(F.array_min(d), F.lit(0.0))
+    return out.select(
+        "*", *code_cols, err_total.alias("sq_err")
+    ).drop(*[f"_d{j}" for j in range(m)])
+
+
+@query("q_emb_pq")  # rows-only: Lloyd training is not SQL-expressible;
+# gated by tests/test_traindata.py (numpy-reference equality of codes and
+# errors + PQ-beats-1-centroid reconstruction bound)
+def q_emb_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization health report: per label, vector count, mean
+    squared reconstruction error, and codebook utilization of subspace 0.
+    Reference scope: beyond the reference (LLM-pipeline extension set)."""
+    emb = with_double_vec(load_table(spark, sf_dir, "embeddings"))
+    coded = pq_codes(emb, emb_path=f"{sf_dir}/embeddings.parquet")
+    return (
+        coded.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.avg("sq_err"), 6).alias("avg_sq_err"),
+            F.countDistinct("code_0").alias("codes_used_s0"),
+        )
+        .orderBy("label")
+    )
+
+
+#: number of BPE merge rounds learned by q_text_bpe_vocab.
+BPE_MERGES = 8
+
+#: left-to-right greedy application of one merge (l, r) -> l||r over a
+#: symbol array, as a SQL fold. try_element_at returns NULL on the empty
+#: accumulator, so the CASE guard needs no short-circuit guarantee.
+_MERGE_FOLD = """
+aggregate(syms, CAST(array() AS array<string>),
+  (acc, x) -> CASE WHEN try_element_at(acc, -1) = '{l}' AND x = '{r}'
+                   THEN concat(slice(acc, 1, size(acc) - 1), array('{lr}'))
+                   ELSE concat(acc, array(x)) END)
+"""
+
+
+def bpe_merges(
+    words: DataFrame, n_merges: int = BPE_MERGES
+) -> list[tuple[int, str, str, str, int]]:
+    """Learn BPE merges from a (word, cnt) frequency table. Per round:
+    explode adjacent symbol pairs weighted by word count, groupBy-sum,
+    take the most frequent pair (ties: lexicographic on (left, right)),
+    then apply the merge greedily left-to-right inside every word.
+
+    Scale design: the corpus-scale work is the word-frequency table itself
+    (computed by the caller as one explode+groupBy over the corpus); the
+    pair count per round is an O(distinct-words) explode + 8-byte-pair
+    shuffle, and only ONE row (the argmax pair) ever reaches the driver
+    per round. localCheckpoint per round keeps the per-round plan flat
+    instead of nesting n_merges aggregate() folds into one codegen'd
+    expression. Reference scope: beyond the reference (LLM-pipeline
+    extension set)."""
+    cur = words.select(
+        "cnt",
+        F.expr("filter(split(word, ''), x -> x <> '')").alias("syms"),
+    ).localCheckpoint(eager=True)
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        n = F.size("syms")
+        pairs = cur.select(
+            "cnt",
+            F.explode(
+                F.zip_with(
+                    F.slice("syms", 1, F.greatest(n - 1, F.lit(0))),
+                    F.slice("syms", 2, F.greatest(n - 1, F.lit(0))),
+                    lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy("p.l", "p.r")
+            .agg(F.sum("cnt").alias("pc"))
+            .orderBy(F.desc("pc"), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not top:  # corpus of empty/1-char words: nothing left to merge
+            break
+        row = top[0]
+        merged = row.l + row.r
+        merges.append((rank, row.l, row.r, merged, int(row.pc)))
+        cur = cur.withColumn(
+            "syms",
+            F.expr(_MERGE_FOLD.format(l=row.l, r=row.r, lr=merged)),
+        ).localCheckpoint(eager=True)
+    return merges
+
+
+@query("q_text_bpe_vocab")  # rows-only: n_merges chained argmax+rewrite
+# rounds are iterative, not SQL-expressible; gated by
+# tests/test_traindata.py (exact merge-list equality vs a pure-Python BPE)
+def q_text_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first BPE_MERGES byte-pair-encoding merges from corpus
+    word frequencies (the tokenizer-training step of an LLM data
+    pipeline). Returns (merge_rank, left, right, merged, pair_count).
+    Reference scope: beyond the reference (LLM-pipeline extension set)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    merges = bpe_merges(words)
+    return spark.createDataFrame(
+        merges,
+        "merge_rank: int, left: string, right: string, "
+        "merged: string, pair_count: bigint",
+    )

@@ -74,6 +74,7 @@ _QUERY_MODULES = (
     "cdc_worker_spark.operators.curation",
     "cdc_worker_spark.operators.warehouse",
     "cdc_worker_spark.operators.geo",
+    "cdc_worker_spark.operators.traindata",
 )
 
 
