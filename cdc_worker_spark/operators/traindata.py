@@ -309,6 +309,332 @@ def bpe_merges(
     return merges
 
 
+#: SemDeDup similarity threshold: within-cluster cosine above this marks
+#: the higher-id member as a semantic duplicate.
+SEMDEDUP_TAU = 0.99
+
+
+def semdedup_flags(emb: DataFrame, emb_path: str, k: int = 16) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, public paper): cluster embeddings with
+    KMeans, then compare pairs ONLY within a cluster and drop any vector
+    that has a smaller-id neighbor above SEMDEDUP_TAU cosine. Returns
+    (vec_id, bucket, keep).
+
+    Scale design: clustering bounds the candidate space to Σ|cluster|²
+    instead of n² — the whole point of the recipe; the within-cluster
+    self-join shuffles BOTH sides on the cluster key once, and the
+    keep-decision is an aggregation, not an iterative CC (the smaller-id
+    rule is deterministic and local to a pair). Centroids reuse the cached
+    coarse KMeans (same key as the IVF index). At 100 TB k grows ~n/10⁵ so
+    clusters stay bounded; degenerate hot clusters would reuse the LSH
+    bucket-cap valve (operators/dedup.py::adaptive_lsh_params)."""
+    cents = kmeans_centroids_cached(emb, cache_key=emb_path, k=k, n_iters=2)
+    if not cents:
+        return emb.sparkSession.createDataFrame(
+            [], "vec_id: long, bucket: int, keep: boolean"
+        )
+    assigned = emb.withColumn(
+        "_d", centroid_dists_udf(cents)("dv")
+    ).withColumn(
+        "bucket",
+        (F.array_position(F.col("_d"), F.array_min("_d")) - 1).cast("int"),
+    ).select("bucket", "vec_id", "dv", "nrm")
+    a = assigned.select(
+        "bucket", F.col("vec_id").alias("a_id"),
+        F.col("dv").alias("a_dv"), F.col("nrm").alias("a_nrm"),
+    )
+    b = assigned.select(
+        "bucket", F.col("vec_id").alias("vec_id"),
+        F.col("dv").alias("b_dv"), F.col("nrm").alias("b_nrm"),
+    )
+    cos = dot_col(F.col("a_dv"), F.col("b_dv")) / (
+        F.sqrt(F.col("a_nrm")) * F.sqrt(F.col("b_nrm"))
+    )
+    dup_ids = (
+        a.join(b, "bucket")
+        .filter(F.col("a_id") < F.col("vec_id"))
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= SEMDEDUP_TAU)
+        .select("vec_id")
+        .distinct()
+    )
+    return (
+        assigned.join(
+            dup_ids.withColumn("_dup", F.lit(True)), "vec_id", "left"
+        )
+        .select(
+            "vec_id",
+            "bucket",
+            F.coalesce(~F.col("_dup"), F.lit(True)).alias("keep"),
+        )
+    )
+
+
+@query("q_dedup_semantic")  # rows-only: the cluster partition is
+# Lloyd-trained (not SQL-expressible); gated by tests/test_traindata.py
+# (planted-duplicate detection + numpy reference equality of the flags)
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table: per-cluster size, kept count,
+    and drop rate. The fixture's embedding copies are rotation+sign+mask
+    transformed (deliberately NOT near-identical), so the fixture drop
+    rate is 0 — the detection path is exercised by the planted-duplicate
+    test. Reference scope: beyond the reference (LLM-pipeline extension
+    set)."""
+    emb = with_double_vec(load_table(spark, sf_dir, "embeddings"))
+    import os
+
+    flags = semdedup_flags(
+        emb, emb_path=os.path.join(sf_dir, "embeddings.parquet")
+    )
+    return (
+        flags.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_kept"),
+        )
+        .withColumn(
+            "drop_rate",
+            F.round(1.0 - F.col("n_kept") / F.col("n_vecs"), 4),
+        )
+        .orderBy("bucket")
+    )
+
+
+#: DSIR feature-hash buckets (hashed bigrams, Xie et al. 2023 "Data
+#: Selection for Language Models via Importance Resampling" — public
+#: paper; the hashed-ngram feature space that makes the importance
+#: estimator tractable at corpus scale).
+DSIR_BUCKETS = 1024
+
+
+@query(
+    "q_docs_dsir",
+    oracle=f"""
+    WITH ws AS (SELECT doc_id, lang,
+                       list_filter(string_split(text, ' '), x -> x <> '') AS w
+                FROM documents),
+         bg AS (SELECT doc_id, lang,
+                       unnest(list_transform(range(1, len(w)),
+                                             i -> w[i] || ' ' || w[i + 1])) AS bg
+                FROM ws),
+         b AS (SELECT doc_id, lang,
+                      CAST('0x' || substring(md5(bg), 1, 8) AS BIGINT)
+                        % {DSIR_BUCKETS} AS bk
+               FROM bg),
+         rc AS (SELECT bk, count(*) AS c_r FROM b GROUP BY bk),
+         tc AS (SELECT bk, count(*) AS c_t FROM b WHERE lang = 'en' GROUP BY bk),
+         tot AS (SELECT (SELECT count(*) FROM b) AS n_r,
+                        (SELECT count(*) FROM b WHERE lang = 'en') AS n_t),
+         lr AS (SELECT rc.bk,
+                       ln((coalesce(tc.c_t, 0) + 1.0) / (tot.n_t + {DSIR_BUCKETS}))
+                     - ln((rc.c_r + 1.0) / (tot.n_r + {DSIR_BUCKETS})) AS lr
+                FROM rc LEFT JOIN tc USING (bk), tot)
+    SELECT b.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(sum(lr.lr), 6) AS dsir_logw
+    FROM b JOIN lr ON b.bk = lr.bk
+    GROUP BY b.doc_id
+    """,
+)
+def q_docs_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (hashed-bigram likelihood ratio against the
+    in-corpus 'en' target slice): per document, Σ over bigram features of
+    ln p_target(bucket) − ln p_raw(bucket), add-1 smoothed — the
+    data-selection score used to importance-resample a raw corpus toward a
+    target distribution.
+
+    100 TB design: one corpus scan explodes bigrams to 8-byte md5 buckets
+    (a pure projection); both bucket-count tables are bounded by
+    DSIR_BUCKETS rows, so the log-ratio lookup BROADCASTS and the bigram
+    stream never shuffles for the score — only the final per-doc agg
+    exchanges. md5-derived buckets (not xxhash64) keep engine and oracle
+    on the identical feature map. Reference scope: beyond the reference
+    (LLM-pipeline extension set)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.expr("filter(split(text, ' '), x -> x <> '')")
+    n = F.size(ws)
+    bigrams = F.zip_with(
+        F.slice(ws, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(ws, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    bk = (
+        F.conv(F.substring(F.md5("bg"), 1, 8), 16, 10).cast("bigint")
+        % DSIR_BUCKETS
+    )
+    b = docs.select(
+        "doc_id", "lang", F.explode(bigrams).alias("bg")
+    ).select("doc_id", "lang", bk.alias("bk"))
+    rc = b.groupBy("bk").agg(F.count("*").alias("c_r"))
+    tc = (
+        b.filter(F.col("lang") == "en")
+        .groupBy("bk")
+        .agg(F.count("*").alias("c_t"))
+    )
+    tot = b.agg(
+        F.count("*").alias("n_r"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("n_t"),
+    )
+    lr = (
+        rc.join(tc, "bk", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bk",
+            (
+                F.log(
+                    (F.coalesce(F.col("c_t"), F.lit(0)) + 1.0)
+                    / (F.col("n_t") + DSIR_BUCKETS)
+                )
+                - F.log((F.col("c_r") + 1.0) / (F.col("n_r") + DSIR_BUCKETS))
+            ).alias("lr"),
+        )
+    )
+    return (
+        b.join(F.broadcast(lr), "bk")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.sum("lr"), 6).alias("dsir_logw"),
+        )
+    )
+
+
+#: IVF-PQ probe geometry (coarse stage matches q_sim_ann_ivf's index).
+IVFPQ_NPROBE = 2
+IVFPQ_SHORTLIST = 20
+IVFPQ_TOPK = 5
+
+
+@query("q_sim_ann_ivfpq")  # rows-only: IVF recall set + Lloyd-trained
+# codebooks are approximate/iterative by design; gated by
+# tests/test_traindata.py (recall vs the exact brute-force top-k)
+def q_sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN: coarse IVF bucketing (shared with q_sim_ann_ivf's cached
+    centroids) + asymmetric-distance (ADC) scan over PQ codes + exact
+    re-rank of a small shortlist — the standard billion-scale ANN recipe
+    (IVFADC), all in DataFrame ops.
+
+    100 TB design: the inverted lists store ONLY (bucket, c_id, m PQ codes)
+    — ~m bytes/vector instead of 4·dim — so the candidate scan streams
+    compressed codes; per-query subspace LUTs (k distances each) ride the
+    broadcast probe side and ADC is pure element_at arithmetic (JVM-side,
+    no Python per candidate). Raw vectors are touched ONLY for the
+    IVFPQ_SHORTLIST re-rank rows, fetched by a broadcast-able join back to
+    the vector store keyed by c_id. Training reuses the cached coarse
+    centroids (same key as q_sim_ann_ivf) and the cached PQ codebooks
+    (same keys as q_emb_pq), so probe cost is probe cost.
+    Reference scope: beyond the reference (LLM-pipeline extension set)."""
+    import os
+
+    from cdc_worker_spark.operators.similarity import _IVF_K
+
+    emb = with_double_vec(load_table(spark, sf_dir, "embeddings"))
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    coarse = kmeans_centroids_cached(
+        emb, cache_key=emb_path, k=_IVF_K, n_iters=2
+    )
+    if not coarse:
+        return spark.createDataFrame(
+            [], "q_id: long, c_id: long, cos_sim: double, rnk: int"
+        )
+    first = emb.select(F.size("dv").alias("d")).first()
+    dim = int(first.d)
+    sub_w = dim // PQ_M
+    pq_cents = []
+    for j in range(PQ_M):
+        sub = emb.select(
+            "vec_id", F.slice("dv", j * sub_w + 1, sub_w).alias("dv")
+        ).withColumn("nrm", dot_col(F.col("dv"), F.col("dv")))
+        pq_cents.append(
+            kmeans_centroids_cached(
+                sub, cache_key=f"{emb_path}#pq{PQ_M}x{PQ_K}s{j}", k=PQ_K, n_iters=2
+            )
+        )
+    # inverted lists: coarse bucket + PQ codes only (the compressed layout)
+    with_d = emb.withColumn("_cd", centroid_dists_udf(coarse)("dv"))
+    lists = with_d.withColumn(
+        "bucket",
+        (F.array_position(F.col("_cd"), F.array_min("_cd")) - 1).cast("int"),
+    )
+    for j in range(PQ_M):
+        dj = centroid_dists_udf(pq_cents[j])(
+            F.slice("dv", j * sub_w + 1, sub_w)
+        )
+        lists = lists.withColumn(
+            f"code_{j}",
+            (F.array_position(dj, F.array_min(dj)) - 1).cast("int"),
+        )
+    lists = lists.select(
+        "bucket", F.col("vec_id").alias("c_id"),
+        *[f"code_{j}" for j in range(PQ_M)],
+    )
+    # probes: nprobe nearest coarse buckets + per-subspace ADC LUTs
+    idx = F.sequence(F.lit(0), F.lit(_IVF_K - 1))
+    ranked = F.array_sort(
+        F.transform(
+            idx,
+            lambda i: F.struct(
+                F.element_at(F.col("_cd"), i + 1).alias("d"),
+                i.cast("int").alias("b"),
+            ),
+        )
+    )
+    probe_buckets = F.transform(
+        F.slice(ranked, 1, IVFPQ_NPROBE), lambda s: s.getField("b")
+    )
+    probes = with_d.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("dv").alias("q_dv"),
+        F.explode(probe_buckets).alias("bucket"),
+    )
+    for j in range(PQ_M):
+        probes = probes.withColumn(
+            f"lut{j}",
+            centroid_dists_udf(pq_cents[j])(
+                F.slice("q_dv", j * sub_w + 1, sub_w)
+            ),
+        )
+    adc = sum(
+        (
+            F.element_at(F.col(f"lut{j}"), F.col(f"code_{j}") + 1)
+            for j in range(PQ_M)
+        ),
+        start=F.lit(0.0),
+    )
+    w_adc = Window.partitionBy("q_id").orderBy("adc", "c_id")
+    shortlist = (
+        F.broadcast(probes.drop("q_dv"))
+        .join(lists, ["bucket"])
+        .filter(F.col("q_id") != F.col("c_id"))
+        .withColumn("adc", adc)
+        .withColumn("srnk", F.row_number().over(w_adc))
+        .filter(F.col("srnk") <= IVFPQ_SHORTLIST)
+        .select("q_id", "c_id")
+    )
+    # exact re-rank: fetch raw vectors ONLY for the shortlist rows
+    qv = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("dv").alias("q_dv"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    cv = emb.select(
+        F.col("vec_id").alias("c_id"), F.col("dv").alias("c_dv"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    cos = dot_col(F.col("q_dv"), F.col("c_dv")) / (
+        F.sqrt(F.col("q_nrm")) * F.sqrt(F.col("c_nrm"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "c_id")
+    return (
+        F.broadcast(shortlist)
+        .join(cv, ["c_id"])
+        .join(F.broadcast(qv), ["q_id"])
+        .withColumn("cos", cos)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= IVFPQ_TOPK)
+        .select("q_id", "c_id", F.round("cos", 6).alias("cos_sim"), "rnk")
+    )
+
+
 @query("q_text_bpe_vocab")  # rows-only: n_merges chained argmax+rewrite
 # rounds are iterative, not SQL-expressible; gated by
 # tests/test_traindata.py (exact merge-list equality vs a pure-Python BPE)
@@ -330,3 +656,63 @@ def q_text_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         "merge_rank: int, left: string, right: string, "
         "merged: string, pair_count: bigint",
     )
+
+
+@query("q_text_bpe_apply")  # rows-only: tokenization depends on the
+# iteratively learned merge list; gated by tests/test_traindata.py
+# (exact per-source stats equality vs the pure-Python tokenizer)
+def q_text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned BPE merges to the corpus and report per-source
+    tokenization stats: whitespace tokens, BPE tokens, and chars/BPE-token
+    (the compression ratio a tokenizer change shifts — the metric that
+    prices a vocab against a training budget).
+
+    100 TB design: the merge folds run over the DISTINCT vocabulary only
+    (word -> n_bpe_tokens, an O(vocab) table), broadcast-joined back to the
+    per-(source, word) count aggregate — the corpus is scanned once for
+    counts and never re-tokenized per occurrence. Reference scope: beyond
+    the reference (LLM-pipeline extension set)."""
+    docs = load_table(spark, sf_dir, "documents")
+    src_words = (
+        docs.select(
+            "source", F.explode(F.split("text", " ")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("source", "word")
+        .agg(F.count("*").alias("cnt"))
+        .persist()
+    )
+    try:
+        global_words = src_words.groupBy("word").agg(
+            F.sum("cnt").alias("cnt")
+        )
+        merges = bpe_merges(global_words)
+        vocab = global_words.select(
+            "word",
+            F.expr("filter(split(word, ''), x -> x <> '')").alias("syms"),
+        )
+        for i, (_, left, right, merged, _cnt) in enumerate(merges, 1):
+            vocab = vocab.withColumn(
+                "syms",
+                F.expr(_MERGE_FOLD.format(l=left, r=right, lr=merged)),
+            )
+            if i % 4 == 0:  # flatten the fold nesting before codegen blows up
+                vocab = vocab.localCheckpoint(eager=False)
+        tokenized = vocab.select(
+            "word", F.size("syms").alias("n_bpe")
+        )
+        return (
+            src_words.join(F.broadcast(tokenized), "word")
+            .groupBy("source")
+            .agg(
+                F.sum("cnt").alias("ws_tokens"),
+                F.sum(F.col("cnt") * F.col("n_bpe")).alias("bpe_tokens"),
+                F.sum(F.col("cnt") * F.length("word")).alias("chars"),
+            )
+            .withColumn(
+                "chars_per_bpe_token",
+                F.round(F.col("chars") / F.col("bpe_tokens"), 4),
+            )
+        )
+    finally:
+        src_words.unpersist()

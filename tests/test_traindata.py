@@ -217,6 +217,138 @@ def test_bpe_handles_single_char_words(spark):
     assert bpe_merges(words, n_merges=3) == []
 
 
+def test_bpe_apply_matches_python_tokenizer(spark):
+    """Per-source ws/BPE/char counts equal a pure-Python apply of the same
+    learned merges (exact integers — no tolerance)."""
+    from cdc_worker_spark.operators.traindata import q_text_bpe_apply
+
+    docs = load_table(spark, SF, "documents")
+    counts: dict[str, int] = {}
+    per_src: dict[str, dict[str, int]] = {}
+    for r in docs.select("source", "text").collect():
+        for w in r.text.split(" "):
+            if w:
+                counts[w] = counts.get(w, 0) + 1
+                d = per_src.setdefault(r.source, {})
+                d[w] = d.get(w, 0) + 1
+    merges = _python_bpe(counts, BPE_MERGES)
+    tok_len: dict[str, int] = {}
+    for w in counts:
+        syms = list(w)
+        for _, left, right, merged, _c in merges:
+            out: list[str] = []
+            for x in syms:
+                if out and out[-1] == left and x == right:
+                    out[-1] = merged
+                else:
+                    out.append(x)
+            syms = out
+        tok_len[w] = len(syms)
+    got = {r.source: r for r in q_text_bpe_apply(spark, SF).collect()}
+    assert set(got) == set(per_src)
+    for src, wc in per_src.items():
+        assert got[src].ws_tokens == sum(wc.values())
+        assert got[src].bpe_tokens == sum(
+            c * tok_len[w] for w, c in wc.items()
+        )
+        assert got[src].chars == sum(c * len(w) for w, c in wc.items())
+        # BPE merges only ever shrink the symbol count
+        assert got[src].bpe_tokens <= got[src].chars
+
+
+def test_semdedup_drops_planted_duplicates(spark, tmp_path):
+    """Plant exact + epsilon-perturbed copies of base vectors: SemDeDup
+    must drop every copy (cos ≈ 1 to a smaller-id neighbor in the same
+    cluster) and keep the originals."""
+    import numpy as np
+
+    from cdc_worker_spark.operators.traindata import semdedup_flags
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(40, 16).astype("float64")
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+    for i, v in enumerate(base[:10]):  # copies of the first 10, ids 100+
+        noisy = v + 1e-6 * rng.randn(16)
+        rows.append((100 + i, [float(x) for x in noisy]))
+    path = str(tmp_path / "emb")
+    spark.createDataFrame(
+        rows, "vec_id: long, embedding: array<double>"
+    ).write.parquet(path)
+    from cdc_worker_spark.operators.dedup import dot_col
+
+    emb = (
+        spark.read.parquet(path)
+        .withColumn("dv", F.col("embedding"))
+        .withColumn("nrm", dot_col(F.col("dv"), F.col("dv")))
+    )
+    flags = {r.vec_id: r.keep for r in semdedup_flags(emb, path, k=4).collect()}
+    for i in range(100, 110):
+        assert flags[i] is False, f"copy {i} not dropped"
+    for i in range(40):
+        assert flags[i] is True, f"original {i} wrongly dropped"
+
+
+def test_semdedup_fixture_runs_clean(spark):
+    from cdc_worker_spark.operators.traindata import q_dedup_semantic
+
+    rows = q_dedup_semantic(spark, SF).collect()
+    total = load_table(spark, SF, "embeddings").count()
+    assert sum(r.n_vecs for r in rows) == total  # every vector flagged once
+    for r in rows:
+        assert 0 <= r.n_kept <= r.n_vecs
+
+
+def test_dsir_separates_target_language(spark):
+    """The importance weight must rank the target slice above the rest on
+    average: 'en' docs share the target's hashed-bigram distribution, so
+    their mean log-ratio exceeds the non-en mean (the whole point of the
+    estimator)."""
+    from cdc_worker_spark.operators.traindata import q_docs_dsir
+
+    docs = {
+        r.doc_id: r.lang
+        for r in load_table(spark, SF, "documents")
+        .select("doc_id", "lang")
+        .collect()
+    }
+    rows = q_docs_dsir(spark, SF).collect()
+    en = [r.dsir_logw for r in rows if docs[r.doc_id] == "en"]
+    rest = [r.dsir_logw for r in rows if docs[r.doc_id] != "en"]
+    assert en and rest
+    assert sum(en) / len(en) > sum(rest) / len(rest)
+
+
+def test_ivfpq_recall_against_exact(spark):
+    """IVF-PQ (ADC + exact re-rank) recall@5 vs brute-force cosine — the
+    same gate shape as q_sim_ann_ivf. The coarse stage shares the IVF
+    centroids, so missing neighbors come only from bucket pruning or
+    PQ shortlist truncation."""
+    from cdc_worker_spark.operators.similarity import q_sim_cosine_topk
+    from cdc_worker_spark.operators.traindata import q_sim_ann_ivfpq
+
+    exact = {
+        (r.q_id, r.c_id)
+        for r in q_sim_cosine_topk(spark, SF).collect()
+    }
+    approx = {
+        (r.q_id, r.c_id) for r in q_sim_ann_ivfpq(spark, SF).collect()
+    }
+    assert approx  # probes returned neighbors
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"recall {recall:.2f}"
+    # every returned cosine must be exact (re-ranked), so any overlapping
+    # (q, c) pair carries the same rounded similarity as the brute force
+    exact_cos = {
+        (r.q_id, r.c_id): r.cos_sim
+        for r in q_sim_cosine_topk(spark, SF).collect()
+    }
+    for r in q_sim_ann_ivfpq(spark, SF).collect():
+        if (r.q_id, r.c_id) in exact_cos:
+            assert r.cos_sim == exact_cos[(r.q_id, r.c_id)]
+
+
 def test_bpe_overlapping_merge_is_greedy_left_to_right(spark):
     # "aaaa" x1 with merge (a,a): greedy gives (aa)(aa), so round 2's top
     # pair is (aa, aa) — the classic overlap case.
