@@ -257,6 +257,13 @@ aggregate(syms, CAST(array() AS array<string>),
 """
 
 
+def _merge_fold_expr(left: str, right: str, merged: str) -> str:
+    """SQL fold for one merge, with string literals SQL-escaped (corpora
+    with quotes in tokens must not break the generated expression)."""
+    q = lambda s: s.replace("'", "''")  # noqa: E731
+    return _MERGE_FOLD.format(l=q(left), r=q(right), lr=q(merged))
+
+
 def bpe_merges(
     words: DataFrame, n_merges: int = BPE_MERGES
 ) -> list[tuple[int, str, str, str, int]]:
@@ -304,7 +311,7 @@ def bpe_merges(
         merges.append((rank, row.l, row.r, merged, int(row.pc)))
         cur = cur.withColumn(
             "syms",
-            F.expr(_MERGE_FOLD.format(l=row.l, r=row.r, lr=merged)),
+            F.expr(_merge_fold_expr(row.l, row.r, merged)),
         ).localCheckpoint(eager=True)
     return merges
 
@@ -694,7 +701,7 @@ def q_text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i, (_, left, right, merged, _cnt) in enumerate(merges, 1):
             vocab = vocab.withColumn(
                 "syms",
-                F.expr(_MERGE_FOLD.format(l=left, r=right, lr=merged)),
+                F.expr(_merge_fold_expr(left, right, merged)),
             )
             if i % 4 == 0:  # flatten the fold nesting before codegen blows up
                 vocab = vocab.localCheckpoint(eager=False)

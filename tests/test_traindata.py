@@ -210,6 +210,17 @@ def test_bpe_matches_python_reference(spark):
     assert got == expected
 
 
+def test_bpe_handles_quoted_symbols(spark):
+    # tokens containing SQL string-literal quotes must not break the
+    # generated merge fold
+    words = spark.createDataFrame(
+        [("don't", 4), ("can't", 3)], "word: string, cnt: bigint"
+    )
+    merges = bpe_merges(words, n_merges=3)
+    expected = _python_bpe({"don't": 4, "can't": 3}, 3)
+    assert merges == expected
+
+
 def test_bpe_handles_single_char_words(spark):
     words = spark.createDataFrame(
         [("a", 5), ("b", 3)], "word: string, cnt: bigint"
