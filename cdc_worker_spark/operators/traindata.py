@@ -193,7 +193,14 @@ def pq_codes(
     construction. Production stores codes + codebook and reconstructs at
     probe time (IVF-PQ); here the error column is the quality signal."""
     first = emb.select(F.size("dv").alias("d")).first()
-    dim = int(first.d) if first is not None else 0
+    if first is None:  # empty input: empty result, same schema as the
+        # non-empty path (m code columns + sq_err), no training to run
+        return emb.select(
+            "*",
+            *[F.lit(None).cast("int").alias(f"code_{j}") for j in range(m)],
+            F.lit(None).cast("double").alias("sq_err"),
+        )
+    dim = int(first.d)
     if dim == 0 or dim % m != 0:
         raise ValueError(f"PQ needs dim % m == 0, got dim={dim}, m={m}")
     sub_w = dim // m  # fixture: 64/4 = 16
