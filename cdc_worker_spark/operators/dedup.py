@@ -457,8 +457,17 @@ def adaptive_lsh_params(n_vectors: int) -> tuple[int, int]:
     3.5% @ 11/40, 7% @ 14/64; at cos 0.9 all configs are <1%). Below
     ~64k vectors this returns the (16, 8) floor — small-fixture behavior
     (and every existing recall test) is unchanged. Deterministic in n, so
-    plans and artifacts stay stable run-to-run."""
-    n_bits = max(_EMB_LSH_BITS, min(16, math.ceil(math.log2(max(n_vectors, 2))) - 4))
+    plans and artifacts stay stable run-to-run.
+
+    Bits cap at 20 (occupancy stays ~16 up to ~16M vectors). Past that the
+    per-table collision constant stops shrinking, and the simhash pre-gate
+    in :func:`embedding_dedup_pairs` is what bounds the verify set; at
+    billion-vector scale pairwise LSH at threshold 0.8 is inherently
+    ~n^1.33 (rho = ln(1/p1)/ln(1/p2) for random-hyperplane LSH) and the
+    cluster-then-compare path (q_dedup_semantic) is the recommended
+    recipe — its candidate volume is bounded by cluster sizes, not
+    collision statistics."""
+    n_bits = max(_EMB_LSH_BITS, min(20, math.ceil(math.log2(max(n_vectors, 2))) - 4))
     n_tables = _EMB_LSH_TABLES + 8 * (n_bits - _EMB_LSH_BITS)
     return n_tables, n_bits
 
@@ -474,10 +483,15 @@ def embedding_dedup_pairs(
     """Near-dup pairs (vec_a, vec_b, cos > threshold) via LSH candidates +
     exact-cosine verification.
 
-    Scale shape: only (vec_id, label, tbl, sig) flows through the band
-    shuffle — vectors are joined back AFTER the candidate set is distinct, so
-    the wide embedding column is shuffled O(|candidates|) times, never
-    O(n x tables). ``emb`` must carry dv/nrm (:func:`with_double_vec`).
+    Scale shape: only (vec_id, label, sh, tbl, sig) flows through the band
+    shuffle (sh = the 64-bit prefilter simhash) — vectors are joined back
+    AFTER the candidate set is Hamming-gated and distinct, so the wide
+    embedding column is shuffled O(|gated candidates|) times, never
+    O(n x tables) and never O(|raw collisions|) (the sf100 disk-fill:
+    2M vectors x 80 tables produced ~1e9 raw collisions; sorting them for
+    distinct + joining vectors spilled past the disk. The 8-byte Hamming
+    gate kills ~98.5% of random collisions in-stream first).
+    ``emb`` must carry dv/nrm (:func:`with_double_vec`).
 
     ``n_tables``/``n_bits`` default to :func:`adaptive_lsh_params` of the
     corpus size (one cheap count over the id column). ``bucket_cap`` is the
@@ -488,34 +502,62 @@ def embedding_dedup_pairs(
     near-identical) would otherwise regenerate the n^2 pair set inside one
     bucket; such clusters are cluster-assignment work (q_dedup_cluster_*),
     not pair-emission work."""
-    from cdc_worker_spark.operators.lsh import with_lsh_buckets
+    from cdc_worker_spark.operators.lsh import (
+        prefilter_simhash_udf,
+        with_lsh_buckets,
+    )
 
     if n_tables is None or n_bits is None:
         a_tables, a_bits = adaptive_lsh_params(emb.select("vec_id").count())
         n_tables = a_tables if n_tables is None else n_tables
         n_bits = a_bits if n_bits is None else n_bits
+    # 64-bit sign-projection simhash rides the band shuffle as ONE BIGINT:
+    # a candidate pair at cos >= threshold has expected Hamming distance
+    # 64*acos(threshold)/pi, a random bucket collision E[H]=32 — gating at
+    # mean + 3.5*sigma kills ~98.5% of junk collisions IN-STREAM, before
+    # the distinct sort and the wide-vector verify join ever see them.
+    # (This is what makes the 100x decade survivable: at sf100 the
+    # pre-distinct candidate stream is ~1e9 rows; sorting it for distinct
+    # and joining 64-dim vectors to it filled the disk. After the gate the
+    # distinct sees ~1e7.) Miss cost for a TRUE pair at the threshold is
+    # the 3.5-sigma binomial tail, ~2e-4 — far below the banding miss
+    # probability the rows-only contract already accepts.
+    theta_frac = math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    h_sigma = math.sqrt(64.0 * theta_frac * (1.0 - theta_frac))
+    h_max = int(math.ceil(64.0 * theta_frac + 3.5 * h_sigma))
+    emb_sh = emb.withColumn("sh", prefilter_simhash_udf()(F.col("dv")))
     keyed = with_lsh_buckets(
-        emb.select("vec_id", "label", "dv", "nrm"), n_tables, n_bits
-    ).select("vec_id", "label", "tbl", "sig")
+        emb_sh.select("vec_id", "label", "sh", "dv", "nrm"), n_tables, n_bits
+    ).select("vec_id", "label", "sh", "tbl", "sig")
     if bucket_cap is not None:
-        bw = Window.partitionBy("tbl", "sig")
-        keyed = (
-            keyed.withColumn("_bn", F.count("*").over(bw))
-            .filter(F.col("_bn") <= bucket_cap)
-            .drop("_bn")
+        # skew valve as a broadcast ANTI join: overfull buckets are at most
+        # n*tables/cap keys (tiny), and the partial-agg count shuffles only
+        # per-bucket partials — unlike the old window count, which SORTED
+        # the full n*tables keyed table just to read its own group size.
+        over = (
+            keyed.groupBy("tbl", "sig")
+            .count()
+            .filter(F.col("count") > bucket_cap)
+            .select("tbl", "sig")
         )
+        keyed = keyed.join(F.broadcast(over), ["tbl", "sig"], "left_anti")
     x = keyed.select(
-        "tbl", "sig", F.col("vec_id").alias("vec_a"), F.col("label").alias("label_a")
+        "tbl", "sig", F.col("vec_id").alias("vec_a"),
+        F.col("label").alias("label_a"), F.col("sh").alias("sh_a"),
     )
     y = keyed.select(
-        "tbl", "sig", F.col("vec_id").alias("vec_b"), F.col("label").alias("label_b")
+        "tbl", "sig", F.col("vec_id").alias("vec_b"),
+        F.col("label").alias("label_b"), F.col("sh").alias("sh_b"),
     )
     pair_filter = F.col("vec_a") < F.col("vec_b")
     if same_label:
         pair_filter = pair_filter & (F.col("label_a") == F.col("label_b"))
+    hamming_gate = (
+        F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))) <= F.lit(h_max)
+    )
     cand = (
         x.join(y, ["tbl", "sig"])
-        .filter(pair_filter)
+        .filter(pair_filter & hamming_gate)
         .select("vec_a", "vec_b")
         .distinct()
     )

@@ -17,16 +17,59 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def pseudo_hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
-    """Deterministic pseudo-random hyperplanes (md5-derived, engine-free)."""
+def pseudo_hyperplanes(
+    n_planes: int, dim: int, tag: str = "lsh"
+) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (md5-derived, engine-free).
+    ``tag`` namespaces independent plane families (bucket signatures vs the
+    prefilter simhash must not share hyperplanes, or the prefilter stops
+    being an independent test)."""
     planes = []
     for p in range(n_planes):
         row = []
         for d in range(dim):
-            h = hashlib.md5(f"lsh:{p}:{d}".encode()).hexdigest()
+            h = hashlib.md5(f"{tag}:{p}:{d}".encode()).hexdigest()
             row.append((int(h[:8], 16) / 0x7FFFFFFF) - 1.0)  # ~U(-1, 1)
         planes.append(row)
     return planes
+
+
+def prefilter_simhash_udf(dim: int = 64):
+    """Arrow-vectorized 64-bit sign-projection simhash (one BIGINT per
+    vector, planes namespaced ``lshpre``). Purpose: an 8-byte pair pre-gate
+    — for a candidate pair at angle θ the expected Hamming distance is
+    64·θ/π, so ``bit_count(sh_a ^ sh_b)`` separates near-dups (θ small)
+    from random bucket collisions (E[H]=32) BEFORE any distinct/verify
+    shuffle touches the wide vectors. NULL/wrong-length vectors get NULL
+    (they produce no bucket rows anyway)."""
+    import numpy as np
+    import pandas as pd
+
+    P = np.asarray(
+        pseudo_hyperplanes(64, dim, tag="lshpre"), dtype=np.float64
+    )
+    weights = (np.uint64(1) << np.arange(64, dtype=np.uint64)).astype(
+        np.uint64
+    )
+
+    @F.pandas_udf("long")
+    def sh(dv: pd.Series) -> pd.Series:
+        out = pd.Series([None] * len(dv), dtype=object, index=dv.index)
+        if not len(dv):
+            return out
+        ok = dv.map(lambda v: v is not None and len(v) == dim).to_numpy()
+        if not ok.any():
+            return out
+        V = np.stack(dv[ok].to_numpy())  # (n_ok, dim)
+        bits = ((V @ P.T) > 0).astype(np.uint64)  # (n_ok, 64)
+        packed = (bits * weights).sum(axis=1).astype(np.uint64)
+        vals = np.empty(len(dv), dtype=object)
+        vals[np.flatnonzero(ok)] = [
+            int(x) for x in packed.view(np.int64)
+        ]  # wrap bit 63 into the sign — XOR/bit_count are sign-agnostic
+        return pd.Series(vals, index=dv.index)
+
+    return sh
 
 
 def _sig_udf(planes: list[list[float]], n_tables: int, n_bits: int):
