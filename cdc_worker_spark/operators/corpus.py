@@ -350,3 +350,149 @@ def q_docs_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return distributed_prefix_sum(
         keyed, [], ["shuffle_key", "doc_id"], "_one", "seq"
     ).select("doc_id", "lang", "shuffle_key", "seq")
+
+
+@query(
+    "q_docs_filter_funnel",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, t.w AS w
+      FROM documents, unnest(string_split(text, ' ')) AS t(w)
+    ),
+    per_word AS (
+      SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             sum(c) AS nw,
+             max(c) AS maxc,
+             sum(length(w) * c) * 1.0 / sum(c) AS mwl
+      FROM per_word GROUP BY doc_id
+    ),
+    surv AS (
+      SELECT d.doc_id,
+             (p.nw >= 25) AS p1,
+             (p.mwl >= 4.3) AS p2,
+             (p.maxc * 1.0 / p.nw <= 0.12) AS p3,
+             (d.doc_id = min(d.doc_id) OVER (
+               PARTITION BY md5(lower(trim(regexp_replace(d.text, '\\s+', ' ', 'g'))))
+             )) AS p4
+      FROM documents d JOIN per_doc p USING (doc_id)
+    ),
+    agg AS (
+      SELECT count(*) AS s0,
+             sum(CASE WHEN p1 THEN 1 ELSE 0 END) AS s1,
+             sum(CASE WHEN p1 AND p2 THEN 1 ELSE 0 END) AS s2,
+             sum(CASE WHEN p1 AND p2 AND p3 THEN 1 ELSE 0 END) AS s3,
+             sum(CASE WHEN p1 AND p2 AND p3 AND p4 THEN 1 ELSE 0 END) AS s4
+      FROM surv
+    )
+    SELECT * FROM (
+      SELECT CAST(0 AS INT) AS stage_idx, 'total' AS stage,
+             CAST(s0 AS BIGINT) AS n_surviving,
+             CAST(100.0 AS DOUBLE) AS survival_pct,
+             CAST(0 AS BIGINT) AS dropped_from_prev FROM agg
+      UNION ALL SELECT 1, 'min_word_count', CAST(s1 AS BIGINT),
+             round(s1 * 100.0 / s0, 4), CAST(s0 - s1 AS BIGINT) FROM agg
+      UNION ALL SELECT 2, 'mean_word_length', CAST(s2 AS BIGINT),
+             round(s2 * 100.0 / s0, 4), CAST(s1 - s2 AS BIGINT) FROM agg
+      UNION ALL SELECT 3, 'top_word_ratio', CAST(s3 AS BIGINT),
+             round(s3 * 100.0 / s0, 4), CAST(s2 - s3 AS BIGINT) FROM agg
+      UNION ALL SELECT 4, 'exact_dedup', CAST(s4 AS BIGINT),
+             round(s4 * 100.0 / s0, 4), CAST(s3 - s4 AS BIGINT) FROM agg
+    ) ORDER BY stage_idx
+    """,
+)
+def q_docs_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged curation-attrition report — the table every pipeline run
+    prints before anyone trusts its output corpus: per filter stage
+    (length floor, mean-word-length band, top-word-repetition cap, exact
+    dedup), how many documents survive CUMULATIVELY, the survival
+    percentage, and the marginal drop attributable to that stage.
+
+    All stage predicates are integer-arithmetic on word counts (ratios are
+    single IEEE divisions of exact integers), so engine and oracle agree
+    bit-for-bit with no rounding slack needed on the flags themselves.
+
+    100 TB design: ONE corpus scan feeds the (doc, word) histogram (the
+    only corpus-scale shuffle, hash-keyed on doc_id), the dup-survivor
+    flag shuffles 72-byte digests (same shape as q_dedup_exact), and every
+    stage count comes out of ONE conditional aggregation — adding a stage
+    is a new CASE column, not a new pass. The output frame is O(stages).
+    Reference scope: beyond the reference (LLM-pipeline extension set,
+    SURVEY §2.3)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    per_word = tok.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    per_doc = per_word.groupBy("doc_id").agg(
+        F.sum("c").alias("nw"),
+        F.max("c").alias("maxc"),
+        (
+            F.sum(F.length("w") * F.col("c")).cast("double") / F.sum("c")
+        ).alias("mwl"),
+    )
+    digest = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+    from pyspark.sql import Window
+
+    dup_w = Window.partitionBy("dig")
+    flags = (
+        docs.select("doc_id", digest.alias("dig"))
+        .withColumn("keep_id", F.min("doc_id").over(dup_w))
+        .join(per_doc, "doc_id")
+        .select(
+            (F.col("nw") >= 25).alias("p1"),
+            (F.col("mwl") >= 4.3).alias("p2"),
+            (F.col("maxc").cast("double") / F.col("nw") <= 0.12).alias("p3"),
+            (F.col("doc_id") == F.col("keep_id")).alias("p4"),
+        )
+    )
+    one = F.lit(1).cast("long")
+    agg = flags.agg(
+        F.count("*").alias("s0"),
+        F.sum(F.when(F.col("p1"), one).otherwise(F.lit(0))).alias("s1"),
+        F.sum(
+            F.when(F.col("p1") & F.col("p2"), one).otherwise(F.lit(0))
+        ).alias("s2"),
+        F.sum(
+            F.when(F.col("p1") & F.col("p2") & F.col("p3"), one).otherwise(
+                F.lit(0)
+            )
+        ).alias("s3"),
+        F.sum(
+            F.when(
+                F.col("p1") & F.col("p2") & F.col("p3") & F.col("p4"), one
+            ).otherwise(F.lit(0))
+        ).alias("s4"),
+    )
+    stages = [
+        (0, "total", "s0", None),
+        (1, "min_word_count", "s1", "s0"),
+        (2, "mean_word_length", "s2", "s1"),
+        (3, "top_word_ratio", "s3", "s2"),
+        (4, "exact_dedup", "s4", "s3"),
+    ]
+    rows = [
+        F.struct(
+            F.lit(i).cast("int").alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.col(cur).cast("bigint").alias("n_surviving"),
+            (
+                F.lit(100.0).cast("double")
+                if prev is None
+                else F.round(
+                    F.col(cur) * F.lit(100.0) / F.col("s0"), 4
+                ).cast("double")
+            ).alias("survival_pct"),
+            (
+                F.lit(0).cast("bigint")
+                if prev is None
+                else (F.col(prev) - F.col(cur)).cast("bigint")
+            ).alias("dropped_from_prev"),
+        )
+        for i, name, cur, prev in stages
+    ]
+    return (
+        agg.select(F.explode(F.array(*rows)).alias("r"))
+        .select("r.*")
+        .orderBy("stage_idx")
+    )

@@ -478,3 +478,90 @@ def q_emb_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dist")
         )
     )
+
+
+@query(
+    "q_emb_outlier_report",
+    oracle="""
+    WITH comp AS (
+      SELECT label, i, avg(CAST(embedding[i + 1] AS DOUBLE)) AS c
+      FROM embeddings, LATERAL unnest(range(0, 64)) AS t(i)
+      GROUP BY label, i
+    ),
+    dist AS (
+      SELECT e.vec_id, e.label,
+             sqrt(sum(pow(CAST(e.embedding[t.i + 1] AS DOUBLE) - comp.c, 2)))
+               AS d
+      FROM embeddings e, LATERAL unnest(range(0, 64)) AS t(i)
+      JOIN comp ON comp.label = e.label AND comp.i = t.i
+      GROUP BY e.vec_id, e.label
+    ),
+    stats AS (
+      SELECT label, avg(d) AS mu, stddev_samp(d) AS sd FROM dist GROUP BY label
+    )
+    SELECT d.label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           round(avg(d.d), 6) AS mean_dist,
+           round(max(d.d), 6) AS max_dist,
+           CAST(sum(CASE WHEN round(d.d, 6) > round(s.mu + 2 * s.sd, 6)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dist d JOIN stats s USING (label)
+    GROUP BY d.label
+    ORDER BY d.label
+    """,
+)
+def q_emb_outlier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier report: per label, the count of vectors
+    whose Euclidean distance to the label centroid exceeds mean + 2 sigma
+    of that label's distance distribution — the screen that catches
+    corrupted rows, wrong-space vectors, and mislabeled clusters before
+    they poison ANN indexes or dedup thresholds.
+
+    Cross-engine determinism: all distances come from per-dimension sums
+    whose engine-order differences live in the last ulp; every emitted
+    value AND the outlier comparison operate on round(.,6) so both engines
+    cut at the identical threshold (same contract as
+    q_emb_centroid_separation).
+
+    100 TB design: centroids are mergeable per-dimension avgs over the
+    posexploded stream (shuffle carries O(labels x dims) partials); the
+    per-vector distance re-scan joins the O(labels x dims) centroid table
+    BROADCAST, so the corpus-scale stream never shuffles for the distance;
+    the stats and outlier passes run on the O(n) scalar distance frame —
+    one hash-agg each, no window over data-scale partitions. Reference
+    scope: beyond the reference (LLM-pipeline extension set, SURVEY
+    §2.3)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = (
+        emb.select("label", F.posexplode("embedding").alias("i", "x"))
+        .groupBy("label", "i")
+        .agg(F.avg(F.col("x").cast("double")).alias("c"))
+    )
+    dist = (
+        emb.select("vec_id", "label", F.posexplode("embedding").alias("i", "x"))
+        .join(F.broadcast(comp), ["label", "i"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sqrt(F.sum(F.pow(F.col("x").cast("double") - F.col("c"), 2))).alias("d")
+        )
+    )
+    stats = dist.groupBy("label").agg(
+        F.avg("d").alias("mu"), F.stddev_samp("d").alias("sd")
+    )
+    return (
+        dist.join(F.broadcast(stats), "label")
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vecs"),
+            F.round(F.avg("d"), 6).alias("mean_dist"),
+            F.round(F.max("d"), 6).alias("max_dist"),
+            F.sum(
+                F.when(
+                    F.round(F.col("d"), 6)
+                    > F.round(F.col("mu") + 2 * F.col("sd"), 6),
+                    F.lit(1).cast("bigint"),
+                ).otherwise(F.lit(0).cast("bigint"))
+            ).cast("bigint").alias("n_outliers"),
+        )
+        .orderBy("label")
+    )

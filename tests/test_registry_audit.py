@@ -19,9 +19,9 @@ def test_registry_size_matches_docs():
     these numbers; update both together."""
     qs = all_queries()
     oracles = all_oracles()
-    assert len(qs) == 200, f"registry has {len(qs)} queries, docs say 200"
-    assert len(oracles) == 183, (
-        f"{len(oracles)} oracle-checked queries, docs say 183 "
+    assert len(qs) == 202, f"registry has {len(qs)} queries, docs say 202"
+    assert len(oracles) == 185, (
+        f"{len(oracles)} oracle-checked queries, docs say 185 "
         f"({len(qs) - len(oracles)} rows-only by design)"
     )
 
