@@ -1767,3 +1767,321 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("promo_revenue")
         )
     )
+
+
+@query(
+    "q_tpch_q4",
+    oracle="""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-04-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order priority checking), adapted to the fixture schema:
+    the fixture has no commit/receipt dates, so "late" is a lineitem
+    shipped more than 30 days after its order date — the same
+    EXISTS-correlated-comparison shape as the spec's
+    l_commitdate < l_receiptdate. One quarter of orders, per-priority
+    count of orders with at least one late line.
+
+    Scale shape: the quarter predicate prunes the orders scan BEFORE the
+    semi-join; the EXISTS compiles to a LEFT SEMI hash join on l_orderkey
+    with the ship-lag comparison as a join residual, so each order is
+    emitted at most once no matter how many late lines it has and the
+    lineitem side carries only (l_orderkey, l_shipdate). At 100 TB both
+    sides shuffle on the order key once — no window, no distinct."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    late = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    )
+    return (
+        o.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("bigint").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q_tpch_q12",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY
+      AND l_shipdate >= TIMESTAMP '1998-01-01'
+      AND l_shipdate <  TIMESTAMP '1999-01-01'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping modes and order priority), adapted to the
+    fixture schema: l_returnflag stands in for l_shipmode (the fixture's
+    only per-line categorical) and the commit/receipt lateness test
+    becomes the same ship-lag-over-30-days predicate as q_tpch_q4; the
+    high/low priority split is the spec's. One year of late lines,
+    per-flag counts of high- vs low-priority orders.
+
+    Scale shape: the ship-year predicate pushes into the lineitem scan
+    (min/max-prunable); orders projects 3 columns before the join; the
+    lateness predicate is a join residual so no post-join filter pass;
+    both CASE counts ride ONE partial+final aggregation over a 3-group
+    key space — the shuffle after the join carries 3 x 2 longs per
+    map task."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp_ntz"))
+    ).select("l_orderkey", "l_shipdate", "l_returnflag")
+    cond = (F.col("o_orderkey") == F.col("l_orderkey")) & (
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    one = F.lit(1).cast("bigint")
+    zero = F.lit(0).cast("bigint")
+    return (
+        li.join(o, cond)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, one).otherwise(zero))
+            .cast("bigint")
+            .alias("high_line_count"),
+            F.sum(F.when(high, zero).otherwise(one))
+            .cast("bigint")
+            .alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q_tpch_q19",
+    oracle="""
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 1 AND l_quantity <= 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+           AND l_quantity >= 10 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#5' AND p_size BETWEEN 1 AND 35
+           AND l_quantity >= 20 AND l_quantity <= 30)
+    """,
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue): the disjunctive-predicate join —
+    three (brand, size band, quantity band) OR-arms that each constrain
+    BOTH sides of the part-lineitem join. Fixture adaptation: the spec's
+    container/shipmode arms become size bands (the fixture's part
+    attributes), quantity bands are the spec's.
+
+    Scale shape: the brand disjunction (p_brand IN the 3 arms) and the
+    overall quantity envelope [1, 30] are single-side implications of the
+    OR, so Catalyst pushes them beneath the join into both scans — the
+    join sees only candidate rows, then applies the full cross-side OR as
+    a residual. Part is dim-sized and BROADCASTS: zero shuffles of the
+    fact table for a predicate that names both sides. Exact DECIMAL
+    revenue keeps the single output row engine-identical."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    arm = lambda brand, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, smax)
+        & (F.col("l_quantity") >= qlo)
+        & (F.col("l_quantity") <= qhi)
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(18,2)")
+    return (
+        joined.filter(
+            arm("Brand#12", 15, 1, 11)
+            | arm("Brand#23", 25, 10, 20)
+            | arm("Brand#5", 35, 20, 30)
+        ).agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "q_tpch_q21",
+    oracle="""
+    WITH f_lines AS (
+      SELECT l_orderkey, l_suppkey,
+             (l_shipdate > o_orderdate + INTERVAL 60 DAY) AS late
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderstatus = 'F'
+    )
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier
+    JOIN f_lines l1 ON s_suppkey = l1.l_suppkey
+    WHERE l1.late
+      AND EXISTS (SELECT 1 FROM f_lines l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM f_lines l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.late)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+)
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting): for finished
+    orders, count each supplier's late lines on orders where OTHER
+    suppliers participated but only THIS supplier was late — the spec's
+    double correlated EXISTS / NOT EXISTS. Fixture adaptation: "late" is
+    shipping more than 60 days after the order date (no receipt/commit
+    dates), and the spec's single-nation filter is dropped (the fixture's
+    uniform 25-nation spread makes per-nation slices degenerate at small
+    sf; the join shape is unchanged).
+
+    Scale shape: instead of two correlated re-scans of lineitem (the
+    EXISTS and NOT EXISTS each join the fact table again), the order-level
+    facts both subqueries probe — distinct supplier count and distinct
+    LATE supplier count — come from ONE per-order aggregation of the
+    same status-filtered join the main branch uses: l1.late AND
+    n_supp > 1 AND n_late_supp == 1 is exactly EXISTS(other supplier) AND
+    NOT EXISTS(other late supplier). One extra shuffle on l_orderkey
+    replaces two lineitem-scale joins; the per-order fact frame
+    (two smallints per finished order) then joins back on the order key.
+    Supplier is dim-sized and BROADCASTS onto the counting side."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    f_lines = li.join(
+        o, F.col("l_orderkey") == F.col("o_orderkey")
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        ).alias("late"),
+    )
+    per_order = f_lines.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(
+            F.when(F.col("late"), F.col("l_suppkey"))
+        ).alias("n_late_supp"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        f_lines.filter(F.col("late"))
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").cast("bigint").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
+@query(
+    "q_tpch_q22",
+    oracle="""
+    WITH pool AS (
+      SELECT c_custkey, c_nationkey, c_acctbal
+      FROM customer
+      WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+    ),
+    thresh AS (
+      SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               / count(*) AS avg_bal
+      FROM pool WHERE c_acctbal > 0.0
+    )
+    SELECT CAST(c_nationkey AS INT) AS cntrycode,
+           CAST(count(*) AS BIGINT) AS numcust,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             AS totacctbal
+    FROM pool, thresh
+    WHERE c_acctbal > avg_bal
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '2000-07-01'
+      )
+    GROUP BY c_nationkey
+    ORDER BY cntrycode
+    """,
+)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity): well-funded customers in a
+    target country set who have gone dormant — above-average account
+    balance, no recent orders. Fixture adaptation: the phone-prefix
+    country codes become c_nationkey values (the fixture has no phone
+    column), and "never ordered" becomes "no order in the trailing 13
+    months" (every fixture customer has SOME order, so the spec's literal
+    anti-join is degenerate; dormancy keeps it meaningful).
+
+    Scale shape: the scalar average is computed once over the dim-sized
+    filtered pool and rides a BROADCAST 1-row cross join (no shuffle);
+    the NOT EXISTS is a LEFT ANTI join against orders pre-filtered to the
+    recent window — at 100 TB the anti-join probe side is only the
+    orders the date predicate admits, pruned at scan. The threshold is
+    one IEEE division of an exact DECIMAL sum by an exact count, so both
+    engines cut the c_acctbal > avg_bal boundary identically."""
+    pool = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isin(1, 3, 5, 7, 9, 11, 13)
+    ).select("c_custkey", "c_nationkey", "c_acctbal")
+    thresh = pool.filter(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            / F.count("*")
+        ).alias("avg_bal")
+    )
+    recent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-07-01").cast("timestamp_ntz")
+    ).select("o_custkey")
+    return (
+        pool.crossJoin(F.broadcast(thresh))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").cast("bigint").alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("totacctbal"),
+        )
+        .select(
+            F.col("c_nationkey").cast("int").alias("cntrycode"),
+            "numcust",
+            "totacctbal",
+        )
+        .orderBy("cntrycode")
+    )

@@ -19,9 +19,9 @@ def test_registry_size_matches_docs():
     these numbers; update both together."""
     qs = all_queries()
     oracles = all_oracles()
-    assert len(qs) == 202, f"registry has {len(qs)} queries, docs say 202"
-    assert len(oracles) == 185, (
-        f"{len(oracles)} oracle-checked queries, docs say 185 "
+    assert len(qs) == 207, f"registry has {len(qs)} queries, docs say 207"
+    assert len(oracles) == 190, (
+        f"{len(oracles)} oracle-checked queries, docs say 190 "
         f"({len(qs) - len(oracles)} rows-only by design)"
     )
 
