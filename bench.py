@@ -64,6 +64,8 @@ HEADLINE = [
     "q_text_passage_dedup", # cross-doc passage dedup, hashed-key df pass (r6)
     "q_emb_pq",             # product quantization, Arrow matmul encode (r6)
     "q_text_bpe_vocab",     # BPE merge training, per-round pair-count rounds (r6)
+    "q_tpch_q21",           # decorrelated double-EXISTS: one per-order agg vs two fact joins (r6)
+    "q_docs_filter_funnel", # staged curation-attrition report, one conditional agg (r6)
 ]
 
 

@@ -54,8 +54,14 @@ def values_equal(x, y) -> bool:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
-    ap.add_argument("--start", type=int, required=True)
-    ap.add_argument("--end", type=int, required=True)
+    ap.add_argument("--start", type=int, default=None)
+    ap.add_argument("--end", type=int, default=None)
+    ap.add_argument(
+        "--names",
+        default=None,
+        help="comma-separated query names (alternative to --start/--end "
+        "for non-contiguous windows, e.g. late-round registry additions)",
+    )
     ap.add_argument("--out", required=True)
     ap.add_argument("--tz", default="America/New_York")
     args = ap.parse_args()
@@ -82,7 +88,10 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
     qs, osql = e.queries(), e.oracle_sql()
-    names = list(qs)[args.start : args.end]
+    if args.names:
+        names = [n.strip() for n in args.names.split(",") if n.strip()]
+    else:
+        names = list(qs)[args.start : args.end]
     results: dict[str, dict] = {}
     n_bad = 0
     for name in names:
