@@ -730,3 +730,122 @@ def q_text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         src_words.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval over the corpus: the "find training examples relevant to a
+# probe query" primitive (decontamination triage, targeted subset export,
+# retrieval-augmented filtering all start here).
+# ---------------------------------------------------------------------------
+
+#: the fixed probe query (three mid-frequency fixture vocabulary terms) —
+#: embedded in the query the way q_point_lookup embeds its key.
+BM25_TERMS = ("hash", "join", "vector")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 20
+
+
+def _bm25_oracle() -> str:
+    tf_cols = ",\n         ".join(
+        f"CAST(len(list_filter(string_split(text, ' '), x -> x = '{t}')) AS DOUBLE) AS tf{i}"
+        for i, t in enumerate(BM25_TERMS)
+    )
+    df_cols = ",\n         ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1.0 ELSE 0.0 END) AS df{i}"
+        for i in range(len(BM25_TERMS))
+    )
+    k1p1 = BM25_K1 + 1.0
+    one_minus_b = 1.0 - BM25_B
+    score_terms = "\n       + ".join(
+        f"ln((n - df{i} + 0.5) / (df{i} + 0.5) + 1.0) * tf{i} * {k1p1}"
+        f" / (tf{i} + {BM25_K1} * ({one_minus_b} + {BM25_B} * dl / avgdl))"
+        for i in range(len(BM25_TERMS))
+    )
+    n_hit = " + ".join(
+        f"CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END" for i in range(len(BM25_TERMS))
+    )
+    any_hit = " OR ".join(f"tf{i} > 0" for i in range(len(BM25_TERMS)))
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS DOUBLE) AS dl,
+         {tf_cols}
+      FROM documents),
+    s AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+         {df_cols}
+      FROM t)
+    SELECT doc_id,
+           CAST({n_hit} AS INT) AS n_hit,
+           round({score_terms}, 6) AS bm25
+    FROM t, s
+    WHERE {any_hit}
+    ORDER BY bm25 DESC, doc_id
+    LIMIT {BM25_TOPK}
+    """
+
+
+@query("q_text_bm25", oracle=_bm25_oracle())
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval for a fixed probe query over the whole corpus
+    (Robertson/Sparck Jones probabilistic ranking, the Lucene-default
+    non-negative idf = ln((N - df + 0.5)/(df + 0.5) + 1) variant).
+
+    The plan is the reason BM25 belongs in a 100 TB engine: it needs NO
+    inverted index and NO corpus shuffle. Per-document term frequencies for
+    the |Q| probe terms and the document length are array expressions on the
+    split text — a pure projection inside the one corpus scan. Corpus stats
+    (N, avgdl, per-term df) are ONE 1-row global aggregate broadcast back,
+    the score is arithmetic on the projected row, and top-k is
+    TakeOrderedAndProject (per-partition partial top-20, O(k) to the
+    driver). Zero wide exchanges end to end; ln()'s cross-engine ulp noise
+    washes below the round(.,6) contract like every ln-scoring query here.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.filter(F.split("text", " "), lambda x: x != "")
+    nt = len(BM25_TERMS)
+
+    def _eq(term: str):
+        # a factory, not `lambda x, t=t`: a second lambda param (even with a
+        # default) makes pyspark bind it to the array INDEX overload
+        return lambda x: x == term
+
+    per_doc = docs.select(
+        "doc_id",
+        F.size(ws).cast("double").alias("dl"),
+        *[
+            F.size(F.filter(ws, _eq(t))).cast("double").alias(f"tf{i}")
+            for i, t in enumerate(BM25_TERMS)
+        ],
+    )
+    # both the stats pass and the scoring pass read per_doc; checkpointing
+    # the (1 + 1 + |Q|)-column numeric frame (~40 bytes/row vs the raw text)
+    # means the fat text column is scanned and tokenized exactly ONCE
+    per_doc = per_doc.localCheckpoint(eager=False)
+    stats = per_doc.agg(
+        F.count("*").cast("double").alias("n"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("double")).alias(f"df{i}")
+            for i in range(nt)
+        ],
+    )
+
+    def term_score(i: int):
+        idf = F.log(
+            (F.col("n") - F.col(f"df{i}") + 0.5) / (F.col(f"df{i}") + 0.5) + 1.0
+        )
+        tf = F.col(f"tf{i}")
+        denom = tf + BM25_K1 * ((1.0 - BM25_B) + BM25_B * F.col("dl") / F.col("avgdl"))
+        return idf * tf * (BM25_K1 + 1.0) / denom
+
+    score = F.round(sum(term_score(i) for i in range(nt)), 6)
+    n_hit = sum((F.col(f"tf{i}") > 0).cast("int") for i in range(nt)).cast("int")
+    return (
+        per_doc.crossJoin(F.broadcast(stats))
+        .select("doc_id", n_hit.alias("n_hit"), score.alias("bm25"))
+        .filter(F.col("n_hit") > 0)
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(BM25_TOPK)
+    )

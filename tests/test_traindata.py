@@ -373,3 +373,59 @@ def test_bpe_overlapping_merge_is_greedy_left_to_right(spark):
     assert merges[0][4] == 6
     assert merges[1][1:4] == ("aa", "aa", "aaaa")
     assert merges[1][4] == 2  # (aa)(aa) x2 — proves greedy L-to-R rewrite
+
+
+# ------------------------------------------------------------ BM25 retrieval
+
+
+def test_bm25_matches_python_reference(spark, tmp_path):
+    """BM25 scores and ranking over a planted corpus equal a pure-Python
+    reference implementation of the Lucene-default formula (idf =
+    ln((N - df + 0.5)/(df + 0.5) + 1)) at the 6-dp contract."""
+    import math
+
+    from cdc_worker_spark.operators.traindata import (
+        BM25_B,
+        BM25_K1,
+        BM25_TERMS,
+        q_text_bm25,
+    )
+
+    corpus = {
+        0: "hash join vector hash filler one two three",
+        1: "hash hash hash hash hash filler",
+        2: "join vector pad pad pad pad pad pad pad pad pad pad",
+        3: "nothing relevant here at all",
+        4: "vector",
+    }
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        list(corpus.items()), "doc_id: long, text: string"
+    ).write.parquet(path + "/documents.parquet")
+
+    docs = {d: [w for w in t.split(" ") if w] for d, t in corpus.items()}
+    n = len(docs)
+    avgdl = sum(len(ws) for ws in docs.values()) / n
+    expected = {}
+    for d, words in docs.items():
+        score, hits = 0.0, 0
+        for t in BM25_TERMS:
+            tf = words.count(t)
+            if tf == 0:
+                continue
+            hits += 1
+            df = sum(1 for ws in docs.values() if t in ws)
+            idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+            score += (
+                idf * tf * (BM25_K1 + 1.0)
+                / (tf + BM25_K1 * ((1.0 - BM25_B) + BM25_B * len(words) / avgdl))
+            )
+        if hits:
+            expected[d] = (hits, round(score, 6))
+
+    out = q_text_bm25(spark, path).collect()
+    assert [r.doc_id for r in out] == sorted(
+        expected, key=lambda d: (-expected[d][1], d)
+    )
+    for r in out:
+        assert (r.n_hit, r.bm25) == expected[r.doc_id], r.doc_id
