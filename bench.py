@@ -66,6 +66,7 @@ HEADLINE = [
     "q_text_bpe_vocab",     # BPE merge training, per-round pair-count rounds (r6)
     "q_tpch_q21",           # decorrelated double-EXISTS: one per-order agg vs two fact joins (r6)
     "q_docs_filter_funnel", # staged curation-attrition report, one conditional agg (r6)
+    "q_text_bm25",          # zero-shuffle BM25 top-k retrieval (r6)
 ]
 
 
