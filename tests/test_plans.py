@@ -404,3 +404,66 @@ def test_skyline_confines_quadratic_check_to_brand_partitions(spark, sf_dir):
     tree = tree_of(spark, "q_part_skyline", sf_dir)
     assert "CartesianProduct" not in tree
     assert "LeftAnti" in tree
+
+
+def test_tpch_q1_is_single_pass_scan_agg(spark, sf_dir):
+    """Q1 (the scan-bandwidth yardstick): shipdate predicate pushed into the
+    parquet scan, no joins at all, one partial+final hash aggregate — the
+    only exchange in the plan carries six groups per map task."""
+    plan = plan_of(spark, "q_tpch_q1", sf_dir)
+    tree = plan.split("\n(1)")[0]
+    assert "Join" not in tree
+    # one fact agg exchange + the 6-row output sort exchange, nothing else
+    assert tree.count("Exchange") <= 2, tree
+    assert tree.count("HashAggregate") == 2, tree  # partial + final
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate" in plan
+    assert plan.count("lineitem.parquet") == 1, plan
+
+
+def test_tpch_q14_and_q19_zero_fact_shuffles(spark, sf_dir):
+    """Q14 and Q19: the part side broadcasts, so the lineitem fact never
+    shuffles for the join — the only exchanges are the final single-group
+    aggregate (and Q19's pushed one-side implications reach the scan)."""
+    for q in ("q_tpch_q14", "q_tpch_q19"):
+        tree = tree_of(spark, q, sf_dir)
+        assert "BroadcastHashJoin" in tree, q
+        assert "SortMergeJoin" not in tree and "ShuffledHashJoin" not in tree, q
+        wide = tree.count("Exchange") - tree.count("BroadcastExchange")
+        assert wide <= 1, (q, tree)
+    # Q19's quantity bounds (the OR's one-side implication) reach the scan
+    plan = plan_of(spark, "q_tpch_q19", sf_dir)
+    assert "GreaterThanOrEqual(l_quantity" in plan, plan[-2000:]
+
+
+def test_tpch_q18_single_lineitem_shuffle_shared_agg(spark, sf_dir):
+    """Q18: the per-order quantity aggregate is computed ONCE and serves both
+    the HAVING cut and the output sum — lineitem contributes one orderkey
+    shuffle, not the textbook second scan-and-join."""
+    plan = plan_of(spark, "q_tpch_q18", sf_dir)
+    assert plan.count("lineitem.parquet") == 1, plan
+
+
+def test_tpch_q21_decorrelates_to_one_per_order_agg(spark, sf_dir):
+    """Q21: the double correlated EXISTS/NOT EXISTS must not appear as two
+    extra fact-scale joins — one per-order aggregation (distinct suppliers /
+    distinct late suppliers) joins back on the order key, and the supplier
+    dim broadcasts."""
+    plan = plan_of(spark, "q_tpch_q21", sf_dir)
+    tree = plan.split("\n(1)")[0]
+    assert "BroadcastHashJoin" in tree
+    assert plan.count("lineitem.parquet") <= 2, plan
+    # no cartesian anywhere in the decorrelation
+    assert "CartesianProduct" not in tree
+
+
+def test_bm25_zero_wide_exchange_topk(spark, sf_dir):
+    """BM25: corpus stats are a 1-row broadcast, scoring is a projection,
+    top-k is TakeOrderedAndProject — the corpus is never hash-repartitioned
+    and no Python worker is involved."""
+    tree = tree_of(spark, "q_text_bm25", sf_dir)
+    assert "TakeOrderedAndProject" in tree
+    assert "ArrowEvalPython" not in tree and "BatchEvalPython" not in tree
+    wide = tree.count("Exchange") - tree.count("BroadcastExchange")
+    # the only permitted exchange is the single-partition 1-row stats agg
+    assert wide <= 1, tree
+    assert "SortMergeJoin" not in tree and "ShuffledHashJoin" not in tree
