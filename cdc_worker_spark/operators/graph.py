@@ -437,11 +437,15 @@ def _register_queries() -> None:
         from cdc_worker_spark.sources.tables import load_table
 
         li = load_table(spark, sf_dir, "lineitem")
-        items = li.select("l_orderkey", "l_partkey").distinct()
         # pair expansion without a self-join: ONE basket-keyed shuffle,
-        # then a nested array transform (same shape as q_basket_pairs)
-        per_order = items.groupBy("l_orderkey").agg(
-            F.collect_set("l_partkey").alias("parts")
+        # then a nested array transform (same shape as q_basket_pairs).
+        # No pre-distinct: collect_set dedups within the group, so a
+        # distinct() here would be a second full fact-scale exchange
+        # (unlike q_basket_pairs, nothing else consumes the distinct set)
+        per_order = (
+            li.select("l_orderkey", "l_partkey")
+            .groupBy("l_orderkey")
+            .agg(F.collect_set("l_partkey").alias("parts"))
         )
         pair_arr = F.flatten(
             F.transform(
@@ -465,9 +469,12 @@ def _register_queries() -> None:
             .filter(F.col("w") >= 2)
             .select("src", "dst")
         )
-        deg = edges.groupBy("src").agg(F.count("*").cast("double").alias("n_out"))
-        n_nodes = deg.agg(F.count("*").cast("double").alias("n"))
         ranks = pagerank(edges)
+        # N from the (checkpointed) rank table — one row per node — NOT
+        # from the raw edges plan: counting there would re-run the whole
+        # pair-expansion derivation a second time (measured: the sf10
+        # query was ~2x its iteration+derive cost before this)
+        n_nodes = ranks.agg(F.count("*").cast("double").alias("n"))
         return ranks.crossJoin(F.broadcast(n_nodes)).select(
             "node", F.round(F.col("rank") * F.col("n"), 6).alias("rank_scaled")
         )
@@ -495,13 +502,11 @@ def _register_queries() -> None:
             )
             .distinct()
         )
-        nodes = (
-            edges.select(F.col("src").alias("node"))
-            .union(edges.select(F.col("dst").alias("node")))
-            .distinct()
-        )
-        n_nodes = nodes.agg(F.count("*").cast("double").alias("n"))
         ranks = pagerank_general(edges, iters=_PR_DIR_ITERS)
+        # one row per node in src ∪ dst by construction, so N comes from
+        # the rank table — re-deriving the node universe from `edges` here
+        # would scan + distinct the fact table a second time
+        n_nodes = ranks.agg(F.count("*").cast("double").alias("n"))
         return ranks.crossJoin(F.broadcast(n_nodes)).select(
             "node", F.round(F.col("rank") * F.col("n"), 6).alias("rank_scaled")
         )

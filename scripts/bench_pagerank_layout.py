@@ -33,9 +33,10 @@ def copurchase_edges(spark, sf_dir: str):
     from cdc_worker_spark.sources.tables import load_table
 
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    per_order = items.groupBy("l_orderkey").agg(
-        F.collect_set("l_partkey").alias("parts")
+    per_order = (
+        li.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("parts"))
     )
     pair_arr = F.flatten(
         F.transform(
