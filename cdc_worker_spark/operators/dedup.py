@@ -525,10 +525,29 @@ def embedding_dedup_pairs(
     theta_frac = math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
     h_sigma = math.sqrt(64.0 * theta_frac * (1.0 - theta_frac))
     h_max = int(math.ceil(64.0 * theta_frac + 3.5 * h_sigma))
-    emb_sh = emb.withColumn("sh", prefilter_simhash_udf()(F.col("dv")))
-    keyed = with_lsh_buckets(
-        emb_sh.select("vec_id", "label", "sh", "dv", "nrm"), n_tables, n_bits
-    ).select("vec_id", "label", "sh", "tbl", "sig")
+    # checkpoint both Python-UDF products: emb_sh is consumed by the keyed
+    # table AND both verify-join vector sides, keyed by the bucket-cap
+    # count AND both pair sides — without the checkpoints each consumer
+    # re-runs the simhash / signature-matmul UDFs over the whole corpus
+    # (the static plan showed SIX embedding scans; now one). disk_checkpoint
+    # (parquet), NOT localCheckpoint: block-manager caching of the
+    # n_vectors x n_tables keyed table pinned storage memory and starved
+    # the bucket-cap aggregation at sf100 (AGGREGATE_OUT_OF_MEMORY in the
+    # 16 GB heap); the parquet form streams from disk instead.
+    from cdc_worker_spark.plans.checkpoints import disk_checkpoint
+
+    # hybrid: the O(n) vector frame localCheckpoints (block cache — small
+    # enough at any n that fits one executor's vector shard anyway); the
+    # O(n x tables) keyed table goes to parquet
+    emb_sh = emb.withColumn(
+        "sh", prefilter_simhash_udf()(F.col("dv"))
+    ).localCheckpoint(eager=False)
+    keyed = disk_checkpoint(
+        with_lsh_buckets(
+            emb_sh.select("vec_id", "label", "sh", "dv", "nrm"), n_tables, n_bits
+        ).select("vec_id", "label", "sh", "tbl", "sig"),
+        "emb-lsh-keyed",
+    )
     if bucket_cap is not None:
         # skew valve as a broadcast ANTI join: overfull buckets are at most
         # n*tables/cap keys (tiny), and the partial-agg count shuffles only
@@ -561,11 +580,11 @@ def embedding_dedup_pairs(
         .select("vec_a", "vec_b")
         .distinct()
     )
-    va = emb.select(
+    va = emb_sh.select(
         F.col("vec_id").alias("vec_a"), F.col("dv").alias("dv_a"),
         F.col("nrm").alias("nrm_a"),
     )
-    vb = emb.select(
+    vb = emb_sh.select(
         F.col("vec_id").alias("vec_b"), F.col("dv").alias("dv_b"),
         F.col("nrm").alias("nrm_b"),
     )

@@ -188,15 +188,24 @@ def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts; n_orders is a 1-row broadcast. Exact integer counts make
     support/lift bit-deterministic."""
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    pf = items.groupBy("l_partkey").agg(
-        F.count("*").cast("double").alias("n_ord")
+    # ONE fact scan + ONE fact shuffle: collect_set dedups within the
+    # order, and the checkpointed basket table then serves all three
+    # consumers (pair expansion, per-part frequency, order count) — the
+    # former items.distinct() shape re-scanned and re-deduped lineitem
+    # once per consumer (4 fact scans in the static plan)
+    per_order = (
+        li.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("parts"))
+        .localCheckpoint(eager=False)
     )
-    n_orders = items.agg(
-        F.count_distinct("l_orderkey").cast("double").alias("n_orders")
+    pf = (
+        per_order.select(F.explode("parts").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count("*").cast("double").alias("n_ord"))
     )
-    per_order = items.groupBy("l_orderkey").agg(
-        F.collect_set("l_partkey").alias("parts")
+    n_orders = per_order.agg(
+        F.count("*").cast("double").alias("n_orders")
     )
     # all ordered pairs (x < y) inside each basket: nested transform,
     # flatten, drop the nulls the >= filter leaves behind
