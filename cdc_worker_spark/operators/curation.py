@@ -123,7 +123,13 @@ def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "doc_id", F.explode(_words()).alias("tok")
     )
-    vocab = tok.groupBy("tok").agg(F.count("*").cast("double").alias("c"))
+    # checkpoint the O(vocab) count table: total and the score join both
+    # consume it, and each would re-run the corpus explode+agg otherwise
+    vocab = (
+        tok.groupBy("tok")
+        .agg(F.count("*").cast("double").alias("c"))
+        .localCheckpoint(eager=False)
+    )
     total = vocab.agg(F.sum("c").alias("n"))
     vocab_p = vocab.crossJoin(F.broadcast(total)).select(
         "tok", F.log(F.col("c") / F.col("n")).alias("logp")
@@ -187,9 +193,17 @@ def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode("ps").alias("p"))
         .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
     )
-    cb = big.groupBy("w1", "w2").agg(F.count("*").cast("double").alias("cb"))
-    cu = big.groupBy("w1").agg(F.count("*").cast("double").alias("cu"))
-    vv = big.agg(F.count_distinct("w2").cast("double").alias("v"))
+    # ONE corpus pass builds the bigram counts; the unigram-context counts
+    # and the continuation vocabulary then derive from the CHECKPOINTED
+    # O(distinct-bigrams) table instead of three more corpus explodes
+    # (cu = sum of cb over w1 and vv = distinct w2 of cb are identities)
+    cb = (
+        big.groupBy("w1", "w2")
+        .agg(F.count("*").cast("double").alias("cb"))
+        .localCheckpoint(eager=False)
+    )
+    cu = cb.groupBy("w1").agg(F.sum("cb").alias("cu"))
+    vv = cb.agg(F.count_distinct("w2").cast("double").alias("v"))
     return (
         big.join(F.broadcast(cb), ["w1", "w2"])
         .join(F.broadcast(cu), "w1")

@@ -310,7 +310,11 @@ def q_cdc_incr_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ORACLE is the naive full recompute, so the hash match IS the proof
     that merge(state(base), state(delta)) == state(all)."""
     ev = load_events_ms(spark, sf_dir)
-    cutoff = ev.agg((F.max("event_id") / 2).cast("bigint").alias("c"))
+    # checkpoint the 1-row cutoff: both branch joins consume it, and each
+    # would otherwise re-plan the max() scan (4 event scans in the plan)
+    cutoff = ev.agg(
+        (F.max("event_id") / 2).cast("bigint").alias("c")
+    ).localCheckpoint(eager=False)
     base = ev.join(F.broadcast(cutoff), ev.event_id <= cutoff.c).drop("c")
     delta = ev.join(F.broadcast(cutoff), ev.event_id > cutoff.c).drop("c")
     return merge_agg_states(agg_state(base), agg_state(delta)).select(

@@ -1989,15 +1989,22 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
-    f_lines = li.join(
-        o, F.col("l_orderkey") == F.col("o_orderkey")
-    ).select(
-        "l_orderkey",
-        "l_suppkey",
-        (
-            F.col("l_shipdate")
-            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
-        ).alias("late"),
+    from cdc_worker_spark.plans.checkpoints import disk_checkpoint
+
+    # the per-order aggregation AND the late-line probe both consume
+    # f_lines; checkpointing the slim 3-column join product runs the
+    # lineitem-orders join ONCE instead of twice (parquet, not block
+    # cache — this is fact-scale)
+    f_lines = disk_checkpoint(
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            ).alias("late"),
+        ),
+        "q21-flines",
     )
     per_order = f_lines.groupBy("l_orderkey").agg(
         F.count_distinct("l_suppkey").alias("n_supp"),

@@ -206,11 +206,12 @@ def test_gapfill_window_reuses_spine_partitioning(spark, sf_dir):
 def test_incr_agg_merge_reuses_agg_partitioning(spark, sf_dir):
     """The full-outer state merge joins on the same key both aggregate
     states are hash-partitioned by — the join itself must add no exchange:
-    4 shuffle exchanges total (per side: one 1-row cutoff agg + one keyed
-    state agg)."""
+    2 shuffle exchanges total (one keyed state agg per side; the 1-row
+    cutoff is checkpointed once and broadcast into both branches instead
+    of re-running its scan+agg exchange per side)."""
     tree = tree_of(spark, "q_cdc_incr_agg", sf_dir)
     shuffles = tree.count("Exchange") - tree.count("BroadcastExchange")
-    assert shuffles == 4, tree
+    assert shuffles == 2, tree
     assert "FullOuter" in tree
 
 
