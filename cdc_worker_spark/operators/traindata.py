@@ -265,9 +265,12 @@ aggregate(syms, CAST(array() AS array<string>),
 
 
 def _merge_fold_expr(left: str, right: str, merged: str) -> str:
-    """SQL fold for one merge, with string literals SQL-escaped (corpora
-    with quotes in tokens must not break the generated expression)."""
-    q = lambda s: s.replace("'", "''")  # noqa: E731
+    """SQL fold for one merge, with string literals SQL-escaped. Spark's
+    parser treats backslash as an escape inside string literals (unless
+    ``spark.sql.parser.escapedStringLiterals`` flips it), so backslashes
+    must be doubled BEFORE quote-doubling or a token ending in ``\\``
+    swallows the closing quote (code corpora hit this)."""
+    q = lambda s: s.replace("\\", "\\\\").replace("'", "''")  # noqa: E731
     return _MERGE_FOLD.format(l=q(left), r=q(right), lr=q(merged))
 
 

@@ -9,6 +9,7 @@ into the parquet scan itself (verify with ``.explain`` -> ``PushedFilters`` /
 from __future__ import annotations
 
 import os
+import sys
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -62,7 +63,12 @@ def _tune_for_heap(spark: SparkSession) -> None:
     engine shrinks them — the same sizing a cluster deployment would do
     per-executor-GB. Sessions with normal executor memory (>= 4 GB heap)
     keep Spark's defaults; user-set values are never overridden (the knob
-    is only touched while it still holds its default)."""
+    is only touched while it still holds its default — a user who
+    explicitly re-set a knob to its default is indistinguishable, which
+    is why every change is logged once and the whole pass is disabled by
+    ``SPARK_GRAFT_NO_HEAP_TUNE=1``; see README "Small-heap sessions")."""
+    if os.environ.get("SPARK_GRAFT_NO_HEAP_TUNE", "") == "1":
+        return
     try:
         max_heap = int(
             spark._jvm.java.lang.Runtime.getRuntime().maxMemory()  # noqa: SLF001
@@ -73,17 +79,17 @@ def _tune_for_heap(spark: SparkSession) -> None:
         return
     adv = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
     if spark.conf.get(adv, "64MB") in ("64MB", "64m", "67108864b", "67108864"):
-        spark.conf.set(adv, "8m")
+        _set_logged(spark, adv, "8m")
     # parallelismFirst makes AQE coalesce to ~defaultParallelism partitions
     # regardless of the advisory size (min partition size 1 MB) — exactly
     # wrong at small heap: 8 fat post-shuffle partitions of compressed text
     # decompress past the per-task memory slice. Respect the advisory.
     pf = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
     if spark.conf.get(pf, "true") == "true":
-        spark.conf.set(pf, "false")
+        _set_logged(spark, pf, "false")
     thr = "spark.sql.autoBroadcastJoinThreshold"
     if spark.conf.get(thr, "10MB") in ("10MB", "10m", "10485760b", "10485760"):
-        spark.conf.set(thr, "4m")
+        _set_logged(spark, thr, "4m")
     # scan tasks are where map-side partial aggregation happens; a 128 MB
     # scan split of compressed parquet can explode (shingle/pair
     # generation) into dozens of sort spills whose MERGE allocates one
@@ -91,7 +97,25 @@ def _tune_for_heap(spark: SparkSession) -> None:
     # at sf1. Smaller splits bound the per-task spill fan-in.
     mpb = "spark.sql.files.maxPartitionBytes"
     if spark.conf.get(mpb, "128MB") in ("128MB", "128m", "134217728b", "134217728"):
-        spark.conf.set(mpb, "16m")
+        _set_logged(spark, mpb, "16m")
+
+
+#: knobs _tune_for_heap has already announced this process (log ONCE per
+#: conf key, not once per load_table call — load_table runs per query)
+_TUNE_LOGGED: set = set()
+
+
+def _set_logged(spark: SparkSession, key: str, value: str) -> None:
+    """Set a small-heap SQL conf and say so once on stderr, so the session
+    owner can tell an engine override from an unset default (ADVICE r6)."""
+    spark.conf.set(key, value)
+    if key not in _TUNE_LOGGED:
+        _TUNE_LOGGED.add(key)
+        print(
+            f"[cdc_worker_spark] small-heap session (<4 GB): set {key}={value} "
+            "(disable with SPARK_GRAFT_NO_HEAP_TUNE=1)",
+            file=sys.stderr,
+        )
 
 
 def load_events_ms(spark: SparkSession, sf_dir: str) -> DataFrame:

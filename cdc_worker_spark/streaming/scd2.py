@@ -42,6 +42,13 @@ from pyspark.sql.types import (
     StructType,
 )
 
+#: on-disk layout version. v1 had no anchor_id column; v2 (current) added
+#: it as the deterministic restitch tiebreak. Reading v1 state with the v2
+#: schema would silently yield NULL anchor_ids and quietly degrade the
+#: tiebreak back to nondeterministic ordering — so v1 state is REFUSED
+#: loudly instead (ADVICE r6): rebuild from the batch operator or replay.
+SCD2_LAYOUT_VERSION = 2
+
 #: stored interval rows (one per version per entity). anchor_id is the
 #: event_id of the version's first event — the deterministic tiebreak that
 #: keeps restitch order total when two runs share a valid_from_ms.
@@ -143,9 +150,26 @@ class Scd2State:
     def _manifest(self) -> dict:
         try:
             with open(self._manifest_file()) as f:
-                return json.load(f)
+                manifest = json.load(f)
         except FileNotFoundError:
-            return {"version": -1, "n_buckets": self.n_buckets, "buckets": {}}
+            return {
+                "version": -1,
+                "n_buckets": self.n_buckets,
+                "buckets": {},
+                "layout": SCD2_LAYOUT_VERSION,
+            }
+        # a manifest with data but no layout marker predates v2 (anchor_id)
+        layout = manifest.get("layout", 1 if manifest["buckets"] else SCD2_LAYOUT_VERSION)
+        if layout != SCD2_LAYOUT_VERSION:
+            raise ValueError(
+                f"SCD2 state at {self.path} has layout v{layout}; this engine "
+                f"writes v{SCD2_LAYOUT_VERSION} (anchor_id tiebreak). Reading "
+                "old-layout state would silently NULL anchor_id — rebuild the "
+                "dimension from the batch operator or replay the stream into "
+                "a fresh state directory."
+            )
+        manifest["layout"] = layout
+        return manifest
 
     def _write_manifest(self, manifest: dict) -> None:
         os.makedirs(self.path, exist_ok=True)
@@ -240,6 +264,7 @@ class Scd2State:
         )
         manifest["version"] = new_version
         manifest["n_buckets"] = self.n_buckets
+        manifest["layout"] = SCD2_LAYOUT_VERSION
         for b in touched:
             manifest["buckets"][str(b)] = new_version
         if batch_id is not None:

@@ -110,7 +110,6 @@ def stream_compare(sdf, con, sql, chunk_rows: int = 8192):
     ]
     sit = sdf.select(*sel).sort(*cols).toLocalIterator()
     n = 0
-    typechecked = 0
     while True:
         batch = cur.fetchmany(chunk_rows)
         if not batch:
@@ -120,8 +119,11 @@ def stream_compare(sdf, con, sql, chunk_rows: int = 8192):
                 srow = next(sit)
             except StopIteration:
                 return False, n, f"spark exhausted at oracle row {n}"
+            # every row, not a prefix (ADVICE r6): a dtype split that first
+            # appears past the head (int/float across groups) must fail here
+            # exactly as the collected path's whole-column dtype check would
             for c, x, y in zip(cols, tuple(srow), orow):
-                if typechecked < 256 and x is not None and y is not None:
+                if x is not None and y is not None:
                     tx, ty = _type_tag(x), _type_tag(y)
                     # int/decimal and date/timestamp pairs coerce equal in
                     # the collected path's pandas frames — same verdict here
@@ -130,7 +132,6 @@ def stream_compare(sdf, con, sql, chunk_rows: int = 8192):
                         {"date", "timestamp"},
                     ):
                         return False, n, f"type {c}: {tx} != {ty}"
-            typechecked += 1
             for c, x, y in zip(cols, tuple(srow), orow):
                 if not values_equal(_as_ts(x), _as_ts(y)):
                     return False, n, f"value {c}: {x!r} != {y!r} at row {n}"

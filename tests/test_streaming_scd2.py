@@ -175,3 +175,30 @@ def test_restitch_equal_timestamp_runs_deterministic(spark, tmp_path):
         state.merge_batch(spark, spark.createDataFrame(rows[:split], COLS))
         state.merge_batch(spark, spark.createDataFrame(rows[split:], COLS))
         assert _rows(state.read(spark)) == want
+
+
+def test_old_layout_state_refused(spark, tmp_path):
+    """A v1-layout state directory (pre-anchor_id: data present, no layout
+    marker) must be refused loudly — reading it with the v2 schema would
+    silently NULL anchor_id and degrade the restitch tiebreak (ADVICE r6)."""
+    import pytest
+
+    state = Scd2State(str(tmp_path / "scd2_v1"), n_buckets=4)
+    os.makedirs(state.path, exist_ok=True)
+    with open(os.path.join(state.path, "_MANIFEST.json"), "w") as f:
+        json.dump({"version": 0, "n_buckets": 4, "buckets": {"1": 0}}, f)
+    with pytest.raises(ValueError, match="layout v1"):
+        state.read(spark)
+    with pytest.raises(ValueError, match="layout v1"):
+        state.merge_batch(spark, spark.createDataFrame(EVENTS[:2], COLS))
+
+
+def test_manifest_records_layout_version(spark, tmp_path):
+    """Every manifest write stamps the current layout version, so a future
+    schema change has a marker to dispatch on."""
+    from cdc_worker_spark.streaming.scd2 import SCD2_LAYOUT_VERSION
+
+    state = Scd2State(str(tmp_path / "scd2_stamp"), n_buckets=4)
+    state.merge_batch(spark, spark.createDataFrame(EVENTS, COLS))
+    with open(os.path.join(state.path, "_MANIFEST.json")) as f:
+        assert json.load(f)["layout"] == SCD2_LAYOUT_VERSION

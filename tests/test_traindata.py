@@ -429,3 +429,14 @@ def test_bm25_matches_python_reference(spark, tmp_path):
     )
     for r in out:
         assert (r.n_hit, r.bm25) == expected[r.doc_id], r.doc_id
+
+
+def test_bpe_handles_backslash_symbols(spark):
+    """Spark's SQL parser treats backslash as an escape inside string
+    literals; a learned symbol containing (or ending in) a backslash must
+    not yield an unterminated literal or a wrong match (ADVICE r6)."""
+    vocab = {"a\\b": 4, "c\\": 3, "x\\'y": 2}
+    words = spark.createDataFrame(
+        list(vocab.items()), "word: string, cnt: bigint"
+    )
+    assert bpe_merges(words, n_merges=3) == _python_bpe(vocab, 3)
