@@ -436,9 +436,17 @@ def _register_queries() -> None:
         6-dp rounding sits ~1e7 above cross-engine FP noise."""
         from cdc_worker_spark.sources.tables import load_table
 
+        from cdc_worker_spark.functions.exprs import (
+            basket_pair_array,
+            cap_basket,
+        )
+
         li = load_table(spark, sf_dir, "lineitem")
         # pair expansion without a self-join: ONE basket-keyed shuffle,
-        # then a nested array transform (same shape as q_basket_pairs).
+        # then a nested array transform (same shape as q_basket_pairs,
+        # incl. the cap_basket hot-basket valve — the derive is the
+        # dominant cost of this query at sf10, and one unbounded basket
+        # would make it quadratic in that basket's size).
         # No pre-distinct: collect_set dedups within the group, so a
         # distinct() here would be a second full fact-scale exchange
         # (unlike q_basket_pairs, nothing else consumes the distinct set)
@@ -447,22 +455,9 @@ def _register_queries() -> None:
             .groupBy("l_orderkey")
             .agg(F.collect_set("l_partkey").alias("parts"))
         )
-        pair_arr = F.flatten(
-            F.transform(
-                "parts",
-                lambda x: F.filter(
-                    F.transform(
-                        "parts",
-                        lambda y: F.when(
-                            x != y, F.struct(x.alias("src"), y.alias("dst"))
-                        ),
-                    ),
-                    lambda s: s.isNotNull(),
-                ),
-            )
-        )
         edges = (
-            per_order.select(F.explode(pair_arr).alias("p"))
+            per_order.select(cap_basket("parts").alias("parts"))
+            .select(F.explode(basket_pair_array("parts", directed=True)).alias("p"))
             .select(F.col("p.src").alias("src"), F.col("p.dst").alias("dst"))
             .groupBy("src", "dst")
             .agg(F.count("*").alias("w"))

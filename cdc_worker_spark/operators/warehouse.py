@@ -182,11 +182,16 @@ def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pair generation is ONE basket-keyed shuffle, no self-join: group each
     order's distinct parts into an array, expand the ordered pairs with a
     nested array transform (pure projection — the fan-out is quadratic
-    only in that order's item count, bounded at 7 in TPC-H; unbounded
-    baskets get a per-basket cap in production), then count pairs. The
+    only in that order's item count, bounded at 7 in TPC-H; hot baskets
+    are capped at BASKET_CAP items by functions.exprs.cap_basket BEFORE
+    expansion, so one 10k-item bot cart cannot make the stage cost
+    Σ|basket|² explode — inert on fixtures, planted-hot-basket bound
+    asserted in tests/test_basket_cap.py), then count pairs. The
     per-part frequency table is O(parts) and BROADCASTS onto the pair
     counts; n_orders is a 1-row broadcast. Exact integer counts make
     support/lift bit-deterministic."""
+    from cdc_worker_spark.functions.exprs import basket_pair_array, cap_basket
+
     li = load_table(spark, sf_dir, "lineitem")
     # ONE fact scan + ONE fact shuffle: collect_set dedups within the
     # order, and the checkpointed basket table then serves all three
@@ -207,22 +212,13 @@ def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_orders = per_order.agg(
         F.count("*").cast("double").alias("n_orders")
     )
-    # all ordered pairs (x < y) inside each basket: nested transform,
-    # flatten, drop the nulls the >= filter leaves behind
-    pair_arr = F.flatten(
-        F.transform(
-            "parts",
-            lambda x: F.filter(
-                F.transform(
-                    "parts",
-                    lambda y: F.when(x < y, F.struct(x.alias("part_a"), y.alias("part_b"))),
-                ),
-                lambda s: s.isNotNull(),
-            ),
-        )
-    )
+    # all ordered pairs (x < y) inside each basket: cap the hot baskets,
+    # then nested transform + flatten (nulls from the < filter dropped).
+    # Frequencies (pf, n_orders) stay on the UNCAPPED baskets — the valve
+    # bounds only the quadratic pair fan-out.
     pairs = (
-        per_order.select(F.explode(pair_arr).alias("p"))
+        per_order.select(cap_basket("parts").alias("parts"))
+        .select(F.explode(basket_pair_array("parts", directed=False)).alias("p"))
         .select(F.col("p.part_a").alias("part_a"), F.col("p.part_b").alias("part_b"))
         .groupBy("part_a", "part_b")
         .agg(F.count("*").alias("n_both"))
