@@ -67,6 +67,8 @@ HEADLINE = [
     "q_tpch_q21",           # decorrelated double-EXISTS: one per-order agg vs two fact joins (r6)
     "q_docs_filter_funnel", # staged curation-attrition report, one conditional agg (r6)
     "q_text_bm25",          # zero-shuffle BM25 top-k retrieval (r6)
+    "q_text_bm25_batch",    # N-probe BM25, one corpus pass, hit-scale shuffles (r7)
+    "q_graph_copurchase_incr",  # monoid-merged incremental edge maintenance (r7)
 ]
 
 
@@ -200,6 +202,36 @@ def main() -> None:
             }
         )
     )
+    # the driver records only the last ~2000 chars of output and parses the
+    # tail — the full artifact above overflows that window (r5/r6 shipped
+    # "parsed": null). Emit a COMPACT summary as the FINAL line so the
+    # official per-round record parses: suite totals + every headline
+    # timing + the streaming headline numbers, minimal separators.
+    compact: dict = {
+        "metric": "headline_suite_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "queries": timings,
+    }
+    if isinstance(ingested, dict) and "value" in ingested:
+        compact["ingested_total_sec"] = ingested["value"]
+        compact["ingest_sec"] = ingested.get("ingest_sec")
+    if isinstance(streaming, dict) and "value" in streaming:
+        compact["stream_wire_mb_s"] = streaming["value"]
+        compact["stream_events_s"] = streaming.get("events_per_sec")
+        mt = streaming.get("multi_topic")
+        if isinstance(mt, dict) and "value" in mt:
+            compact["multi_topic_mb_s"] = mt["value"]
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # never let the summary itself overflow the tail
+        compact["queries"] = {
+            k: v
+            for k, v in sorted(timings.items(), key=lambda kv: -kv[1])[:30]
+        }
+        compact["queries_truncated_to_top30_by_time"] = True
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 

@@ -317,6 +317,34 @@ def pagerank_bucketed(
     return ranks
 
 
+def copurchase_pair_counts(li: DataFrame) -> DataFrame:
+    """Directed co-purchase pair counts (src, dst, w) from an order-atomic
+    lineitem slice — the monoid element of the co-purchase graph: counts
+    over disjoint order sets simply ADD, which is what makes incremental
+    edge maintenance (operators/graph_incr.extend_copurchase_edges) exact.
+
+    Pair expansion without a self-join: ONE basket-keyed shuffle, then the
+    shared nested array transform (functions/exprs.basket_pair_array) with
+    the cap_basket hot-basket valve — the derive dominates PageRank's cost
+    at sf10, and one unbounded basket would make it quadratic in that
+    basket's size. No pre-distinct: collect_set dedups within the group,
+    so a distinct() here would be a second full fact-scale exchange."""
+    from cdc_worker_spark.functions.exprs import basket_pair_array, cap_basket
+
+    per_order = (
+        li.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("parts"))
+    )
+    return (
+        per_order.select(cap_basket("parts").alias("parts"))
+        .select(F.explode(basket_pair_array("parts", directed=True)).alias("p"))
+        .select(F.col("p.src").alias("src"), F.col("p.dst").alias("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("w"))
+    )
+
+
 def _pagerank_oracle() -> str:
     """The oracle unrolls the ``_PR_ITERS`` power iterations as chained
     CTEs (recursive CTEs disallow aggregation in the recursive member, so
@@ -436,33 +464,9 @@ def _register_queries() -> None:
         6-dp rounding sits ~1e7 above cross-engine FP noise."""
         from cdc_worker_spark.sources.tables import load_table
 
-        from cdc_worker_spark.functions.exprs import (
-            basket_pair_array,
-            cap_basket,
-        )
-
         li = load_table(spark, sf_dir, "lineitem")
-        # pair expansion without a self-join: ONE basket-keyed shuffle,
-        # then a nested array transform (same shape as q_basket_pairs,
-        # incl. the cap_basket hot-basket valve — the derive is the
-        # dominant cost of this query at sf10, and one unbounded basket
-        # would make it quadratic in that basket's size).
-        # No pre-distinct: collect_set dedups within the group, so a
-        # distinct() here would be a second full fact-scale exchange
-        # (unlike q_basket_pairs, nothing else consumes the distinct set)
-        per_order = (
-            li.select("l_orderkey", "l_partkey")
-            .groupBy("l_orderkey")
-            .agg(F.collect_set("l_partkey").alias("parts"))
-        )
-        edges = (
-            per_order.select(cap_basket("parts").alias("parts"))
-            .select(F.explode(basket_pair_array("parts", directed=True)).alias("p"))
-            .select(F.col("p.src").alias("src"), F.col("p.dst").alias("dst"))
-            .groupBy("src", "dst")
-            .agg(F.count("*").alias("w"))
-            .filter(F.col("w") >= 2)
-            .select("src", "dst")
+        edges = copurchase_pair_counts(li).filter(F.col("w") >= 2).select(
+            "src", "dst"
         )
         ranks = pagerank(edges)
         # N from the (checkpointed) rank table — one row per node — NOT

@@ -789,25 +789,20 @@ def _bm25_oracle() -> str:
     """
 
 
-@query("q_text_bm25", oracle=_bm25_oracle())
-def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 top-k retrieval for a fixed probe query over the whole corpus
-    (Robertson/Sparck Jones probabilistic ranking, the Lucene-default
-    non-negative idf = ln((N - df + 0.5)/(df + 0.5) + 1) variant).
-
-    The plan is the reason BM25 belongs in a 100 TB engine: it needs NO
-    inverted index and NO corpus shuffle. Per-document term frequencies for
-    the |Q| probe terms and the document length are array expressions on the
-    split text — a pure projection inside the one corpus scan. Corpus stats
-    (N, avgdl, per-term df) are ONE 1-row global aggregate broadcast back,
-    the score is arithmetic on the projected row, and top-k is
-    TakeOrderedAndProject (per-partition partial top-20, O(k) to the
-    driver). Zero wide exchanges end to end; ln()'s cross-engine ulp noise
-    washes below the round(.,6) contract like every ln-scoring query here.
-    """
-    docs = load_table(spark, sf_dir, "documents")
+def bm25_topk(
+    docs: DataFrame,
+    terms: tuple[str, ...] = BM25_TERMS,
+    k: int = BM25_TOPK,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Single-query BM25 top-k over a (doc_id, text) corpus — the
+    parameterized core of q_text_bm25, reused as the per-query reference
+    the batch operator (operators/retrieval.bm25_topk_batch) is asserted
+    equal to. ``terms`` must be distinct (a query's term multiplicity does
+    not re-weight BM25)."""
     ws = F.filter(F.split("text", " "), lambda x: x != "")
-    nt = len(BM25_TERMS)
+    nt = len(terms)
 
     def _eq(term: str):
         # a factory, not `lambda x, t=t`: a second lambda param (even with a
@@ -819,7 +814,7 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(ws).cast("double").alias("dl"),
         *[
             F.size(F.filter(ws, _eq(t))).cast("double").alias(f"tf{i}")
-            for i, t in enumerate(BM25_TERMS)
+            for i, t in enumerate(terms)
         ],
     )
     # both the stats pass and the scoring pass read per_doc; checkpointing
@@ -840,8 +835,8 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n") - F.col(f"df{i}") + 0.5) / (F.col(f"df{i}") + 0.5) + 1.0
         )
         tf = F.col(f"tf{i}")
-        denom = tf + BM25_K1 * ((1.0 - BM25_B) + BM25_B * F.col("dl") / F.col("avgdl"))
-        return idf * tf * (BM25_K1 + 1.0) / denom
+        denom = tf + k1 * ((1.0 - b) + b * F.col("dl") / F.col("avgdl"))
+        return idf * tf * (k1 + 1.0) / denom
 
     score = F.round(sum(term_score(i) for i in range(nt)), 6)
     n_hit = sum((F.col(f"tf{i}") > 0).cast("int") for i in range(nt)).cast("int")
@@ -850,5 +845,24 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", n_hit.alias("n_hit"), score.alias("bm25"))
         .filter(F.col("n_hit") > 0)
         .orderBy(F.desc("bm25"), "doc_id")
-        .limit(BM25_TOPK)
+        .limit(k)
     )
+
+
+@query("q_text_bm25", oracle=_bm25_oracle())
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval for a fixed probe query over the whole corpus
+    (Robertson/Sparck Jones probabilistic ranking, the Lucene-default
+    non-negative idf = ln((N - df + 0.5)/(df + 0.5) + 1) variant).
+
+    The plan is the reason BM25 belongs in a 100 TB engine: it needs NO
+    inverted index and NO corpus shuffle. Per-document term frequencies for
+    the |Q| probe terms and the document length are array expressions on the
+    split text — a pure projection inside the one corpus scan. Corpus stats
+    (N, avgdl, per-term df) are ONE 1-row global aggregate broadcast back,
+    the score is arithmetic on the projected row, and top-k is
+    TakeOrderedAndProject (per-partition partial top-20, O(k) to the
+    driver). Zero wide exchanges end to end; ln()'s cross-engine ulp noise
+    washes below the round(.,6) contract like every ln-scoring query here.
+    """
+    return bm25_topk(load_table(spark, sf_dir, "documents"))

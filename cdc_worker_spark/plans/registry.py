@@ -75,6 +75,8 @@ _QUERY_MODULES = (
     "cdc_worker_spark.operators.warehouse",
     "cdc_worker_spark.operators.geo",
     "cdc_worker_spark.operators.traindata",
+    "cdc_worker_spark.operators.retrieval",
+    "cdc_worker_spark.operators.graph_incr",
 )
 
 

@@ -138,8 +138,20 @@ def main() -> int:
         spark.catalog.clearCache()
         gc.collect()
 
+    out: dict = {}
+    if args.names is None and args.start is not None:
+        # label the artifact with its registry range (VERDICT r06 "wrong"
+        # #3: a reader must map artifact -> slice without a script). The
+        # "_window" key is metadata, not a query record; 1-indexed
+        # inclusive bounds over the CURRENT frozen registry order.
+        out["_window"] = {
+            "registry_slice": [args.start + 1, args.start + len(names)],
+            "registry_total": len(qs),
+            "sf": args.sf,
+        }
+    out.update(results)
     with open(args.out, "w") as f:
-        json.dump(results, f, indent=2)
+        json.dump(out, f, indent=2)
     print(f"wrote {args.out}: {len(results)} queries, {n_bad} bad")
     return 1 if n_bad else 0
 

@@ -19,7 +19,11 @@ Round-6 jar attempt (VERDICT r05 next #2, 2026-08-14): retried —
 host: repo1.maven.org" (curl exit 6, DNS itself is blocked) and
 `pip download` dies the same way on its index host. Third consecutive
 round the fetch is impossible; recording per the judge's instruction and
-closing the question."""
+closing the question.
+
+Round-7 probe (VERDICT r06 next #8, 2026-08-15): re-ran once — DNS for
+repo1.maven.org and the pip index still fails ("Name or service not
+known"); unchanged."""
 
 from __future__ import annotations
 

@@ -19,9 +19,9 @@ def test_registry_size_matches_docs():
     these numbers; update both together."""
     qs = all_queries()
     oracles = all_oracles()
-    assert len(qs) == 208, f"registry has {len(qs)} queries, docs say 208"
-    assert len(oracles) == 191, (
-        f"{len(oracles)} oracle-checked queries, docs say 191 "
+    assert len(qs) == 210, f"registry has {len(qs)} queries, docs say 210"
+    assert len(oracles) == 193, (
+        f"{len(oracles)} oracle-checked queries, docs say 193 "
         f"({len(qs) - len(oracles)} rows-only by design)"
     )
 

@@ -212,7 +212,8 @@ def test_delta_merge_sink_matches_latest_wins_state(spark, tmp_path):
     for repo1.maven.org and the pip index ("Name or service not known"),
     so no jar or wheel can ever be fetched from this container. Third
     consecutive documented failure; closing the question per VERDICT r05
-    next #2."""
+    next #2. Round-7 probe (2026-08-15): re-ran once, DNS still blocked;
+    unchanged."""
     import pytest
 
     try:

@@ -236,7 +236,8 @@ def test_session_close_summaries_transform_with_state(spark, tmp_path):
     next #2. The session-close SEMANTICS are nevertheless tested offline:
     test_session_close_fallback_matches_window_agg below runs the
     applyInPandasWithState fallback (no protobuf needed) against the same
-    fixture and asserts equal summaries."""
+    fixture and asserts equal summaries. Round-7 probe (2026-08-15):
+    `pip download protobuf` re-ran once, still DNS-blocked; unchanged."""
     pytest.importorskip(
         "google.protobuf",
         reason="transformWithState needs protobuf; container is offline",
