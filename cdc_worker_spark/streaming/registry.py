@@ -180,6 +180,7 @@ def run_multiplexed_pipeline(
     registry: SchemaRegistry,
     max_files_per_trigger: int | None = 1,
     available_now: bool = True,
+    fault_injector=None,
 ):
     """Multi-topic CDC stream with MID-STREAM schema evolution: each
     micro-batch first resolves any schema id it carries that the registry has
@@ -189,9 +190,25 @@ def run_multiplexed_pipeline(
     restart, and its rows never detour through the DLQ (closing the gap vs
     plan-build-time-only resolution).
 
-    Decoded rows append to ``out_dir``; rows that remain unknown/corrupt
-    (including NULL schema_id) append to ``dlq_dir``.
+    Exactly-once under CRASH-replay, not just clean restarts (r7): each
+    batch writes to its own deterministic ``batch=<epoch_id>`` directory
+    with overwrite, so a kill anywhere between the sink write and the
+    checkpoint commit replays into the SAME directory instead of
+    double-appending — the idempotent-foreachBatch recipe, mirroring the
+    reference's replay-id redelivery contract (client.js:227-242: replays
+    re-deliver, the consumer must be idempotent). The structured-streaming
+    WAL pins batch_id -> file set, so the replayed batch is byte-identical;
+    if mid-stream schema resolution advanced between attempts, overwrite
+    also retires the first attempt's DLQ rows that now decode.
+
+    ``fault_injector(batch_id, point)`` is the chaos seam
+    (tests/test_streaming_chaos.py): called at ``pre`` (before decode),
+    ``mid`` (between the two sink writes — the torn-write window) and
+    ``post`` (after both writes, before the checkpoint commit); raising
+    kills the query at exactly that point.
     """
+    import os
+
     from cdc_worker_spark.streaming.envelope import ENVELOPE_SCHEMA
 
     reader = spark.readStream.schema(ENVELOPE_SCHEMA)
@@ -200,17 +217,31 @@ def run_multiplexed_pipeline(
     raw = reader.json(input_dir)
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if fault_injector is not None:
+            fault_injector(batch_id, "pre")
         batch_df = batch_df.persist()
         try:
             resolve_new_ids(registry, batch_df)
             decoded = decode_multiplexed(batch_df, registry).persist()
             try:
-                decoded.filter("is_corrupt").write.mode("append").parquet(dlq_dir)
-                decoded.filter("NOT is_corrupt").write.mode("append").parquet(out_dir)
+                # DLQ is corrupt-rows-only and small by definition:
+                # coalesce(1) keeps one schema-bearing file per batch even
+                # when the batch has zero corrupt rows, so a replay always
+                # overwrites cleanly and the parent dir always reads
+                decoded.filter("is_corrupt").coalesce(1).write.mode(
+                    "overwrite"
+                ).parquet(os.path.join(dlq_dir, f"batch={batch_id}"))
+                if fault_injector is not None:
+                    fault_injector(batch_id, "mid")
+                decoded.filter("NOT is_corrupt").write.mode(
+                    "overwrite"
+                ).parquet(os.path.join(out_dir, f"batch={batch_id}"))
             finally:
                 decoded.unpersist()
         finally:
             batch_df.unpersist()
+        if fault_injector is not None:
+            fault_injector(batch_id, "post")
 
     stream = raw.writeStream.foreachBatch(apply_batch).option(
         "checkpointLocation", checkpoint_dir
