@@ -1,0 +1,85 @@
+"""The oracle-free invariant harness (scripts/verify_invariants.py) must not
+rot between the big sf100 sweeps: its dialect shim, fingerprint, and a
+representative slice of its checks run here at the test fixture scale."""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import sys
+
+import pytest
+
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def inv():
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts",
+        "verify_invariants.py",
+    )
+    spec = importlib.util.spec_from_file_location("verify_invariants", path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["verify_invariants"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def ctx(inv, spark):
+    from cdc_worker_spark.plans import all_queries
+    from cdc_worker_spark.sources.tables import register_views
+
+    register_views(spark, SF_DIR)
+    inv.register_shims(spark, SF_DIR)
+    return inv.Ctx(spark, SF_DIR, all_queries())
+
+
+def test_fingerprint_is_order_insensitive_and_value_sensitive(inv, spark):
+    a = spark.createDataFrame([(1, "x"), (2, "y")], "k: int, v: string")
+    b = spark.createDataFrame([(2, "y"), (1, "x")], "k: int, v: string")
+    c = spark.createDataFrame([(1, "x"), (2, "z")], "k: int, v: string")
+    assert inv.fingerprint(a) == inv.fingerprint(b)
+    assert inv.fingerprint(a) != inv.fingerprint(c)
+
+
+def test_lifted_oracle_dual_matches_builder(inv, ctx, spark):
+    """A shim-lifted oracle (epoch_ms UDF + rewrites) must equal its
+    builder at fixture scale — the calibration the sf100 sweep rests on."""
+    from cdc_worker_spark.plans.registry import REGISTRY
+
+    for name in ("q_tpch_q1", "q_agg_salted_hot", "q_cdc_latest_state"):
+        df = ctx.qs[name](spark, SF_DIR)
+        odf = spark.sql(inv.rewrite_oracle(REGISTRY[name].oracle))
+        assert inv.fingerprint(df) == inv.fingerprint(odf), name
+
+
+def test_named_invariants_pass_at_fixture_scale(inv, ctx, spark):
+    checks = []
+    checks += inv.check_pagerank_mass(
+        ctx, ctx.qs["q_graph_pagerank_directed"](spark, SF_DIR)
+    )
+    checks += inv.check_salted_equals_plain(
+        ctx, ctx.qs["q_agg_salted_hot"](spark, SF_DIR)
+    )
+    checks += inv.check_incr_agg_monoid(
+        ctx, ctx.qs["q_cdc_incr_agg"](spark, SF_DIR)
+    )
+    checks += inv.check_scd2(ctx, ctx.qs["q_cdc_scd2"](spark, SF_DIR))
+    bad = [(c, d) for c, ok, d in checks if not ok]
+    assert not bad, bad
+
+
+def test_invariant_checks_catch_a_planted_violation(inv, ctx, spark):
+    """Negative control: a corrupted result must FAIL its invariant (the
+    sweep cannot pass vacuously)."""
+    from pyspark.sql import functions as F
+
+    good = ctx.qs["q_graph_pagerank_directed"](spark, SF_DIR)
+    bad = good.withColumn(
+        "rank_scaled", F.col("rank_scaled") * 1.5
+    )  # breaks mass conservation
+    (name, ok, detail), = inv.check_pagerank_mass(ctx, bad)
+    assert not ok, detail
