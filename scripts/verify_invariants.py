@@ -973,8 +973,17 @@ def check_cluster_near_equals_star(ctx, df):
     (labels normalized to each cluster's min doc_id)."""
     from pyspark.sql import functions as F
 
-    near = ctx.qs["q_dedup_cluster_near"](ctx.spark, ctx.sf_dir)
-    star = ctx.qs["q_dedup_cluster_star"](ctx.spark, ctx.sf_dir)
+    # label tables are O(docs) and SMALL; the pipelines deriving them are
+    # the heavy part — checkpoint eagerly so canon()'s two consumers (and
+    # the fingerprint) never re-run the MinHash+CC derivation
+    near = (
+        ctx.qs["q_dedup_cluster_near"](ctx.spark, ctx.sf_dir)
+        .localCheckpoint(eager=True)
+    )
+    star = (
+        ctx.qs["q_dedup_cluster_star"](ctx.spark, ctx.sf_dir)
+        .localCheckpoint(eager=True)
+    )
 
     def canon(d):
         m = d.groupBy("cluster_id").agg(F.min("doc_id").alias("canon"))
@@ -1041,6 +1050,12 @@ def main() -> int:
         "--skip-bespoke", action="store_true", help="duals only (debug)"
     )
     ap.add_argument(
+        "--cluster-dual-only",
+        action="store_true",
+        help="run ONLY the near-vs-star cluster dual (fresh-JVM re-runs "
+        "after a marathon OOM)",
+    )
+    ap.add_argument(
         "--cluster-dual-sf",
         default=None,
         help="sf_dir for the near-vs-star cluster dual (the MinHash pair "
@@ -1073,6 +1088,8 @@ def main() -> int:
     ctx = Ctx(spark, args.sf, qs)
 
     names = args.only.split(",") if args.only else SUITE + EXTRAS
+    if args.cluster_dual_only:
+        names = []
     results: dict[str, list] = {}
     n_fail = 0
     t_start = time.time()
@@ -1130,7 +1147,7 @@ def main() -> int:
 
     # judge-named dual: cluster_near vs cluster_star induce the same
     # partition. Runs at --cluster-dual-sf (sf10 for the sf100 sweep).
-    if not args.only:
+    if not args.only or args.cluster_dual_only:
         cd_sf = args.cluster_dual_sf or args.sf
         t0 = time.time()
         try:
