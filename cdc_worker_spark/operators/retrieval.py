@@ -36,6 +36,11 @@ BM25_BATCH_PROBES: tuple[tuple[int, str], ...] = (
     (5, "zzz-no-such-term merge"),
 )
 
+#: above this many distinct query terms the literal-array token filter
+#: (an O(|V_q|) codegen'd scan per token) switches to the explode +
+#: broadcast-join path (an O(1) hash probe per token, no plan literal).
+BM25_VQ_LITERAL_MAX = 512
+
 
 def bm25_topk_batch(
     queries: DataFrame,
@@ -43,34 +48,48 @@ def bm25_topk_batch(
     k: int = BM25_TOPK,
     k1: float = BM25_K1,
     b: float = BM25_B,
+    vq_mode: str = "auto",
 ) -> DataFrame:
     """Per-query BM25 top-k for every query in ``queries`` (query_id,
     query_text) over ``docs`` (doc_id, text), in ONE corpus scan.
 
     Plan (100 TB shape):
-    - the query set's distinct (query_id, term) pairs and its vocabulary
-      V_q are driver-side small (eval prompts, not a corpus) — V_q is
-      inlined as a literal array, the pair table broadcasts;
-    - ONE corpus scan projects (doc_id, dl, hits) where hits keeps only
-      tokens ∈ V_q (an O(|V_q|) codegen'd equality loop per token; for
-      |V_q| in the many-thousands an explode + broadcast-semi-join filter
-      replaces the literal — same downstream plan). The slim frame is
-      lazily checkpointed, so the fat text column is read and tokenized
-      exactly once for stats + scoring;
-    - per-(doc, term) tf comes from exploding ONLY the hits (shuffle
-      carries query-vocabulary matches, never the corpus); per-term df is
-      an O(|V_q|)-row aggregate that broadcasts back, as do the 1-row
-      corpus stats (N, avgdl);
+    - the query set's distinct (query_id, term) pairs are driver-side
+      small (eval prompts, not a corpus) and broadcast;
+    - ONE corpus scan reduces the corpus to per-(doc, term) tf rows for
+      terms in the query vocabulary V_q, via one of two size-gated
+      branches (``vq_mode``: auto/literal/semijoin — auto switches at
+      BM25_VQ_LITERAL_MAX distinct terms):
+        * literal (small V_q): project (doc_id, dl, hits) where hits
+          keeps only tokens ∈ an inlined literal array (an O(|V_q|)
+          codegen'd equality loop per token), then explode only the hits;
+        * semijoin (large V_q): explode_outer all tokens, broadcast-LEFT-
+          join V_q and null out non-matching terms, then
+          groupBy(doc_id, dl, term) — map-side partial aggregation
+          collapses the corpus tokens to O(docs + hits) rows BEFORE the
+          shuffle, each token costs an O(1) hash probe instead of the
+          literal scan, no |V_q|-sized literal enters the plan, and the
+          term-null rows keep every doc (incl. zero-hit docs) visible to
+          the corpus stats;
+      either way the slim result is lazily checkpointed, so the fat text
+      column is read and tokenized exactly once for stats + scoring;
+    - per-term df is an O(|V_q|)-row aggregate that broadcasts back, as
+      do the 1-row corpus stats (N, avgdl);
     - scoring joins tf to the broadcast query-term table and sums term
       scores per (query_id, doc_id); ranking is a per-query window top-k
       on the ROUNDED score with doc_id tiebreak — the same total order as
       the single-query TakeOrderedAndProject, so batch == per-query loop
-      exactly (asserted on 20 probes in tests/test_retrieval.py).
+      exactly (asserted on 20 probes in tests/test_retrieval.py, and
+      literal == semijoin on a >5k-term probe set).
 
     Semantics match bm25_topk per query: terms are deduped per query
     (multiplicity does not re-weight), df/N/avgdl are corpus-global, docs
     with zero hits for a query are absent from that query's list.
+    An empty query set (or one with no non-empty terms) returns an empty
+    frame with the output schema instead of an unplannable empty literal.
     """
+    if vq_mode not in ("auto", "literal", "semijoin"):
+        raise ValueError(f"vq_mode must be auto|literal|semijoin: {vq_mode}")
     qterms = (
         queries.select(
             "query_id",
@@ -82,27 +101,83 @@ def bm25_topk_batch(
         )
         .distinct()
     )
+    # V_q itself is always driver-side small even when "large" (eval-prompt
+    # vocabularies, not a corpus); only the LITERAL branch inlines it.
     vq = sorted({r["term"] for r in qterms.select("term").distinct().collect()})
-    vq_lit = F.array(*[F.lit(t) for t in vq])
+    if not vq:  # F.array() with zero args is an analysis error
+        from pyspark.sql.types import (
+            DoubleType,
+            IntegerType,
+            StructField,
+            StructType,
+        )
+
+        schema = StructType(
+            [
+                StructField("query_id", queries.schema["query_id"].dataType),
+                StructField("doc_id", docs.schema["doc_id"].dataType),
+                StructField("n_hit", IntegerType()),
+                StructField("bm25", DoubleType()),
+            ]
+        )
+        return docs.sparkSession.createDataFrame([], schema)
+    use_literal = vq_mode == "literal" or (
+        vq_mode == "auto" and len(vq) <= BM25_VQ_LITERAL_MAX
+    )
     ws = F.filter(F.split("text", " "), lambda x: x != "")
-    per_doc = docs.select(
-        "doc_id",
-        F.size(ws).cast("double").alias("dl"),
-        F.filter(ws, lambda x: F.array_contains(vq_lit, x)).alias("hits"),
-    ).localCheckpoint(eager=False)
-    stats = per_doc.agg(
-        F.count("*").cast("double").alias("n"), F.avg("dl").alias("avgdl")
-    )
     # tf has two consumers (dfreq + scoring) and DataFrame branches re-plan
-    # shared subtrees — without the checkpoint the explode+agg runs twice
-    # (counted in the formatted plan). Hit-scale rows only (query-vocab
-    # matches), never the corpus.
-    tf = (
-        per_doc.select("doc_id", "dl", F.explode("hits").alias("term"))
-        .groupBy("doc_id", "dl", "term")
-        .agg(F.count("*").cast("double").alias("tf"))
-        .localCheckpoint(eager=False)
-    )
+    # shared subtrees — without the checkpoint the tokenize+agg runs twice
+    # (counted in the formatted plan). O(docs + hits) rows only, never the
+    # raw corpus tokens.
+    if use_literal:
+        vq_lit = F.array(*[F.lit(t) for t in vq])
+        per_doc = docs.select(
+            "doc_id",
+            F.size(ws).cast("double").alias("dl"),
+            F.filter(ws, lambda x: F.array_contains(vq_lit, x)).alias("hits"),
+        ).localCheckpoint(eager=False)
+        stats = per_doc.agg(
+            F.count("*").cast("double").alias("n"), F.avg("dl").alias("avgdl")
+        )
+        tf = (
+            per_doc.select("doc_id", "dl", F.explode("hits").alias("term"))
+            .groupBy("doc_id", "dl", "term")
+            .agg(F.count("*").cast("double").alias("tf"))
+            .localCheckpoint(eager=False)
+        )
+    else:
+        vq_df = qterms.select("term").distinct()
+        tok = docs.select(
+            "doc_id",
+            F.size(ws).cast("double").alias("dl"),
+            F.explode_outer(ws).alias("tok"),
+        )
+        marked = tok.join(
+            F.broadcast(vq_df.select(F.col("term").alias("tok")).withColumn("_m", F.lit(1))),
+            "tok",
+            "left",
+        ).select(
+            "doc_id",
+            "dl",
+            F.when(F.col("_m") == 1, F.col("tok")).alias("term"),
+        )
+        # term IS NULL rows carry the non-matching (and zero-token) mass:
+        # exactly one surviving group per doc, so per_doc-equivalent stats
+        # fall out of the same single scan.
+        per_doc_term = (
+            marked.groupBy("doc_id", "dl", "term")
+            .agg(F.count("*").cast("double").alias("tf"))
+            .localCheckpoint(eager=False)
+        )
+        stats = (
+            per_doc_term.groupBy("doc_id")
+            .agg(F.first("dl").alias("dl"))
+            .agg(
+                F.count("*").cast("double").alias("n"),
+                F.avg("dl").alias("avgdl"),
+            )
+        )
+        tf = per_doc_term.filter(F.col("term").isNotNull())
     dfreq = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
     idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
     denom = F.col("tf") + k1 * (

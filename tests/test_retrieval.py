@@ -81,6 +81,93 @@ def test_batch_registered_query_runs(spark):
         assert r["n_hit"] >= 1
 
 
+def test_batch_empty_query_set(spark):
+    """Zero probes (and zero non-empty terms) must return an empty frame
+    with the output schema, not an unplannable zero-arg array literal."""
+    docs = load_table(spark, SF_DIR, "documents")
+    for rows in ([], [(1, ""), (2, "  ")]):
+        probes = spark.createDataFrame(
+            rows, "query_id: int, query_text: string"
+        )
+        out = bm25_topk_batch(probes, docs, k=K)
+        assert out.columns == ["query_id", "doc_id", "n_hit", "bm25"]
+        assert out.count() == 0
+
+
+def _rows(df):
+    return sorted(
+        (r["query_id"], r["doc_id"], r["n_hit"], r["bm25"])
+        for r in df.collect()
+    )
+
+
+def test_semijoin_equals_literal_small(spark):
+    probes = spark.createDataFrame(
+        _probe_set(spark, 20), "query_id: int, query_text: string"
+    )
+    docs = load_table(spark, SF_DIR, "documents")
+    lit = bm25_topk_batch(probes, docs, k=K, vq_mode="literal")
+    semi = bm25_topk_batch(probes, docs, k=K, vq_mode="semijoin")
+    assert _rows(semi) == _rows(lit)
+
+
+def test_semijoin_equals_literal_large_vq_and_auto_gate(spark):
+    """The verdict's 'done' bar: a synthetic >=5k-term probe set runs
+    through both branches with identical results, and auto mode picks the
+    semijoin branch (no giant literal reaches the plan)."""
+    docs = load_table(spark, SF_DIR, "documents")
+    top = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter("w <> ''")
+        .groupBy("w")
+        .count()
+        .orderBy(F.desc("count"), "w")
+        .limit(200)
+        .collect()
+    )
+    vocab = [r["w"] for r in top]
+    probes = []
+    marker = "zzqqmarkerterm0"
+    for i in range(520):
+        live = [vocab[(i + j) % len(vocab)] for j in range(3)]
+        # ~10 synthetic absent terms per probe push |V_q| past 5k
+        absent = [f"zzqqmarkerterm{10 * i + j}" for j in range(10)]
+        probes.append((i + 1, " ".join(live + absent)))
+    pdf = spark.createDataFrame(probes, "query_id: int, query_text: string")
+    lit = bm25_topk_batch(pdf, docs, k=5, vq_mode="literal")
+    auto = bm25_topk_batch(pdf, docs, k=5, vq_mode="auto")
+    plan = auto._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert marker not in plan, "auto mode inlined the large V_q as a literal"
+    assert _rows(auto) == _rows(lit)
+
+
+def test_semijoin_plan_single_scan_no_python(spark):
+    """Same plan contract as the literal branch: the corpus is scanned
+    once (shielded by the tf-level checkpoint), joins broadcast, nothing
+    goes through Python, wide exchanges stay O(docs + hits)-scale."""
+    probes = spark.createDataFrame(
+        _probe_set(spark, 20), "query_id: int, query_text: string"
+    )
+    docs = load_table(spark, SF_DIR, "documents")
+    df = bm25_topk_batch(probes, docs, k=K, vq_mode="semijoin")
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    tree = plan.split("\n(1)")[0]
+    assert plan.count("documents.parquet") == 0, plan
+    assert "SortMergeJoin" not in tree and "ShuffledHashJoin" not in tree
+    assert "ArrowEvalPython" not in tree and "BatchEvalPython" not in tree
+    assert "BroadcastHashJoin" in tree
+    wide = tree.count("Exchange") - tree.count("BroadcastExchange")
+    assert wide <= 7, tree
+
+
 def test_batch_plan_single_scan_broadcast_joins(spark):
     """The corpus reaches the plan exactly once (the slim lazily-
     checkpointed projection — downstream consumers read that RDD, so
