@@ -522,31 +522,26 @@ IVFPQ_SHORTLIST = 20
 IVFPQ_TOPK = 5
 
 
-@query("q_sim_ann_ivfpq")  # rows-only: IVF recall set + Lloyd-trained
-# codebooks are approximate/iterative by design; gated by
-# tests/test_traindata.py (recall vs the exact brute-force top-k)
-def q_sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ ANN: coarse IVF bucketing (shared with q_sim_ann_ivf's cached
-    centroids) + asymmetric-distance (ADC) scan over PQ codes + exact
-    re-rank of a small shortlist — the standard billion-scale ANN recipe
-    (IVFADC), all in DataFrame ops.
-
-    100 TB design: the inverted lists store ONLY (bucket, c_id, m PQ codes)
-    — ~m bytes/vector instead of 4·dim — so the candidate scan streams
-    compressed codes; per-query subspace LUTs (k distances each) ride the
-    broadcast probe side and ADC is pure element_at arithmetic (JVM-side,
-    no Python per candidate). Raw vectors are touched ONLY for the
-    IVFPQ_SHORTLIST re-rank rows, fetched by a broadcast-able join back to
-    the vector store keyed by c_id. Training reuses the cached coarse
-    centroids (same key as q_sim_ann_ivf) and the cached PQ codebooks
-    (same keys as q_emb_pq), so probe cost is probe cost.
-    Reference scope: beyond the reference (LLM-pipeline extension set)."""
-    import os
+def ivfpq_topk(
+    spark: SparkSession,
+    emb: DataFrame,
+    emb_path: str,
+    q_max_id: int = 10,
+    nprobe: int | None = None,
+    shortlist: int | None = None,
+    topk: int | None = None,
+) -> DataFrame:
+    """Parametrized IVF-PQ ANN (see q_sim_ann_ivfpq for the plan shape and
+    the 100 TB design). ``q_max_id`` picks the query set (vec_id <
+    q_max_id); nprobe/shortlist/topk default to the registered query's
+    constants. Factored out in r8 so the sf10 recall-vs-nprobe sweep
+    (scripts/bench_ann_recall.py) can vary the knobs the serving path
+    would tune."""
+    nprobe = IVFPQ_NPROBE if nprobe is None else nprobe
+    shortlist = IVFPQ_SHORTLIST if shortlist is None else shortlist
+    topk = IVFPQ_TOPK if topk is None else topk
 
     from cdc_worker_spark.operators.similarity import _IVF_K
-
-    emb = with_double_vec(load_table(spark, sf_dir, "embeddings"))
-    emb_path = os.path.join(sf_dir, "embeddings.parquet")
     coarse = kmeans_centroids_cached(
         emb, cache_key=emb_path, k=_IVF_K, n_iters=2
     )
@@ -597,9 +592,9 @@ def q_sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     probe_buckets = F.transform(
-        F.slice(ranked, 1, IVFPQ_NPROBE), lambda s: s.getField("b")
+        F.slice(ranked, 1, nprobe), lambda s: s.getField("b")
     )
-    probes = with_d.filter(F.col("vec_id") < 10).select(
+    probes = with_d.filter(F.col("vec_id") < q_max_id).select(
         F.col("vec_id").alias("q_id"),
         F.col("dv").alias("q_dv"),
         F.explode(probe_buckets).alias("bucket"),
@@ -625,11 +620,11 @@ def q_sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("q_id") != F.col("c_id"))
         .withColumn("adc", adc)
         .withColumn("srnk", F.row_number().over(w_adc))
-        .filter(F.col("srnk") <= IVFPQ_SHORTLIST)
+        .filter(F.col("srnk") <= shortlist)
         .select("q_id", "c_id")
     )
     # exact re-rank: fetch raw vectors ONLY for the shortlist rows
-    qv = emb.filter(F.col("vec_id") < 10).select(
+    qv = emb.filter(F.col("vec_id") < q_max_id).select(
         F.col("vec_id").alias("q_id"), F.col("dv").alias("q_dv"),
         F.col("nrm").alias("q_nrm"),
     )
@@ -647,9 +642,36 @@ def q_sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(qv), ["q_id"])
         .withColumn("cos", cos)
         .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= IVFPQ_TOPK)
+        .filter(F.col("rnk") <= topk)
         .select("q_id", "c_id", F.round("cos", 6).alias("cos_sim"), "rnk")
     )
+
+
+@query("q_sim_ann_ivfpq")  # rows-only: IVF recall set + Lloyd-trained
+# codebooks are approximate/iterative by design; gated by
+# tests/test_traindata.py (recall vs the exact brute-force top-k) and the
+# sf10 recall-vs-nprobe sweep (scripts/bench_ann_recall.py, SCALE.md §r8)
+def q_sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN: coarse IVF bucketing (shared with q_sim_ann_ivf's cached
+    centroids) + asymmetric-distance (ADC) scan over PQ codes + exact
+    re-rank of a small shortlist — the standard billion-scale ANN recipe
+    (IVFADC), all in DataFrame ops.
+
+    100 TB design: the inverted lists store ONLY (bucket, c_id, m PQ codes)
+    — ~m bytes/vector instead of 4·dim — so the candidate scan streams
+    compressed codes; per-query subspace LUTs (k distances each) ride the
+    broadcast probe side and ADC is pure element_at arithmetic (JVM-side,
+    no Python per candidate). Raw vectors are touched ONLY for the
+    shortlist re-rank rows, fetched by a broadcast-able join back to
+    the vector store keyed by c_id. Training reuses the cached coarse
+    centroids (same key as q_sim_ann_ivf) and the cached PQ codebooks
+    (same keys as q_emb_pq), so probe cost is probe cost.
+    Reference scope: beyond the reference (LLM-pipeline extension set)."""
+    import os
+
+    emb = with_double_vec(load_table(spark, sf_dir, "embeddings"))
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    return ivfpq_topk(spark, emb, emb_path)
 
 
 @query("q_text_bpe_vocab")  # rows-only: n_merges chained argmax+rewrite

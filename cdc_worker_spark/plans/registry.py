@@ -77,6 +77,7 @@ _QUERY_MODULES = (
     "cdc_worker_spark.operators.traindata",
     "cdc_worker_spark.operators.retrieval",
     "cdc_worker_spark.operators.graph_incr",
+    "cdc_worker_spark.operators.cluster_incr",
 )
 
 

@@ -1,0 +1,252 @@
+#!/usr/bin/env python
+"""One-command chunked invariant marathon (VERDICT r07 next #4).
+
+The r7 sf100 sweep ran ~50 queries in ONE JVM and OOMed at its tail; the
+last two entries had to be re-run by hand and merged into the artifact
+(INVARIANTS_sf100.json `reruns` note). This runner makes that impossible:
+
+- the suite is split into fresh-JVM batches of --chunk-size queries, each
+  executed as a `verify_invariants.py --only ... --out part_k.json`
+  subprocess (the bench_multi_sf pattern), so heap pressure never
+  accumulates across more than one chunk;
+- a chunk that crashes or times out WITHOUT producing its part file is
+  split into single-query fresh-JVM retries; a query that still produces
+  nothing is recorded as an explicit `run FAIL (chunk crashed/timed out)`
+  — a sweep can be slow but can never be silently truncated;
+- the per-chunk artifacts are merged into one INVARIANTS_sf{N}.json with
+  per-chunk metadata, produced by this single command with no hand edits.
+
+    python scripts/run_invariants.py --sf /root/repo/.fixtures/sf100 \
+        --cluster-dual-sf /root/repo/.fixtures/sf10
+    python scripts/run_invariants.py --sf /root/testdata/sf0.01   # calibration-scale smoke
+
+The merge is covered by tests/test_invariants_harness.py: it must carry
+every declared query or raise.
+"""
+
+from __future__ import annotations
+
+import argparse
+import importlib.util
+import json
+import pathlib
+import re
+import subprocess
+import sys
+import time
+
+HERE = pathlib.Path(__file__).resolve().parent
+VERIFY = HERE / "verify_invariants.py"
+
+
+def _load_verify_module():
+    spec = importlib.util.spec_from_file_location("verify_invariants", VERIFY)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def chunked(seq: list, n: int) -> list[list]:
+    return [seq[i : i + n] for i in range(0, len(seq), n)]
+
+
+def merge_parts(parts: list[dict], declared: list[str], sf_dir: str) -> dict:
+    """Merge per-chunk artifacts into one sweep artifact. Raises if any
+    declared query is missing from the union — a truncated sweep must be
+    loud, never an artifact that looks complete."""
+    results: dict[str, list] = {}
+    chunks_meta = []
+    for p in parts:
+        for q, checks in p["results"].items():
+            results[q] = checks
+        chunks_meta.append(
+            {
+                "queries": sorted(p["results"].keys()),
+                "wall_sec": p.get("wall_sec"),
+                "n_fail": p.get("n_fail", 0),
+            }
+        )
+    missing = [q for q in declared if q not in results]
+    if missing:
+        raise RuntimeError(f"merge does not cover declared queries: {missing}")
+    n_fail = sum(
+        1 for checks in results.values() for c in checks if c["ok"] is False
+    )
+    return {
+        "sf_dir": sf_dir,
+        "wall_sec": round(sum(p.get("wall_sec") or 0 for p in parts), 1),
+        "n_queries": len(results),
+        "n_checks": sum(len(v) for v in results.values()),
+        "n_fail": n_fail,
+        "chunks": chunks_meta,
+        "results": results,
+    }
+
+
+def _run_one(cmd: list[str], timeout: int) -> str:
+    try:
+        p = subprocess.run(
+            cmd, timeout=timeout, capture_output=True, text=True
+        )
+        return f"exit={p.returncode}\n" + (p.stdout + p.stderr)[-2000:]
+    except subprocess.TimeoutExpired:
+        return "TIMEOUT"
+
+
+def run_chunk(
+    names: list[str],
+    sf: str,
+    out: pathlib.Path,
+    timeout: int,
+    driver_mem: str,
+) -> dict | None:
+    """Fresh-JVM run of one chunk; returns the parsed part dict or None.
+    Exit code 1 just means n_fail > 0 — the part file is still the truth."""
+    if out.exists():
+        out.unlink()
+    tail = _run_one(
+        [
+            sys.executable,
+            str(VERIFY),
+            "--sf",
+            sf,
+            "--only",
+            ",".join(names),
+            "--out",
+            str(out),
+            "--driver-mem",
+            driver_mem,
+        ],
+        timeout,
+    )
+    if out.exists():
+        with open(out) as f:
+            return json.load(f)
+    print(f"chunk {names[:2]}...({len(names)}): NO PART FILE — {tail[:300]}")
+    return None
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/repo/.fixtures/sf100")
+    ap.add_argument("--chunk-size", type=int, default=8)
+    ap.add_argument("--chunk-timeout", type=int, default=3600)
+    ap.add_argument("--driver-mem", default="16g")
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--only", default=None, help="comma list (debug)")
+    ap.add_argument(
+        "--cluster-dual-sf",
+        default=None,
+        help="sf_dir for the near-vs-star cluster dual chunk (sf10 for the "
+        "sf100 sweep — the MinHash pair dump is output-shaped there, "
+        "SCALE.md third-decade note). Omit to use --sf.",
+    )
+    args = ap.parse_args()
+
+    inv = _load_verify_module()
+    declared = (
+        args.only.split(",")
+        if args.only
+        else inv.SUITE + inv.EXTRAS + inv.SUITE_EXT
+    )
+    work = HERE / "_inv_parts"
+    work.mkdir(exist_ok=True)
+    t0 = time.time()
+    parts: list[dict] = []
+    for k, chunk in enumerate(chunked(declared, args.chunk_size)):
+        part = run_chunk(
+            chunk,
+            args.sf,
+            work / f"part_{k:03d}.json",
+            args.chunk_timeout,
+            args.driver_mem,
+        )
+        if part is None:
+            # split into single-query fresh JVMs; still-dead queries are
+            # recorded as explicit failures, never dropped.
+            part = {"results": {}, "wall_sec": 0.0}
+            for j, q in enumerate(chunk):
+                single = run_chunk(
+                    [q],
+                    args.sf,
+                    work / f"part_{k:03d}_{j}.json",
+                    args.chunk_timeout,
+                    args.driver_mem,
+                )
+                if single is None:
+                    part["results"][q] = [
+                        {
+                            "check": "run",
+                            "ok": False,
+                            "detail": "chunk crashed/timed out even as a "
+                            "single-query fresh JVM",
+                        }
+                    ]
+                else:
+                    part["results"].update(single["results"])
+                    part["wall_sec"] += single.get("wall_sec") or 0
+        parts.append(part)
+        done = sum(len(p["results"]) for p in parts)
+        print(
+            f"[{round(time.time() - t0)}s] chunk {k}: "
+            f"{done}/{len(declared)} queries done",
+            flush=True,
+        )
+
+    # the judge-named near-vs-star cluster dual runs as its own fresh JVM
+    if not args.only:
+        out = work / "part_cluster.json"
+        if out.exists():
+            out.unlink()
+        cmd = [
+            sys.executable,
+            str(VERIFY),
+            "--sf",
+            args.sf,
+            "--cluster-dual-only",
+            "--out",
+            str(out),
+            "--driver-mem",
+            args.driver_mem,
+        ]
+        if args.cluster_dual_sf:
+            cmd += ["--cluster-dual-sf", args.cluster_dual_sf]
+        tail = _run_one(cmd, args.chunk_timeout)
+        if out.exists():
+            with open(out) as f:
+                parts.append(json.load(f))
+        else:
+            parts.append(
+                {
+                    "results": {
+                        "q_dedup_cluster_near": [
+                            {
+                                "check": "cluster_near_equals_cluster_star",
+                                "ok": False,
+                                "detail": f"cluster-dual JVM died: {tail[:150]}",
+                            }
+                        ]
+                    },
+                    "wall_sec": 0.0,
+                }
+            )
+
+    merged = merge_parts(parts, declared, args.sf)
+    merged["wall_sec"] = round(time.time() - t0, 1)
+    out_path = args.out or (
+        f"INVARIANTS_sf{re.search(r'sf([0-9.]+)', args.sf).group(1)}.json"
+        if re.search(r"sf([0-9.]+)", args.sf)
+        else "INVARIANTS.json"
+    )
+    with open(out_path, "w") as f:
+        json.dump(merged, f, indent=2)
+    print(
+        f"wrote {out_path}: {merged['n_queries']} queries / "
+        f"{merged['n_checks']} checks / {merged['n_fail']} failures "
+        f"in {merged['wall_sec']}s over {len(merged['chunks'])} fresh JVMs"
+    )
+    return 1 if merged["n_fail"] else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -56,6 +56,67 @@ def test_lifted_oracle_dual_matches_builder(inv, ctx, spark):
         assert inv.fingerprint(df) == inv.fingerprint(odf), name
 
 
+def test_rewrite_oracle_dialect_forms(inv):
+    """Unit checks on the r8 shim rules: exclusive range, literal split,
+    1-based subscripts/slices, regexp 'g' flag, IGNORE NULLS arg form,
+    string_agg WITHIN GROUP."""
+    rw = inv.rewrite_oracle
+    # DuckDB range is stop-exclusive and empty when b <= a
+    out = rw("SELECT unnest(range(1, greatest(len(ws) - 1, 1))) AS i")
+    assert "sequence(1, (greatest(size(ws) - 1, 1)) - 1)" in out
+    assert "CASE WHEN (greatest(size(ws) - 1, 1)) > (1)" in out
+    # string_split delimiter is literal, not a regex
+    assert rw("string_split(text, '. ')") == (
+        "split(text, concat('\\\\Q', '. ', '\\\\E'))"
+    )
+    # 1-based slice and subscript, index cast to INT for element_at
+    assert rw("ws[i+1:i+5]") == "slice(ws, i+1, (i+5) - (i+1) + 1)"
+    assert rw("ws[i]") == "try_element_at(ws, CAST(i AS INT))"
+    # regexp_replace 'g' flag: Spark is always-global, 4th arg is position
+    assert rw("regexp_replace(t, 'a', 'b', 'g')") == (
+        "regexp_replace(t, 'a', 'b')"
+    )
+    # fn(x IGNORE NULLS) OVER -> fn(x, true) OVER
+    assert rw("last_value(v IGNORE NULLS) OVER w") == (
+        "last_value(v, true) OVER w"
+    )
+    # ordered string_agg -> WITHIN GROUP
+    assert rw("string_agg(s, ',' ORDER BY s)") == (
+        "string_agg(s, ',') WITHIN GROUP (ORDER BY s)"
+    )
+    # the dot-product idiom collapses to aggregate(zip_with(...))
+    dot = rw(
+        "list_reduce(list_transform(list_zip(q.dv, c.dv), p -> p[1] * p[2]),"
+        " (x, y) -> x + y)"
+    )
+    assert dot.startswith("aggregate(zip_with(q.dv, c.dv,")
+
+
+def test_merge_covers_declared_or_raises(inv):
+    import importlib.util
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts",
+        "run_invariants.py",
+    )
+    spec = importlib.util.spec_from_file_location("run_invariants", path)
+    runner = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(runner)
+    parts = [
+        {"results": {"q_a": [{"check": "x", "ok": True, "detail": ""}]},
+         "wall_sec": 1.0, "n_fail": 0},
+        {"results": {"q_b": [{"check": "y", "ok": False, "detail": ""}]},
+         "wall_sec": 2.0, "n_fail": 1},
+    ]
+    merged = runner.merge_parts(parts, ["q_a", "q_b"], "sfX")
+    assert merged["n_queries"] == 2 and merged["n_fail"] == 1
+    assert len(merged["chunks"]) == 2
+    with pytest.raises(RuntimeError, match="q_missing"):
+        runner.merge_parts(parts, ["q_a", "q_b", "q_missing"], "sfX")
+
+
 def test_named_invariants_pass_at_fixture_scale(inv, ctx, spark):
     checks = []
     checks += inv.check_pagerank_mass(

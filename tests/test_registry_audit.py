@@ -19,7 +19,7 @@ def test_registry_size_matches_docs():
     these numbers; update both together."""
     qs = all_queries()
     oracles = all_oracles()
-    assert len(qs) == 210, f"registry has {len(qs)} queries, docs say 210"
+    assert len(qs) == 211, f"registry has {len(qs)} queries, docs say 211"
     assert len(oracles) == 193, (
         f"{len(oracles)} oracle-checked queries, docs say 193 "
         f"({len(qs) - len(oracles)} rows-only by design)"
