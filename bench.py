@@ -202,6 +202,34 @@ def main() -> None:
             }
         )
     )
+    # Cross-round comparability (VERDICT r07 wrong #2): the full artifact —
+    # BOTH passes, explicitly labeled — is written to a committed file, so
+    # r(N)->r(N+1) per-query deltas always compare like passes. The compact
+    # driver line below stays the official tail record.
+    full_art = {
+        "metric": "headline_suite_wall_seconds",
+        "sf": sf,
+        "passes": {
+            "primary": {
+                "layout": "raw driver fixtures (single row group)",
+                "total_sec": total,
+                "queries": timings,
+            },
+            "ingested": ingested,
+        },
+        "streaming": streaming,
+        "notes": "best-of-3 per query; compare per-query times ONLY within "
+        "the same pass label across rounds",
+    }
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_full_latest.json"),
+            "w",
+        ) as f:
+            json.dump(full_art, f, indent=2)
+    except OSError:
+        pass  # a read-only checkout must not fail the bench
     # the driver records only the last ~2000 chars of output and parses the
     # tail — the full artifact above overflows that window (r5/r6 shipped
     # "parsed": null). Emit a COMPACT summary as the FINAL line so the

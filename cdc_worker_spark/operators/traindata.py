@@ -530,6 +530,8 @@ def ivfpq_topk(
     nprobe: int | None = None,
     shortlist: int | None = None,
     topk: int | None = None,
+    pq_m: int | None = None,
+    pq_k: int | None = None,
 ) -> DataFrame:
     """Parametrized IVF-PQ ANN (see q_sim_ann_ivfpq for the plan shape and
     the 100 TB design). ``q_max_id`` picks the query set (vec_id <
@@ -540,6 +542,8 @@ def ivfpq_topk(
     nprobe = IVFPQ_NPROBE if nprobe is None else nprobe
     shortlist = IVFPQ_SHORTLIST if shortlist is None else shortlist
     topk = IVFPQ_TOPK if topk is None else topk
+    pq_m = PQ_M if pq_m is None else pq_m
+    pq_k = PQ_K if pq_k is None else pq_k
 
     from cdc_worker_spark.operators.similarity import _IVF_K
     coarse = kmeans_centroids_cached(
@@ -551,15 +555,32 @@ def ivfpq_topk(
         )
     first = emb.select(F.size("dv").alias("d")).first()
     dim = int(first.d)
-    sub_w = dim // PQ_M
+    sub_w = dim // pq_m
+    # The PQ stage (codebook training, code assignment, query LUTs) runs on
+    # UNIT-NORMALIZED vectors: ADC approximates squared L2, and only on the
+    # unit sphere is L2 monotone in cosine (||q̂-x̂||² = 2-2cos). On raw
+    # vectors the ADC shortlist ranks by a metric the re-rank doesn't use —
+    # recall measured ~0.10 flat vs nprobe at sf10 (200k vectors,
+    # scripts/bench_ann_recall.py, r8) before this fix. Coarse bucketing
+    # stays raw so the centroid cache is still shared with q_sim_ann_ivf.
+    emb = emb.withColumn(
+        "ndv",
+        F.when(
+            F.col("nrm") > 0,
+            F.transform("dv", lambda x: x / F.sqrt(F.col("nrm"))),
+        ).otherwise(F.col("dv")),
+    )
     pq_cents = []
-    for j in range(PQ_M):
+    for j in range(pq_m):
         sub = emb.select(
-            "vec_id", F.slice("dv", j * sub_w + 1, sub_w).alias("dv")
+            "vec_id", F.slice("ndv", j * sub_w + 1, sub_w).alias("dv")
         ).withColumn("nrm", dot_col(F.col("dv"), F.col("dv")))
         pq_cents.append(
             kmeans_centroids_cached(
-                sub, cache_key=f"{emb_path}#pq{PQ_M}x{PQ_K}s{j}", k=PQ_K, n_iters=2
+                sub,
+                cache_key=f"{emb_path}#pqn{pq_m}x{pq_k}s{j}",
+                k=pq_k,
+                n_iters=2,
             )
         )
     # inverted lists: coarse bucket + PQ codes only (the compressed layout)
@@ -568,9 +589,9 @@ def ivfpq_topk(
         "bucket",
         (F.array_position(F.col("_cd"), F.array_min("_cd")) - 1).cast("int"),
     )
-    for j in range(PQ_M):
+    for j in range(pq_m):
         dj = centroid_dists_udf(pq_cents[j])(
-            F.slice("dv", j * sub_w + 1, sub_w)
+            F.slice("ndv", j * sub_w + 1, sub_w)
         )
         lists = lists.withColumn(
             f"code_{j}",
@@ -578,7 +599,7 @@ def ivfpq_topk(
         )
     lists = lists.select(
         "bucket", F.col("vec_id").alias("c_id"),
-        *[f"code_{j}" for j in range(PQ_M)],
+        *[f"code_{j}" for j in range(pq_m)],
     )
     # probes: nprobe nearest coarse buckets + per-subspace ADC LUTs
     idx = F.sequence(F.lit(0), F.lit(_IVF_K - 1))
@@ -596,26 +617,26 @@ def ivfpq_topk(
     )
     probes = with_d.filter(F.col("vec_id") < q_max_id).select(
         F.col("vec_id").alias("q_id"),
-        F.col("dv").alias("q_dv"),
+        F.col("ndv").alias("q_ndv"),  # LUTs live on the unit sphere too
         F.explode(probe_buckets).alias("bucket"),
     )
-    for j in range(PQ_M):
+    for j in range(pq_m):
         probes = probes.withColumn(
             f"lut{j}",
             centroid_dists_udf(pq_cents[j])(
-                F.slice("q_dv", j * sub_w + 1, sub_w)
+                F.slice("q_ndv", j * sub_w + 1, sub_w)
             ),
         )
     adc = sum(
         (
             F.element_at(F.col(f"lut{j}"), F.col(f"code_{j}") + 1)
-            for j in range(PQ_M)
+            for j in range(pq_m)
         ),
         start=F.lit(0.0),
     )
     w_adc = Window.partitionBy("q_id").orderBy("adc", "c_id")
     shortlist = (
-        F.broadcast(probes.drop("q_dv"))
+        F.broadcast(probes.drop("q_ndv"))
         .join(lists, ["bucket"])
         .filter(F.col("q_id") != F.col("c_id"))
         .withColumn("adc", adc)

@@ -23,7 +23,12 @@ closing the question.
 
 Round-7 probe (VERDICT r06 next #8, 2026-08-15): re-ran once — DNS for
 repo1.maven.org and the pip index still fails ("Name or service not
-known"); unchanged."""
+known"); unchanged.
+
+Round-8 probe (VERDICT r07 next #8, 2026-08-15): re-ran once — curl to
+repo1.maven.org still "Could not resolve host" (exit 6), `pip download`
+still "No matching distribution found" (index unreachable), fastavro
+still absent; unchanged."""
 
 from __future__ import annotations
 

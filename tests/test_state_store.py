@@ -213,7 +213,8 @@ def test_delta_merge_sink_matches_latest_wins_state(spark, tmp_path):
     so no jar or wheel can ever be fetched from this container. Third
     consecutive documented failure; closing the question per VERDICT r05
     next #2. Round-7 probe (2026-08-15): re-ran once, DNS still blocked;
-    unchanged."""
+    unchanged. Round-8 probe (2026-08-15): re-ran once, DNS still
+    blocked; unchanged."""
     import pytest
 
     try:

@@ -237,7 +237,9 @@ def test_session_close_summaries_transform_with_state(spark, tmp_path):
     test_session_close_fallback_matches_window_agg below runs the
     applyInPandasWithState fallback (no protobuf needed) against the same
     fixture and asserts equal summaries. Round-7 probe (2026-08-15):
-    `pip download protobuf` re-ran once, still DNS-blocked; unchanged."""
+    `pip download protobuf` re-ran once, still DNS-blocked; unchanged.
+    Round-8 probe (2026-08-15): re-ran once — "No matching distribution
+    found for protobuf" (index unreachable); unchanged."""
     pytest.importorskip(
         "google.protobuf",
         reason="transformWithState needs protobuf; container is offline",
