@@ -32,6 +32,8 @@ class QuerySpec:
     builder: Builder
     oracle: str | None  # None => rows-only check (non-SQL-expressible)
     doc: str
+    module: str = ""  # builder's defining module (canonical-order key)
+    seq: int = 0  # global registration counter (per-module relative order)
 
 
 REGISTRY: dict[str, QuerySpec] = {}
@@ -81,13 +83,25 @@ _QUERY_MODULES = (
 )
 
 
+_SEQ = 0
+
+
 def query(name: str, oracle: str | None = None) -> Callable[[Builder], Builder]:
     """Decorator registering a query builder under its declared name."""
 
     def deco(fn: Builder) -> Builder:
+        global _SEQ
         if name in REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
-        REGISTRY[name] = QuerySpec(name=name, builder=fn, oracle=oracle, doc=fn.__doc__ or "")
+        _SEQ += 1
+        REGISTRY[name] = QuerySpec(
+            name=name,
+            builder=fn,
+            oracle=oracle,
+            doc=fn.__doc__ or "",
+            module=fn.__module__,
+            seq=_SEQ,
+        )
         return fn
 
     return deco
@@ -96,6 +110,24 @@ def query(name: str, oracle: str | None = None) -> Callable[[Builder], Builder]:
 def _load_all() -> None:
     for mod in _QUERY_MODULES:
         importlib.import_module(mod)
+    # The registry's ORDER is part of the driver contract (the frozen
+    # 50-entry CORRECTNESS window, the rotation artifacts' registry
+    # slices). A dict keyed by insertion would depend on which module got
+    # imported FIRST in this process — e.g. a test importing
+    # operators.cluster_incr at module scope drags in operators.dedup's
+    # registrations before relational's (caught by
+    # test_rotation_window_artifacts_are_registry_slices failing only in
+    # full-suite runs, r8). Re-canonicalize: _QUERY_MODULES order, then
+    # per-module registration order (seq is monotone within a module
+    # regardless of when the module was imported).
+    order = {m: i for i, m in enumerate(_QUERY_MODULES)}
+    canonical = sorted(
+        REGISTRY.values(), key=lambda s: (order.get(s.module, len(order)), s.seq)
+    )
+    if [s.name for s in canonical] != list(REGISTRY):
+        items = [(s.name, s) for s in canonical]
+        REGISTRY.clear()
+        REGISTRY.update(items)
 
 
 def all_queries() -> dict[str, Builder]:
