@@ -141,7 +141,42 @@ def main() -> int:
         "sf100 sweep — the MinHash pair dump is output-shaped there, "
         "SCALE.md third-decade note). Omit to use --sf.",
     )
+    ap.add_argument(
+        "--remerge",
+        action="store_true",
+        help="merge the part files already in scripts/_inv_parts instead "
+        "of running anything — the recovery path after re-running a "
+        "failed chunk solo (--only ... --out part_k.json). Still refuses "
+        "to write an artifact missing any declared query.",
+    )
     args = ap.parse_args()
+
+    if args.remerge:
+        inv = _load_verify_module()
+        declared = (
+            args.only.split(",")
+            if args.only
+            else inv.SUITE + inv.EXTRAS + inv.SUITE_EXT
+        )
+        work = HERE / "_inv_parts"
+        parts = []
+        for p in sorted(work.glob("part_*.json")):
+            with open(p) as f:
+                parts.append(json.load(f))
+        merged = merge_parts(parts, declared, args.sf)
+        out_path = args.out or (
+            f"INVARIANTS_sf{re.search(r'sf([0-9.]+)', args.sf).group(1)}.json"
+            if re.search(r"sf([0-9.]+)", args.sf)
+            else "INVARIANTS.json"
+        )
+        with open(out_path, "w") as f:
+            json.dump(merged, f, indent=2)
+        print(
+            f"remerged {len(parts)} parts -> {out_path}: "
+            f"{merged['n_queries']} queries / {merged['n_checks']} checks / "
+            f"{merged['n_fail']} failures"
+        )
+        return 1 if merged["n_fail"] else 0
 
     inv = _load_verify_module()
     declared = (

@@ -1264,6 +1264,82 @@ def check_repeated_passages_dual(ctx, df):
     ]
 
 
+def check_basket_pairs(ctx, df):
+    """Spot-recompute: a deterministic sample of emitted pairs (the 12
+    heaviest + 12 hash-picked) has n_both recounted DIRECTLY from the fact
+    table filtered to the sampled part ids — pushdown-pruned, never
+    quadratic — plus support consistency against a recounted order total
+    and the ordering/threshold contract. On the TPC-H-shaped fixtures the
+    cap_basket valve is inert (baskets <= 7; tests/test_basket_cap.py), so
+    the recount is exact; a corpus with capped baskets would need the
+    capped recount instead."""
+    from pyspark.sql import functions as F
+
+    sample = (
+        df.orderBy(F.desc("n_both"), "part_a", "part_b")
+        .limit(12)
+        .unionByName(df.orderBy(F.xxhash64("part_a", "part_b")).limit(12))
+        .distinct()
+        .collect()
+    )
+    if not sample:
+        return [("basket_pairs_nonempty", False, "no pairs emitted")]
+    parts = sorted(
+        {r["part_a"] for r in sample} | {r["part_b"] for r in sample}
+    )
+    li = ctx.table("lineitem").select("l_orderkey", "l_partkey").filter(
+        F.col("l_partkey").isin(parts)
+    )
+    sets = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("ps")
+    )
+    pair_lits = F.array(
+        *[
+            F.struct(
+                F.lit(r["part_a"]).alias("a"), F.lit(r["part_b"]).alias("b")
+            )
+            for r in sample
+        ]
+    )
+    hit = F.filter(
+        pair_lits,
+        lambda p: F.array_contains(F.col("ps"), p["a"])
+        & F.array_contains(F.col("ps"), p["b"]),
+    )
+    counts = (
+        sets.select(F.explode(hit).alias("p"))
+        .groupBy("p")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    got = {(r["p"]["a"], r["p"]["b"]): r["n"] for r in counts}
+    bad = [
+        r
+        for r in sample
+        if got.get((r["part_a"], r["part_b"]), 0) != r["n_both"]
+    ]
+    n_orders = ctx.table("lineitem").select("l_orderkey").distinct().count()
+    sup_bad = [
+        r
+        for r in sample
+        if abs(r["support"] - round(r["n_both"] / n_orders, 6)) > 1e-9
+    ]
+    shape_bad = df.filter("part_a >= part_b OR n_both < 2").count()
+    return [
+        (
+            "basket_pairs_spot_recount_exact",
+            not bad,
+            f"sampled={len(sample)} mismatched={len(bad)}",
+        ),
+        ("basket_pairs_support_consistent", not sup_bad, f"bad={len(sup_bad)}"),
+        (
+            "basket_pairs_ordered_and_thresholded",
+            shape_bad == 0,
+            f"bad={shape_bad}",
+        ),
+    ]
+
+
 def check_cluster_near_equals_star(ctx, df):
     """Judge-named dual: the union-find-style cluster_near labels and the
     large-star/small-star cc labels induce the SAME partition of doc_ids
@@ -1322,6 +1398,7 @@ BESPOKE = {
     "q_docs_mix_temperature": [check_mix_temperature],
     "q_text_gopher_rules": [check_gopher_dual],
     "q_text_repeated_passages": [check_repeated_passages_dual],
+    "q_basket_pairs": [check_basket_pairs],
 }
 
 #: calibration artifact written by --validate and consumed by the sweep:
