@@ -178,6 +178,13 @@ POST_REGEX = (
     # exact rolling median: Spark's median() refuses a window frame but
     # percentile(x, 0.5) in a frame is the same interpolated statistic
     (r"\bmedian\(([^()]+)\) OVER", r"percentile(\1, 0.5) OVER"),
+    # DuckDB hash() is 64-bit; Spark's hash() is 32-bit murmur. The
+    # oracles use hash() only as a gram KEY, which is fine at calibration
+    # scale but birthday-saturates 2^32 at sf100 (~1e8 distinct grams ->
+    # ~1e7 collisions inflating df counts and minting false co-gram
+    # pairs — caught by q_docs_dup_rate's dual mismatching at sf100 after
+    # calibrating clean at sf0.01). Lift to the 64-bit xxhash64.
+    (r"\bhash\(", "xxhash64("),
     # string_agg(x, ',' ORDER BY y) -> string_agg(x, ',') WITHIN GROUP (...)
     (
         r"string_agg\(([^,]+),\s*('[^']*')\s+ORDER BY\s+([^)]+)\)",
@@ -1501,6 +1508,16 @@ def main() -> int:
                 blocked[name] = f"dialect_blocked: {str(ex)[:160]}"
                 print(f"{name}: dual BLOCKED {str(ex)[:120]}", flush=True)
             spark.catalog.clearCache()
+        if args.only:  # partial re-validation MERGES into the existing file
+            prior = load_allowlist() or {"allowed": [], "blocked": {}}
+            allowed = sorted(
+                (set(prior["allowed"]) - set(names)) | set(allowed)
+            )
+            merged_blocked = {
+                q: r for q, r in prior["blocked"].items() if q not in names
+            }
+            merged_blocked.update(blocked)
+            blocked = merged_blocked
         with open(ALLOWLIST_PATH, "w") as f:
             json.dump(
                 {"calibration_sf": args.sf, "allowed": sorted(allowed),
