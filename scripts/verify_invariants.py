@@ -1282,6 +1282,11 @@ def check_basket_pairs(ctx, df):
     capped recount instead."""
     from pyspark.sql import functions as F
 
+    # the result frame is O(pairs) small but its PLAN is the full
+    # basket pipeline — checkpoint once so the three probes below don't
+    # re-execute a 25-minute sf100 derivation each (the un-checkpointed
+    # form lost an executor on the third re-run)
+    df = df.localCheckpoint(eager=True)
     sample = (
         df.orderBy(F.desc("n_both"), "part_a", "part_b")
         .limit(12)
