@@ -222,10 +222,23 @@ def main() -> None:
         "the same pass label across rounds",
     }
     try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BENCH_full_latest.json"), "w") as f:
+            json.dump(full_art, f, indent=2)
+        # per-round stamp (VERDICT r08 missing #5): the driver writes
+        # BENCH_r{N}.json AFTER the round, so the round in progress is
+        # max(existing N) + 1 — committed as BENCH_full_r{N}.json so
+        # SURVEY's per-query delta citations point at a tracked file.
+        import re as _re
+
+        rounds = [
+            int(m.group(1))
+            for fn in os.listdir(here)
+            if (m := _re.fullmatch(r"BENCH_r(\d+)\.json", fn))
+        ]
+        rnd = (max(rounds) + 1) if rounds else 1
         with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "BENCH_full_latest.json"),
-            "w",
+            os.path.join(here, f"BENCH_full_r{rnd:02d}.json"), "w"
         ) as f:
             json.dump(full_art, f, indent=2)
     except OSError:

@@ -685,8 +685,11 @@ def q_sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     no Python per candidate). Raw vectors are touched ONLY for the
     shortlist re-rank rows, fetched by a broadcast-able join back to
     the vector store keyed by c_id. Training reuses the cached coarse
-    centroids (same key as q_sim_ann_ivf) and the cached PQ codebooks
-    (same keys as q_emb_pq), so probe cost is probe cost.
+    centroids (same key as q_sim_ann_ivf); the PQ codebooks are trained
+    on unit-normalized residual inputs and cached under their own
+    '#pqn{m}x{k}s{j}' keys (NOT shared with q_emb_pq's raw-vector
+    codebooks — sharing would be wrong post-normalization), so probe
+    cost is probe cost.
     Reference scope: beyond the reference (LLM-pipeline extension set)."""
     import os
 

@@ -50,13 +50,32 @@ def chunked(seq: list, n: int) -> list[list]:
     return [seq[i : i + n] for i in range(0, len(seq), n)]
 
 
-def merge_parts(parts: list[dict], declared: list[str], sf_dir: str) -> dict:
+def merge_parts(
+    parts: list[dict],
+    declared: list[str],
+    sf_dir: str,
+    allowed_sf_dirs: set[str] | None = None,
+) -> dict:
     """Merge per-chunk artifacts into one sweep artifact. Raises if any
     declared query is missing from the union — a truncated sweep must be
-    loud, never an artifact that looks complete."""
+    loud, never an artifact that looks complete. Raises on a part whose
+    recorded sf_dir is outside ``allowed_sf_dirs`` (ADVICE r8: --remerge
+    used to glob stale parts from an earlier sweep at a different --sf
+    and label the mix with the current scale); parts with no sf_dir stamp
+    (synthesized failure records) are exempt."""
     results: dict[str, list] = {}
     chunks_meta = []
     for p in parts:
+        part_sf = p.get("sf_dir")
+        if allowed_sf_dirs is not None and part_sf is not None and (
+            part_sf not in allowed_sf_dirs
+        ):
+            raise RuntimeError(
+                f"part covering {sorted(p['results'])[:3]}... was run at "
+                f"{part_sf}, not the sweep's {sorted(allowed_sf_dirs)} — "
+                "stale part from another sweep; remove it from _inv_parts "
+                "or pass the matching --sf/--cluster-dual-sf"
+            )
         for q, checks in p["results"].items():
             results[q] = checks
         chunks_meta.append(
@@ -163,7 +182,10 @@ def main() -> int:
         for p in sorted(work.glob("part_*.json")):
             with open(p) as f:
                 parts.append(json.load(f))
-        merged = merge_parts(parts, declared, args.sf)
+        allowed = {args.sf}
+        if args.cluster_dual_sf:
+            allowed.add(args.cluster_dual_sf)
+        merged = merge_parts(parts, declared, args.sf, allowed)
         out_path = args.out or (
             f"INVARIANTS_sf{re.search(r'sf([0-9.]+)', args.sf).group(1)}.json"
             if re.search(r"sf([0-9.]+)", args.sf)
@@ -266,7 +288,10 @@ def main() -> int:
                 }
             )
 
-    merged = merge_parts(parts, declared, args.sf)
+    allowed = {args.sf}
+    if args.cluster_dual_sf:
+        allowed.add(args.cluster_dual_sf)
+    merged = merge_parts(parts, declared, args.sf, allowed)
     merged["wall_sec"] = round(time.time() - t0, 1)
     out_path = args.out or (
         f"INVARIANTS_sf{re.search(r'sf([0-9.]+)', args.sf).group(1)}.json"
