@@ -33,10 +33,40 @@ DOC_SCHEMA = (
 )
 
 
+#: logical table name of the maintained cluster-label snapshot inside the
+#: index root (manifest-versioned generations, atomic pointer flips)
+LABELS_TABLE = "cluster_labels"
+
+
+def read_cluster_labels(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Current (doc_id, cluster_id) label snapshot — empty before the first
+    near pair is observed. Readers resolve the manifest pointer, so a
+    mid-flip reader sees the previous complete generation, never a partial
+    write."""
+    from cdc_worker_spark.operators.index_layout import (
+        resolve_table,
+        table_exists,
+    )
+
+    if not table_exists(index_dir, LABELS_TABLE):
+        return spark.createDataFrame([], "doc_id long, cluster_id long")
+    return spark.read.parquet(resolve_table(index_dir, LABELS_TABLE))
+
+
 def dedup_batch_against_index(
-    spark: SparkSession, index_dir: str, batch: DataFrame
+    spark: SparkSession,
+    index_dir: str,
+    batch: DataFrame,
+    near_policy: str = "reject",
 ) -> tuple[DataFrame, DataFrame]:
     """(accepted, rejected) split of a document batch.
+
+    ``near_policy="reject"`` (default) rejects near-duplicates; with
+    ``near_policy="label"`` only EXACT duplicates are rejected and near
+    duplicates are accepted — the keep-and-label corpus shape, where
+    cluster membership is maintained incrementally (see
+    :func:`run_dedup_ingest_pipeline`) and downstream sampling picks one
+    doc per cluster at training-mix time instead of at ingest time.
 
     Three passes over the dedupable (non-NULL, non-empty text) docs:
     (1) intra-batch EXACT dedup — keep the smallest doc_id per normalized
@@ -97,49 +127,62 @@ def dedup_batch_against_index(
     b_sigs = minhash_signatures_from_tokens(tok).localCheckpoint(eager=True)
     b_bands = minhash_band_table(b_sigs)
 
-    # pass 2: intra-batch near (same banding + estimate as the index verify)
-    x = b_bands.select("band_idx", "band_val", F.col("doc_id").alias("doc_a"))
-    y = b_bands.select("band_idx", "band_val", F.col("doc_id").alias("doc_b"))
-    pairs = (
-        x.join(y, ["band_idx", "band_val"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
-    agree = sum(
-        F.when(F.col(f"ha{k}") == F.col(f"hb{k}"), 1).otherwise(0)
-        for k in range(_MINHASH_K)
-    )
-    sa = b_sigs.select(
-        F.col("doc_id").alias("doc_a"),
-        *[F.col(f"h{k}").alias(f"ha{k}") for k in range(_MINHASH_K)],
-    )
-    sb = b_sigs.select(
-        F.col("doc_id").alias("doc_b"),
-        *[F.col(f"h{k}").alias(f"hb{k}") for k in range(_MINHASH_K)],
-    )
-    near_pairs = (
-        pairs.join(sa, "doc_a").join(sb, "doc_b")
-        .withColumn("score", (agree / F.lit(float(_MINHASH_K))).cast("double"))
-        .filter(F.col("score") >= 0.5)
-    )
-    near_best = (
-        near_pairs.withColumn(
-            "_rk",
-            F.row_number().over(
-                Window.partitionBy("doc_b").orderBy(
-                    F.col("score").desc(), F.col("doc_a")
-                )
-            ),
+    # pass 2: intra-batch near (same banding + estimate as the index verify).
+    # Skipped under near_policy="label": near dups are accepted there and
+    # their pair discovery happens in the label-maintenance step instead.
+    if near_policy == "label":
+        near_best = spark.createDataFrame(
+            [], "doc_id long, match_id long, score double"
         )
-        .filter(F.col("_rk") == 1)
-        .select(
-            F.col("doc_b").alias("doc_id"),
-            F.col("doc_a").alias("match_id"),
-            "score",
+    else:
+        x = b_bands.select(
+            "band_idx", "band_val", F.col("doc_id").alias("doc_a")
         )
-        .localCheckpoint(eager=True)
-    )
+        y = b_bands.select(
+            "band_idx", "band_val", F.col("doc_id").alias("doc_b")
+        )
+        pairs = (
+            x.join(y, ["band_idx", "band_val"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        agree = sum(
+            F.when(F.col(f"ha{k}") == F.col(f"hb{k}"), 1).otherwise(0)
+            for k in range(_MINHASH_K)
+        )
+        sa = b_sigs.select(
+            F.col("doc_id").alias("doc_a"),
+            *[F.col(f"h{k}").alias(f"ha{k}") for k in range(_MINHASH_K)],
+        )
+        sb = b_sigs.select(
+            F.col("doc_id").alias("doc_b"),
+            *[F.col(f"h{k}").alias(f"hb{k}") for k in range(_MINHASH_K)],
+        )
+        near_pairs = (
+            pairs.join(sa, "doc_a").join(sb, "doc_b")
+            .withColumn(
+                "score", (agree / F.lit(float(_MINHASH_K))).cast("double")
+            )
+            .filter(F.col("score") >= 0.5)
+        )
+        near_best = (
+            near_pairs.withColumn(
+                "_rk",
+                F.row_number().over(
+                    Window.partitionBy("doc_b").orderBy(
+                        F.col("score").desc(), F.col("doc_a")
+                    )
+                ),
+            )
+            .filter(F.col("_rk") == 1)
+            .select(
+                F.col("doc_b").alias("doc_id"),
+                F.col("doc_a").alias("match_id"),
+                "score",
+            )
+            .localCheckpoint(eager=True)
+        )
     intra_near = ex_survivors.join(F.broadcast(near_best), "doc_id").select(
         *batch.columns,
         "match_id",
@@ -162,6 +205,10 @@ def dedup_batch_against_index(
             b_bands.join(kept_ids, "doc_id"),
         ),
     )
+    if near_policy == "label":
+        # near matches against the index do not reject in label mode —
+        # the doc is kept and its cluster membership recorded instead
+        hits = hits.filter(F.col("kind") != "near")
     # one verdict per doc: replay beats exact beats near, then best score
     best = (
         hits.withColumn(
@@ -199,10 +246,37 @@ def run_dedup_ingest_pipeline(
     checkpoint_dir: str,
     max_files_per_trigger: int | None = 1,
     available_now: bool = True,
+    near_policy: str = "reject",
 ):
     """Stream jsonl document batches from ``input_dir`` through the
     probe -> split -> append -> extend loop. Bootstraps an empty index when
-    ``index_dir`` does not exist yet."""
+    ``index_dir`` does not exist yet.
+
+    ``near_policy="label"`` (VERDICT r08 next #3) keeps near-duplicates in
+    the corpus and maintains the near-dup CLUSTER LABEL snapshot
+    (``read_cluster_labels``) incrementally inside the same per-batch
+    commit: after the index extend, the batch's near pairs come from
+    :func:`~cdc_worker_spark.operators.cluster_incr.delta_near_pairs`
+    (broadcast batch probes the materialized band index — no corpus
+    re-shingle) and are folded in with
+    :func:`~cdc_worker_spark.operators.cluster_incr.extend_dedup_clusters`
+    (O(delta) reduced CC + one labels scan). The updated snapshot is
+    published as a new manifest generation (atomic pointer flip). The fold
+    is IDEMPOTENT — re-folding the same pairs maps both endpoints to the
+    same representative, so every crash-replay window lands on the same
+    labels: the delta for label maintenance is "batch minus rejected"
+    (accepted docs PLUS replay-detected ones), which covers the
+    crash-after-index-extend-before-labels-publish window where the batch
+    is already indexed but its pairs were never folded. End state equals a
+    batch ``connected_components(minhash_pairs(corpus))`` recompute
+    (tests/test_streaming_ingest.py::test_label_mode...).
+
+    100 TB note: the reduced CC and pair probe are O(delta), but each
+    snapshot publish rewrites the O(corpus) label table (16 B/doc). At
+    corpus scale run label maintenance on a compaction cadence (one labels
+    rewrite per N batches — fold the accumulated delta in one call) rather
+    than per micro-batch; the per-batch shape here is the exactness-first
+    default and the measured overhead is in SCALE.md §r9."""
     from cdc_worker_spark.operators.index_layout import table_exists
 
     if not table_exists(index_dir, "digests"):
@@ -236,20 +310,53 @@ def run_dedup_ingest_pipeline(
         if batch_id in _committed():
             return
         accepted, rejected = dedup_batch_against_index(
-            spark, index_dir, batch_df
+            spark, index_dir, batch_df, near_policy=near_policy
         )
         # materialize the split BEFORE mutating the index: both sides derive
         # from the same probe joins, and extending first would change what a
         # recomputed `accepted` sees
         accepted = accepted.localCheckpoint(eager=True)
+        rejected = rejected.localCheckpoint(eager=True)
         rejected.write.mode("append").parquet(rejects_dir)
         accepted.write.mode("append").parquet(corpus_dir)
         # batch_id as the idempotency token: if the ledger write below
         # crashes and the batch replays, the index extend is a no-op at
         # the segment layer too (exactly-once, not just at-least-once)
         extend_dedup_index(accepted, index_dir, token=f"b{batch_id}")
+        if near_policy == "label":
+            _extend_labels(batch_df, rejected)
         with open(committed_path, "a") as fh:
             fh.write(f"{batch_id}\n")
+
+    def _extend_labels(batch_df: DataFrame, rejected: DataFrame) -> None:
+        from cdc_worker_spark.operators.cluster_incr import (
+            delta_near_pairs,
+            extend_dedup_clusters,
+        )
+        from cdc_worker_spark.operators.index_layout import (
+            gc_generations,
+            next_generation,
+            publish_generation,
+        )
+
+        # delta = batch minus rejected: accepted docs plus replay-detected
+        # ones (already ingested by a crashed prior attempt whose pairs may
+        # not have been folded yet). Null-text passthrough docs shingle to
+        # nothing and fall out of the pair probe naturally.
+        delta = batch_df.join(
+            rejected.select("doc_id"), "doc_id", "left_anti"
+        )
+        corpus = spark.read.parquet(corpus_dir)
+        pairs = delta_near_pairs(spark, index_dir, corpus, delta)
+        labels = extend_dedup_clusters(
+            read_cluster_labels(spark, index_dir), pairs
+        )
+        gen = next_generation(index_dir, LABELS_TABLE)
+        labels.write.mode("overwrite").parquet(
+            os.path.join(index_dir, gen)
+        )
+        publish_generation(index_dir, LABELS_TABLE, gen)
+        gc_generations(index_dir, LABELS_TABLE)
 
     writer = stream.writeStream.foreachBatch(apply_batch).option(
         "checkpointLocation", checkpoint_dir

@@ -31,6 +31,15 @@ def main() -> None:
     ap.add_argument("--n-queries", type=int, default=32)
     ap.add_argument("--topk", type=int, default=10)
     ap.add_argument("--driver-mem", default="16g")
+    ap.add_argument(
+        "--pq-m", type=int, default=None,
+        help="PQ subspace count (default: the registered query's PQ_M=4; "
+        "the planted sf10p sweep uses 8 — see test_similarity_recall's "
+        "planted gate for why the demo-scale codebook can't resolve "
+        "micro neighborhoods)",
+    )
+    ap.add_argument("--pq-k", type=int, default=None,
+                    help="PQ codes per subspace (default PQ_K=16)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession, Window
@@ -113,7 +122,7 @@ def main() -> None:
         r_pq = recall(
             ivfpq_topk(
                 spark, emb, emb_path, q_max_id=q_max, nprobe=nprobe,
-                shortlist=4 * k, topk=k,
+                shortlist=4 * k, topk=k, pq_m=args.pq_m, pq_k=args.pq_k,
             )
         )
         t_pq = round(time.perf_counter() - t0, 2)
@@ -138,6 +147,8 @@ def main() -> None:
                 "k": k,
                 "ivf_centroids": _IVF_K,
                 "ivfpq_shortlist": 4 * k,
+                "pq_m": args.pq_m,
+                "pq_k": args.pq_k,
                 "brute_force_sec": brute_sec,
                 "curve": rows,
             }

@@ -122,10 +122,79 @@ def build_sf1(spark, factor: int, out_dir: str) -> None:
         print(f"  {name}: {out.count()} rows, {n_files} files", flush=True)
 
 
+def build_planted_embeddings(
+    spark, n_vectors: int, out_dir: str, k_clusters: int, sigma: float = 0.15,
+    dim: int = 64,
+) -> None:
+    """Planted-neighborhood embeddings fixture (VERDICT r08 next #5).
+
+    The rotation/sign/mask copies above deliberately DECORRELATE embedding
+    copies, which leaves the sf10 vectors isotropic — there IVF-PQ
+    recall@10 ~0.10 is the information floor (SCALE.md §r8), so the scale
+    recall gate tests nothing for PQ. This writes an embeddings table with
+    TWO planted tiers instead (a flat single tier leaves every cluster
+    member equidistant, so top-k WITHIN a cluster is still pure noise and
+    PQ still can't resolve it — measured 0.37@10):
+
+    - k macro clusters: c = v % k, component center(c);
+    - ~12-member micro neighborhoods inside each macro: m = v % M with
+      M = k * max(1, n // (12 * k)) (so M % k == 0 keeps each micro inside
+      one macro, and micro size stays ~12 at every n), component
+      0.45 * sub(m);
+    - per-vector noise 0.15 * noise(v).
+
+    All components are deterministic xxhash64-derived U[-1,1] per
+    dimension (JVM-side, no driver loop, no RNG state). Expected cosine:
+    ~0.98 within a micro, ~0.82 within a macro, ~0 across macros — exact
+    top-10 is the ~11 micro mates, so recall measures whether the index
+    resolves real neighborhood structure."""
+    from pyspark.sql import functions as F
+
+    def u(*cols):
+        # xxhash64 -> U[-1, 1] with ~2e6 distinct levels
+        return (
+            F.pmod(F.xxhash64(*cols), F.lit(2000001)) - F.lit(1000000)
+        ) / F.lit(1000000.0)
+
+    n_micro = k_clusters * max(1, n_vectors // (12 * k_clusters))
+    ids = spark.range(n_vectors).select(
+        F.col("id").alias("vec_id"),
+        (F.col("id") % k_clusters).cast("int").alias("label"),
+        (F.col("id") % n_micro).cast("int").alias("_micro"),
+    )
+    dims = [
+        (
+            u(F.lit("pc"), F.col("label"), F.lit(d))
+            + F.lit(0.45) * u(F.lit("pm"), F.col("_micro"), F.lit(d))
+            + F.lit(sigma) * u(F.lit("pn"), F.col("vec_id"), F.lit(d))
+        ).cast("float")
+        for d in range(dim)
+    ]
+    emb = ids.select("vec_id", F.array(*dims).alias("embedding"), "label")
+    n_files = max(1, min(64, (n_vectors + 49_999) // 50_000))
+    emb.repartition(n_files).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "embeddings.parquet")
+    )
+    print(
+        f"  embeddings (planted, k={k_clusters}, sigma={sigma}): "
+        f"{n_vectors} rows, {n_files} files",
+        flush=True,
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/root/repo/.fixtures/sf1")
     ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument(
+        "--planted-embeddings",
+        type=int,
+        default=None,
+        metavar="K",
+        help="write ONLY a planted-structure embeddings table with K "
+        "clustered neighborhoods (factor x base row count) into --out — "
+        "the ANN recall fixture; other tables are not generated",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -144,6 +213,17 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     os.makedirs(args.out, exist_ok=True)
+    if args.planted_embeddings:
+        from cdc_worker_spark.sources.tables import load_table
+
+        base = load_table(spark, BASE_SF, "embeddings")
+        n = base.count() * args.factor
+        dim = len(base.select("embedding").first()[0])
+        build_planted_embeddings(
+            spark, n, args.out, args.planted_embeddings, dim=dim
+        )
+        print(f"planted embeddings at {args.out}")
+        return
     build_sf1(spark, args.factor, args.out)
     print(f"sf1 fixtures at {args.out}")
 

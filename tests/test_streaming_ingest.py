@@ -169,6 +169,113 @@ def test_null_text_docs_pass_through_distinct(spark, tmp_path):
     )
 
 
+def _label_rows(spark, idx_dir):
+    from cdc_worker_spark.streaming.ingest import read_cluster_labels
+
+    return sorted(
+        (r.doc_id, r.cluster_id)
+        for r in read_cluster_labels(spark, str(idx_dir)).collect()
+    )
+
+
+def _batch_recompute_labels(spark, corpus_dir):
+    from cdc_worker_spark.operators.dedup import (
+        connected_components,
+        minhash_pairs,
+    )
+
+    corpus = spark.read.parquet(str(corpus_dir)).dropDuplicates(["doc_id"])
+    return sorted(
+        (r.doc_id, r.cluster_id)
+        for r in connected_components(minhash_pairs(corpus)).collect()
+    )
+
+
+def test_label_mode_keeps_near_dups_and_maintains_cluster_labels(
+    spark, tmp_path
+):
+    """near_policy='label': near dups are ACCEPTED (only exact rejected) and
+    the incrementally-maintained label snapshot equals a from-scratch batch
+    connected_components(minhash_pairs(corpus)) recompute after every
+    ingest run — including across batches that merge existing clusters."""
+    base = "the quick brown fox jumps over the lazy dog tonight in the park"
+    other = "a second family of documents about sailing ships and harbors now"
+    in_dir = str(tmp_path / "in")
+    _write_batch(in_dir, "b0.jsonl", [
+        _doc(1, base),
+        _doc(2, base.replace("dog", "cat")),      # near of 1: same batch
+        _doc(3, "entirely novel content about cooking pasta with tomatoes"),
+        _doc(4, other),
+    ])
+    time.sleep(0.05)
+    _write_batch(in_dir, "b1.jsonl", [
+        _doc(10, base.replace("park", "yard")),   # near of 1/2: cross-batch
+        _doc(11, base),                           # exact dup of 1: rejected
+        _doc(12, other.replace("ships", "boats")),  # near of 4
+    ])
+    kw = dict(
+        input_dir=in_dir,
+        index_dir=str(tmp_path / "idx"),
+        corpus_dir=str(tmp_path / "corpus"),
+        rejects_dir=str(tmp_path / "rejects"),
+        checkpoint_dir=str(tmp_path / "chk"),
+        near_policy="label",
+    )
+    run_dedup_ingest_pipeline(spark, **kw).awaitTermination(180)
+
+    corpus = {
+        r.doc_id for r in spark.read.parquet(str(tmp_path / "corpus")).collect()
+    }
+    rejects = {
+        r.doc_id: (r.match_id, r.kind)
+        for r in spark.read.parquet(str(tmp_path / "rejects")).collect()
+    }
+    assert corpus == {1, 2, 3, 4, 10, 12}, f"{corpus} / {rejects}"
+    assert rejects == {11: (1, "exact")}
+
+    got = _label_rows(spark, tmp_path / "idx")
+    want = _batch_recompute_labels(spark, tmp_path / "corpus")
+    assert got == want and {c for _, c in got} == {1, 4}, f"{got} vs {want}"
+
+
+def test_label_mode_crash_replay_lands_on_same_labels(spark, tmp_path):
+    """Chaos window for label maintenance: Spark checkpoint AND ledger lost
+    after a completed run — the full replay re-probes, detects its own docs
+    as 'replay', re-folds the same pairs (idempotent), and the label
+    snapshot still equals the batch recompute."""
+    import shutil
+
+    base = "the quick brown fox jumps over the lazy dog tonight in the park"
+    in_dir = str(tmp_path / "in")
+    _write_batch(in_dir, "b0.jsonl", [
+        _doc(1, base),
+        _doc(2, base.replace("dog", "cat")),
+        _doc(3, "completely unrelated text about markets and trading floors"),
+    ])
+    kw = dict(
+        input_dir=in_dir,
+        index_dir=str(tmp_path / "idx"),
+        corpus_dir=str(tmp_path / "corpus"),
+        rejects_dir=str(tmp_path / "rejects"),
+        checkpoint_dir=str(tmp_path / "chk"),
+        near_policy="label",
+    )
+    run_dedup_ingest_pipeline(spark, **kw).awaitTermination(120)
+    first = _label_rows(spark, tmp_path / "idx")
+    assert first == [(1, 1), (2, 1)]
+
+    shutil.rmtree(tmp_path / "chk")  # checkpoint + ledger both gone
+    run_dedup_ingest_pipeline(spark, **kw).awaitTermination(120)
+
+    corpus = [
+        r.doc_id for r in spark.read.parquet(str(tmp_path / "corpus")).collect()
+    ]
+    assert sorted(corpus) == [1, 2, 3], f"double append: {sorted(corpus)}"
+    again = _label_rows(spark, tmp_path / "idx")
+    assert again == first
+    assert again == _batch_recompute_labels(spark, tmp_path / "corpus")
+
+
 def test_crash_before_ledger_write_is_absorbed_by_replay_detection(spark, tmp_path):
     """The narrowest crash window: sinks written, ledger NOT written. On
     replay the batch's docs match their own ids in the index ('replay') and
