@@ -69,6 +69,7 @@ HEADLINE = [
     "q_text_bm25",          # zero-shuffle BM25 top-k retrieval (r6)
     "q_text_bm25_batch",    # N-probe BM25, one corpus pass, hit-scale shuffles (r7)
     "q_graph_copurchase_incr",  # monoid-merged incremental edge maintenance (r7)
+    "q_tpch_q9",            # 5-way snowflake profit rollup: broadcast dims + ONE fact-fact shuffle (r9)
 ]
 
 

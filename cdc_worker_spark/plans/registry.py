@@ -80,6 +80,7 @@ _QUERY_MODULES = (
     "cdc_worker_spark.operators.retrieval",
     "cdc_worker_spark.operators.graph_incr",
     "cdc_worker_spark.operators.cluster_incr",
+    "cdc_worker_spark.operators.warehouse_ext",
 )
 
 

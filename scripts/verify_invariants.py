@@ -124,6 +124,7 @@ q_events_mann_whitney q_events_dow_seasonality q_orders_interarrival
 q_parts_gini q_orders_sla_latency
 q_agg_approx_distinct q_agg_approx_percentile q_agg_hll_union
 q_sim_ann_lsh q_sim_ann_ivfpq q_text_bpe_apply q_multimodal_decode
+q_tpch_q2 q_tpch_q9 q_tpch_q11 q_tpch_q16 q_tpch_q20
 """.split()
 
 #: pair-dump / cluster family: EXCLUDED from sf100 by design (their output

@@ -28,7 +28,12 @@ known"); unchanged.
 Round-8 probe (VERDICT r07 next #8, 2026-08-15): re-ran once — curl to
 repo1.maven.org still "Could not resolve host" (exit 6), `pip download`
 still "No matching distribution found" (index unreachable), fastavro
-still absent; unchanged."""
+still absent; unchanged.
+
+Round-9 probe (VERDICT r08 next #8, 2026-08-16): re-ran once — curl to
+repo1.maven.org exit 6 ("Could not resolve host"), `pip download` still
+"No matching distribution found" / "Name or service not known";
+unchanged."""
 
 from __future__ import annotations
 

@@ -239,7 +239,9 @@ def test_session_close_summaries_transform_with_state(spark, tmp_path):
     fixture and asserts equal summaries. Round-7 probe (2026-08-15):
     `pip download protobuf` re-ran once, still DNS-blocked; unchanged.
     Round-8 probe (2026-08-15): re-ran once — "No matching distribution
-    found for protobuf" (index unreachable); unchanged."""
+    found for protobuf" (index unreachable); unchanged. Round-9 probe
+    (2026-08-16): re-ran once — same "No matching distribution found for
+    protobuf" (pip index DNS-blocked); unchanged."""
     pytest.importorskip(
         "google.protobuf",
         reason="transformWithState needs protobuf; container is offline",
