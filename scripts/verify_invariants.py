@@ -164,6 +164,87 @@ PER_QUERY_REWRITES: dict[str, tuple[tuple[str, str], ...]] = {
             "'LastModifiedDate'), CAST(i + 1 AS INT))",
         ),
     ),
+    # r9 EXT2 wave: bitmap decode — same >> and literal-list-subscript
+    # forms as q_cdc_field_churn, different spellings.
+    "q_cdc_bitmap": (
+        (
+            "(bm >> CAST(i AS INT)) & 1",
+            "(shiftright(bm, CAST(i AS INT))) & 1",
+        ),
+        (
+            "['Id', 'Name', 'Phone', 'Email', 'Industry', 'BillingAddress',"
+            " 'Website', 'LastModifiedDate'][CAST(i + 1 AS INT)]",
+            "try_element_at(array('Id', 'Name', 'Phone', 'Email',"
+            " 'Industry', 'BillingAddress', 'Website', 'LastModifiedDate'),"
+            " CAST(i + 1 AS INT))",
+        ),
+    ),
+    # DuckDB map literal + [key] (returns a 1-element LIST, hence [1]);
+    # Spark spells it map(k1, v1, ...) with element_at. Keys are unique so
+    # the [1] is semantically the identity.
+    "q_map_funcs": (
+        (
+            "map(['type', 'user'], [event_type, CAST(user_id AS VARCHAR)])"
+            "['type'][1]",
+            "element_at(map('type', event_type, 'user',"
+            " CAST(user_id AS VARCHAR)), 'type')",
+        ),
+        (
+            "map(['type', 'user'], [event_type, CAST(user_id AS VARCHAR)])"
+            "['user'][1]",
+            "element_at(map('type', event_type, 'user',"
+            " CAST(user_id AS VARCHAR)), 'user')",
+        ),
+    ),
+    # encode() (string->blob) is a no-op for byte length in Spark, whose
+    # octet_length already measures UTF-8 bytes; sha256 -> sha2(., 256)
+    # (both lowercase hex); the literal-list subscript inlines.
+    "q_multimodal_meta": (
+        ("octet_length(encode(text))", "octet_length(text)"),
+        ("sha256(text)", "sha2(text, 256)"),
+        (
+            "['image/png', 'audio/wav', 'video/mp4']"
+            "[CAST(doc_id % 3 + 1 AS INT)]",
+            "try_element_at(array('image/png', 'audio/wav', 'video/mp4'),"
+            " CAST(doc_id % 3 + 1 AS INT))",
+        ),
+    ),
+    # range() as a FROM-clause table function with DuckDB's s(i) alias
+    # form — inline the (stop-exclusive) sequence as a lateral-free
+    # subquery; the general range() expression inliner can't produce a
+    # table reference.
+    "q_layout_range_bounds": (
+        (
+            "FROM range(1, 8) s(i), c",
+            "FROM (SELECT explode(sequence(1, 7)) AS i) s, c",
+        ),
+    ),
+    # DuckDB multi-arg GROUPING() is the bitmask Spark spells
+    # grouping_id() (single-arg GROUPING lifts 1:1).
+    "q_agg_grouping_id": (
+        (
+            "GROUPING(l_returnflag, l_linestatus)",
+            "grouping_id(l_returnflag, l_linestatus)",
+        ),
+    ),
+    # r9: decimal-literal drift. Spark parses 1.0/2.0/7.0 as DECIMAL and
+    # propagates decimal through avg/sum/div, so the lifted dual's output
+    # columns come out DECIMAL where the builder (and DuckDB, whose
+    # numeric literals divide as DOUBLE) produce DOUBLE — same values,
+    # mismatching fingerprint dtype. Pin the literals to DOUBLE on the
+    # lift side only.
+    "q_orders_sla_latency": (
+        (
+            "THEN 1.0 ELSE 0.0 END",
+            "THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END",
+        ),
+    ),
+    "q_events_dow_seasonality": (
+        ("sum(n) / 7.0", "sum(n) / CAST(7.0 AS DOUBLE)"),
+    ),
+    "q_events_mann_whitney": (
+        ("/ 2.0", "/ CAST(2.0 AS DOUBLE)"),
+    ),
 }
 
 #: conservative, order-matters text rewrites (whole-token function renames
@@ -174,6 +255,14 @@ REWRITES = (
     (" AS MATERIALIZED (", " AS ("),
     ("list_filter(", "filter("),
     ("list_transform(", "transform("),
+    # r9 (EXT2 calibration wave): whole-token renames with exact Spark
+    # equivalents. to_hex case difference (DuckDB lower, Spark upper) is
+    # harmless at every use site: all oracles wrap it in lower() or feed
+    # it to case-insensitive conv().
+    ("list_distinct(", "array_distinct("),
+    ("list_max(", "array_max("),
+    ("json_extract_string(", "get_json_object("),
+    ("to_hex(", "hex("),
     # string_split is inlined by _rewrite_split (a SQL UDF would be
     # rejected inside Generate); entry kept out of REWRITES on purpose.
     ("array_to_string(", "array_join("),
@@ -204,8 +293,12 @@ POST_REGEX = (
     # on it must become length(), not size()
     (r"\blen\(((?:\w+\.)?text)\)", r"length(\1)"),
     (r"\blen\(", "size("),
-    # DuckDB hex-string cast: CAST('0x' || X AS BIGINT) -> base-16 conv
-    (r"CAST\('0x' \|\| (.+?) AS BIGINT\)", r"CAST(conv(\1, 16, 10) AS BIGINT)"),
+    # DuckDB hex-string cast: CAST('0x' || X AS BIGINT) -> base-16 conv.
+    # (?s) + \s*: X may span lines (q_docs_sample_weighted's md5 slice).
+    (
+        r"(?s)CAST\('0x' \|\|\s*(.+?)\s*AS BIGINT\)",
+        r"CAST(conv(\1, 16, 10) AS BIGINT)",
+    ),
     # QUALIFY (single window predicate over a named CTE, the only shape
     # the oracles use) -> inline-subquery WHERE
     (
