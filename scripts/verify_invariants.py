@@ -2053,6 +2053,31 @@ BESPOKE = {
 #: builder == DuckDB) and only the ones that run AND match there are
 #: allowed at scales with no oracle. A dual that runs but DIVERGES at
 #: calibration scale is blocked — never silently "passed" at sf100.
+#: duals that calibrate at sf0.01 and re-verify at sf10 but whose LIFTED
+#: plan is not single-box-safe at sf100: the pagerank oracle derives the
+#: co-purchase graph with an UNCAPPED basket self-join (no cap_basket
+#: valve) and unrolls 10 iterations as MATERIALIZED CTEs, which Spark
+#: lifts to plain CTEs and re-plans per reference — at sf100 that OOMs a
+#: 16g heap (r9: java.lang.OutOfMemoryError in stage 102, which then
+#: kills the shared SparkContext for the rest of the chunk — part_000 of
+#: the r9 sweep). The BUILDER runs fine at sf100
+#: (localCheckpoint every 3 iterations truncates lineage); its at-scale
+#: gates are the bespoke checks (pagerank mass conservation + the
+#: bucketed-layout dual). The dual equality itself is pinned at sf10 in
+#: the same sweep protocol (/tmp evidence quoted in SURVEY r9 changelog;
+#: re-runnable via --sf .fixtures/sf10 --only q_graph_pagerank,...).
+DUAL_SF100_EXCLUDE = {
+    "q_graph_pagerank": (
+        "un-checkpointed 10-iteration lifted plan OOMs 16g at sf100; "
+        "dual verified at sf10, sf100 covered by mass + bucketed-dual "
+        "bespoke checks"
+    ),
+    "q_graph_pagerank_directed": (
+        "same unrolled-iteration lifted plan as q_graph_pagerank; dual "
+        "verified at sf10, sf100 covered by the mass bespoke check"
+    ),
+}
+
 ALLOWLIST_PATH = pathlib.Path(__file__).resolve().parent / "dual_allowlist.json"
 
 
@@ -2197,9 +2222,24 @@ def main() -> int:
         try:
             df = qs[name](spark, args.sf)
             spec = REGISTRY[name]
-            dual_ok = spec.oracle is not None and (
-                allowlist is None or name in allowlist["allowed"]
+            sf100_excl = (
+                DUAL_SF100_EXCLUDE.get(name)
+                if "sf100" in args.sf
+                else None
             )
+            dual_ok = (
+                spec.oracle is not None
+                and sf100_excl is None
+                and (allowlist is None or name in allowlist["allowed"])
+            )
+            if sf100_excl:
+                checks.append(
+                    (
+                        "dual_lifted_oracle",
+                        None,
+                        f"sf100-excluded: {sf100_excl}",
+                    )
+                )
             if dual_ok:
                 try:
                     odf = spark.sql(rewrite_oracle(spec.oracle, name))
