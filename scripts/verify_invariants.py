@@ -339,7 +339,17 @@ POST_REGEX = (
 
 def _rewrite_calls(sql: str, name: str, emit) -> str:
     """Paren-balanced rewrite of every whole-word call ``name(...)``:
-    ``emit(list_of_top_level_args) -> replacement_text``."""
+    ``emit(list_of_top_level_args) -> replacement_text``.
+
+    Quote-aware (r9): parens and commas inside single-quoted SQL string
+    literals are literal text, not structure. The r8 version split args on
+    ANY top-level comma, so ``regexp_replace(text, '[a-z]{2,}', r, 'g')``
+    split its REGEX at the quantifier comma — the 'g' flag landed in arg 5
+    (never dropped, Spark then cast 'g' to INT at runtime) and the
+    re-emitted join mangled the pattern to ``{2, }``. Caught by the sf100
+    sweep's q_text_scrub_pii dual; unit-pinned in
+    tests/test_invariants_harness.py. The '' escape form parses as
+    close-then-reopen, which preserves balance."""
     out, i = [], 0
     pat = re.compile(r"\b" + name + r"\(")
     while True:
@@ -353,19 +363,24 @@ def _rewrite_calls(sql: str, name: str, emit) -> str:
             i = m.end()
             continue
         depth, j, args, cur = 1, m.end(), [], []
+        in_str = False
         while depth:
             ch = sql[j]
-            if ch == "(":
-                depth += 1
-            elif ch == ")":
-                depth -= 1
-                if depth == 0:
-                    break
-            if ch == "," and depth == 1:
-                args.append("".join(cur).strip())
-                cur = []
-            else:
-                cur.append(ch)
+            if ch == "'":
+                in_str = not in_str
+            elif not in_str:
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                elif ch == "," and depth == 1:
+                    args.append("".join(cur).strip())
+                    cur = []
+                    j += 1
+                    continue
+            cur.append(ch)
             j += 1
         args.append("".join(cur).strip())
         out.append(sql[i : m.start()])
@@ -2259,7 +2274,11 @@ def main() -> int:
                             f"dialect_blocked: {str(ex)[:120]}",
                         )
                     )
-            elif spec.oracle is not None and allowlist is not None:
+            elif (
+                spec.oracle is not None
+                and allowlist is not None
+                and sf100_excl is None
+            ):
                 checks.append(
                     (
                         "dual_lifted_oracle",

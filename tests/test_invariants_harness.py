@@ -76,6 +76,18 @@ def test_rewrite_oracle_dialect_forms(inv):
     assert rw("regexp_replace(t, 'a', 'b', 'g')") == (
         "regexp_replace(t, 'a', 'b')"
     )
+    # r9: commas/parens INSIDE string literals are not arg separators —
+    # the quantifier comma must survive verbatim and the 'g' still drops,
+    # including on the nested inner call (q_text_scrub_pii's shape; the
+    # quote-unaware r8 splitter shipped 'g' through to Spark's position
+    # arg and mangled the pattern to '{2, }')
+    assert rw(
+        "regexp_replace(regexp_replace(t, '[a-z]{2,}', '<E>', 'g'),"
+        " '[0-9]{7,}', '<N>', 'g')"
+    ) == (
+        "regexp_replace(regexp_replace(t, '[a-z]{2,}', '<E>'),"
+        " '[0-9]{7,}', '<N>')"
+    )
     # fn(x IGNORE NULLS) OVER -> fn(x, true) OVER
     assert rw("last_value(v IGNORE NULLS) OVER w") == (
         "last_value(v, true) OVER w"
