@@ -1,13 +1,35 @@
 #!/bin/bash
-# r9 one-off: two concurrent fresh-JVM chunk streams over the remaining
-# sweep names (the serial runner's ~2 min/query pace would overrun the
-# session). Same verify_invariants.py subprocess contract as
-# run_invariants.py; parts land in scripts/_inv_parts/part_*.json and the
-# final artifact is produced by `run_invariants.py --remerge`.
+# Two concurrent fresh-JVM chunk streams over sweep names (the serial
+# runner's ~2 min/query pace would overrun a session). Same
+# verify_invariants.py subprocess contract as run_invariants.py; parts
+# land in scripts/_inv_parts/part_*.json and the final artifact is
+# produced by `run_invariants.py --remerge`.
+#
+# r10 hardening (ADVICE r9 #2 + VERDICT r09 next #3):
+# - parts are written to "$out.tmp", json-validated, and mv'd into place
+#   — a `timeout` kill mid-json.dump can no longer leave a truncated
+#   part that both suppresses the single-query retry and later breaks
+#   --remerge;
+# - scripts/_inv_parts is mkdir'd;
+# - the script ENDS with `run_invariants.py --repair`, which reruns any
+#   query whose latest part state is a dead-chunk ERROR/UNCOVERED (and
+#   any declared query with no part) in fresh JVMs and exits nonzero if
+#   any remain — "sweep completed" (exit 0) is machine-true, never a
+#   clock race.
 set -u
-SF=/root/repo/.fixtures/sf100
-SF10=/root/repo/.fixtures/sf10
+SF=${SWEEP_SF:-/root/repo/.fixtures/sf100}
+SF10=${SWEEP_SF10:-/root/repo/.fixtures/sf10}
 cd /root/repo
+mkdir -p scripts/_inv_parts
+
+emit_part() {  # $1 = tmp path, $2 = final path: validate then mv
+  if python -c "import json,sys; json.load(open(sys.argv[1]))" "$1" 2>/dev/null; then
+    mv "$1" "$2"
+    return 0
+  fi
+  rm -f "$1"
+  return 1
+}
 
 run_stream() {  # $1 = stream tag, $2 = file with one comma-list per line
   local k=0
@@ -15,15 +37,17 @@ run_stream() {  # $1 = stream tag, $2 = file with one comma-list per line
     [ -z "$names" ] && continue
     local out="scripts/_inv_parts/part_${1}$(printf %02d $k).json"
     timeout 3600 python scripts/verify_invariants.py --sf "$SF" \
-      --only "$names" --out "$out" --driver-mem 14g \
+      --only "$names" --out "$out.tmp" --driver-mem 14g \
       > "/tmp/sweep_${1}${k}.log" 2>&1
-    if [ ! -f "$out" ]; then
+    if ! emit_part "$out.tmp" "$out"; then
       # split into single-query fresh JVMs (the runner's retry rule)
       local j=0
       for q in ${names//,/ }; do
+        local so="scripts/_inv_parts/part_${1}$(printf %02d $k)_${j}.json"
         timeout 3600 python scripts/verify_invariants.py --sf "$SF" \
-          --only "$q" --out "scripts/_inv_parts/part_${1}$(printf %02d $k)_${j}.json" \
-          --driver-mem 14g > "/tmp/sweep_${1}${k}_${j}.log" 2>&1
+          --only "$q" --out "$so.tmp" --driver-mem 14g \
+          > "/tmp/sweep_${1}${k}_${j}.log" 2>&1
+        emit_part "$so.tmp" "$so"
         j=$((j+1))
       done
     fi
@@ -40,13 +64,25 @@ wait $A $B
 echo "[$(date +%H:%M:%S)] both streams done"
 
 # SUITE_SF10 pair-dump chunk at sf10, then the judge-named cluster dual
+out=scripts/_inv_parts/part_sf10suite.json
 timeout 3600 python scripts/verify_invariants.py --sf "$SF10" \
   --only "$(cat /tmp/stream_sf10.txt)" \
-  --out scripts/_inv_parts/part_sf10suite.json --driver-mem 14g \
+  --out "$out.tmp" --driver-mem 14g \
   > /tmp/sweep_sf10suite.log 2>&1
+emit_part "$out.tmp" "$out"
 echo "[$(date +%H:%M:%S)] sf10 suite done ($?)"
+out=scripts/_inv_parts/part_cluster.json
 timeout 5400 python scripts/verify_invariants.py --sf "$SF" \
   --cluster-dual-sf "$SF10" --cluster-dual-only \
-  --out scripts/_inv_parts/part_cluster.json --driver-mem 14g \
+  --out "$out.tmp" --driver-mem 14g \
   > /tmp/sweep_cluster.log 2>&1
+emit_part "$out.tmp" "$out"
 echo "[$(date +%H:%M:%S)] cluster dual done ($?)"
+
+# finish-or-fail: retry any dead/UNCOVERED/never-run query, exit nonzero
+# if any remain — only then may the sweep claim completion.
+python scripts/run_invariants.py --repair --sf "$SF" \
+  --cluster-dual-sf "$SF10" --driver-mem 14g
+rc=$?
+echo "[$(date +%H:%M:%S)] repair pass done (rc=$rc)"
+exit $rc

@@ -129,6 +129,125 @@ def test_merge_covers_declared_or_raises(inv):
         runner.merge_parts(parts, ["q_a", "q_b", "q_missing"], "sfX")
 
 
+def _runner_mod():
+    import importlib.util
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts",
+        "run_invariants.py",
+    )
+    spec = importlib.util.spec_from_file_location("run_invariants", path)
+    runner = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(runner)
+    return runner
+
+
+def test_repair_retries_planted_dead_context_part(tmp_path):
+    """VERDICT r09 next #3: the repair pass must find a query whose
+    latest part state is a dead-SparkContext run-ERROR (the r9 sweep's
+    part_zfix3 shape), retry it in a fresh JVM, and report clean once the
+    retry part overrides — and must also pick up declared queries with
+    no part at all."""
+    import json
+
+    runner = _runner_mod()
+    parts = tmp_path / "parts"
+    parts.mkdir()
+    good = [{"check": "dual_lifted_oracle_equals_builder", "ok": True,
+             "detail": "builder=x oracle=x"}]
+    dead = [{"check": "run", "ok": False,
+             "detail": "ERROR An error occurred while calling o1294.parquet"
+                       " : java.lang.IllegalStateException: Cannot call"
+                       " methods on a stopped SparkContext"}]
+    uncov = [{"check": "dual_lifted_oracle", "ok": None,
+              "detail": "runtime_blocked(sf100): Job aborted"},
+             {"check": "no_live_check", "ok": False,
+              "detail": "UNCOVERED: dual runtime_blocked(sf100) and no"
+                        " bespoke check"}]
+    (parts / "part_000.json").write_text(json.dumps(
+        {"sf_dir": "sfX", "results": {"q_ok": good, "q_dead": dead,
+                                      "q_uncov": uncov}}))
+    declared = ["q_ok", "q_dead", "q_uncov", "q_never"]
+
+    bad, never = runner.scan_parts(parts, declared)
+    assert set(bad) == {"q_dead", "q_uncov"} and never == ["q_never"]
+
+    retried = []
+
+    def fake_runner(names, sf, out, timeout, driver_mem):
+        retried.extend(names)
+        part = {"sf_dir": sf, "results": {names[0]: list(good)}}
+        out.write_text(json.dumps(part))
+        return part
+
+    n_bad = runner.repair_parts(
+        parts, declared, "sfX", None, set(), runner=fake_runner
+    )
+    assert sorted(retried) == ["q_dead", "q_never", "q_uncov"]
+    assert n_bad == 0
+    # the retry parts must override in merge order (part_zzrepair_* sorts
+    # after every stream/zfix part name used by the sweeps)
+    bad, never = runner.scan_parts(parts, declared)
+    assert not bad and not never
+
+
+def test_repair_reports_still_bad_when_retry_fails(tmp_path):
+    import json
+
+    runner = _runner_mod()
+    parts = tmp_path / "parts"
+    parts.mkdir()
+    dead = [{"check": "run", "ok": False, "detail": "ERROR boom"}]
+    (parts / "part_000.json").write_text(
+        json.dumps({"sf_dir": "sfX", "results": {"q_dead": dead}}))
+
+    def failing_runner(names, sf, out, timeout, driver_mem):
+        return None  # JVM died again, no part produced
+
+    n_bad = runner.repair_parts(
+        parts, ["q_dead"], "sfX", None, set(), runner=failing_runner
+    )
+    assert n_bad == 1  # wrapper must exit nonzero — never silent
+
+
+def test_dual_block_taxonomy_and_pinned_evidence(inv):
+    """VERDICT r09 next #4: {dialect_blocked, runtime_blocked(sf),
+    excluded_pinned(sf)} — exclusions carry a pin scale + artifact that
+    the sweep validates LIVE against the committed pin file."""
+    # ADVICE r9 #1: the gate parses the scale token, not a substring
+    assert inv._sf_token("/root/repo/.fixtures/sf100") == "100"
+    assert inv._sf_token("/x/sf1000/y") == "1000"  # would NOT match "100"
+    assert inv._sf_token("/root/testdata/sf0.01") == "0.01"
+    for name, entry in inv.DUAL_SF100_EXCLUDE.items():
+        pin_sf, artifact, reason = entry
+        assert pin_sf == "10" and artifact.endswith(".json") and reason
+    # the committed pagerank pin must satisfy its own evidence check
+    check, ok, detail = inv._pinned_dual_evidence(
+        "q_graph_pagerank", "10", "INVARIANTS_sf10_pagerank_dual.json"
+    )
+    assert check == "dual_pinned_evidence" and ok is True, detail
+    # a missing artifact is a FAIL, not a skip
+    _, ok, detail = inv._pinned_dual_evidence(
+        "q_graph_pagerank", "10", "NO_SUCH_ARTIFACT.json"
+    )
+    assert ok is False and "missing" in detail
+
+
+def test_rewriter_skips_call_names_inside_string_literals(inv):
+    """ADVICE r9 #3: a call-name token inside a quoted region is not a
+    call site, and double-quoted identifiers share the quote state."""
+    rw = inv.rewrite_oracle
+    sql = "SELECT 'use range(1, 9)' AS hint, range(1, 3) AS r"
+    out = rw(sql)
+    assert "'use range(1, 9)'" in out  # literal untouched
+    assert "sequence(1, (3) - 1)" in out  # real call rewritten
+    # double-quoted identifier containing a comma must not split args
+    sql2 = 'string_split("a,b", \'-\')'
+    assert rw(sql2) == 'split("a,b", concat(\'\\\\Q\', \'-\', \'\\\\E\'))'
+
+
 def test_named_invariants_pass_at_fixture_scale(inv, ctx, spark):
     checks = []
     checks += inv.check_pagerank_mass(
