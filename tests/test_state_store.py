@@ -216,7 +216,9 @@ def test_delta_merge_sink_matches_latest_wins_state(spark, tmp_path):
     unchanged. Round-8 probe (2026-08-15): re-ran once, DNS still
     blocked; unchanged. Round-9 probe (2026-08-16): re-ran once — curl
     exit 6 "Could not resolve host: repo1.maven.org", pip index still
-    unreachable; unchanged."""
+    unreachable; unchanged. Round-10 probe (2026-08-16): re-ran once —
+    curl exit 6 "Could not resolve host: repo1.maven.org", pip
+    "No matching distribution found"; unchanged."""
     import pytest
 
     try:

@@ -241,7 +241,9 @@ def test_session_close_summaries_transform_with_state(spark, tmp_path):
     Round-8 probe (2026-08-15): re-ran once — "No matching distribution
     found for protobuf" (index unreachable); unchanged. Round-9 probe
     (2026-08-16): re-ran once — same "No matching distribution found for
-    protobuf" (pip index DNS-blocked); unchanged."""
+    protobuf" (pip index DNS-blocked); unchanged. Round-10 probe
+    (2026-08-16): re-ran once — same "No matching distribution found"
+    (pip index DNS-blocked); unchanged."""
     pytest.importorskip(
         "google.protobuf",
         reason="transformWithState needs protobuf; container is offline",
