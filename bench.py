@@ -105,35 +105,43 @@ def main() -> None:
         qs[name](spark, "/root/testdata/sf0.001").write.format("noop").mode(
             "overwrite"
         ).save()
-    # IVF centroid training is BUILD cost, paid once in the materialized
-    # build/probe layout (operators/ivf.py) — warm the memo at the target SF
-    # so the timed rounds measure probe cost. Declared in "notes" below.
-    qs["q_sim_ann_ivf"](spark, sf_dir)
+    def timed_suite(data_dir: str) -> dict[str, float]:
+        """best-of-3: per-query min over three timed rounds. The plan's
+        cost is the min; the deltas between rounds are JVM noise and
+        EXTERNAL load spikes on this shared box (same query measured
+        1.4 s and 25 s minutes apart), which is not what we're grading.
 
-    # best-of-3: per-query min over three timed rounds. The plan's cost is
-    # the min; the deltas between rounds are JVM noise and EXTERNAL load
-    # spikes on this shared box (same query measured 1.4 s and 25 s minutes
-    # apart), which is not what we're grading.
-    timings: dict[str, float] = {}
-    for _round in range(3):
-        for name in HEADLINE:
-            t0 = time.perf_counter()
-            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            elapsed = round(time.perf_counter() - t0, 3)
-            if name not in timings or elapsed < timings[name]:
-                timings[name] = elapsed
+        IVF centroid training is BUILD cost, paid once in the
+        materialized build/probe layout (operators/ivf.py) — warm the
+        memo at the target dir so the timed rounds measure probe cost.
+        Declared in "notes" below."""
+        qs["q_sim_ann_ivf"](spark, data_dir)
+        t: dict[str, float] = {}
+        for _round in range(3):
+            for name in HEADLINE:
+                t0 = time.perf_counter()
+                qs[name](spark, data_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                elapsed = round(time.perf_counter() - t0, 3)
+                if name not in t or elapsed < t[name]:
+                    t[name] = elapsed
+        return t
 
-    # Layout-aware second pass: the shipped fixtures are single-row-group
-    # parquet, and a row group is the unit of scan parallelism — so every
-    # primary timing above runs its scan + partial agg on ONE core. Re-ingest
-    # through the engine's sized-file writer (the production fix for exactly
-    # this upload pathology), REPORT the rewrite cost, and time the same
-    # suite on the ingested layout. Primary numbers stay on the raw fixtures
-    # (round-over-round comparable); this section quantifies what the
-    # engine's own layout machinery buys.
-    ingested: dict | None
+    # PRIMARY pass = the engine's sized-file layout (VERDICT r09 next #6).
+    # The shipped fixtures are single-row-group parquet, and a row group is
+    # the unit of scan parallelism — the raw layout runs every scan +
+    # partial agg on ONE core, an upload pathology no 100 TB deployment
+    # keeps. The headline therefore times the suite AFTER the engine's own
+    # sized-file re-ingest (sources/layout.ingest_sized — the production
+    # fix), with the rewrite cost reported as ingest_sec. The raw-fixture
+    # pass is kept as the SECONDARY pass for cross-round continuity: at
+    # the r9->r10 switch, compare r10's "raw_secondary" against r9's
+    # "primary" (both raw single-row-group) — SCALE.md §r10.
+    ingest_sec: float | None = None
+    ingest_error: str | None = None
+    cache = None
     try:
-        import shutil
         import tempfile
 
         from cdc_worker_spark.sources.layout import ingest_sized
@@ -142,25 +150,28 @@ def main() -> None:
         t0 = time.perf_counter()
         ingest_sized(spark, sf_dir, cache)
         ingest_sec = round(time.perf_counter() - t0, 3)
-        qs["q_sim_ann_ivf"](spark, cache)  # train the IVF memo on this layout
-        t2: dict[str, float] = {}
-        for _round in range(3):
-            for name in HEADLINE:
-                t0 = time.perf_counter()
-                qs[name](spark, cache).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-                elapsed = round(time.perf_counter() - t0, 3)
-                if name not in t2 or elapsed < t2[name]:
-                    t2[name] = elapsed
-        ingested = {
-            "ingest_sec": ingest_sec,
-            "value": round(sum(t2.values()), 3),
-            "queries": t2,
-        }
-        shutil.rmtree(cache, ignore_errors=True)
     except Exception as e:  # noqa: BLE001 — artifact must still emit
-        ingested = {"error": f"{type(e).__name__}: {e}"}
+        ingest_error = f"{type(e).__name__}: {e}"
+        cache = None
+
+    if cache is not None:
+        timings = timed_suite(cache)
+        primary_layout = "engine sized-file ingest (ingest_sec excluded)"
+    else:  # ingest failed: fall back loudly, never silently
+        timings = timed_suite(sf_dir)
+        primary_layout = f"RAW FALLBACK — ingest failed: {ingest_error}"
+
+    # secondary pass: raw driver fixtures, for r1-r9 continuity
+    raw: dict | None
+    try:
+        t2 = timed_suite(sf_dir) if cache is not None else dict(timings)
+        raw = {"value": round(sum(t2.values()), 3), "queries": t2}
+    except Exception as e:  # noqa: BLE001
+        raw = {"error": f"{type(e).__name__}: {e}"}
+    if cache is not None:
+        import shutil
+
+        shutil.rmtree(cache, ignore_errors=True)
 
     # streaming throughput rides along in the same artifact so the wire-MB/s
     # number (vs the reference's ~4 MB/s/worker envelope) is regression-
@@ -193,13 +204,16 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-                "ingested_layout": ingested,
+                "primary_layout": primary_layout,
+                "ingest_sec": ingest_sec,
+                "raw_secondary": raw,
                 "streaming": streaming,
                 "notes": "best-of-3; ivf centroid training excluded "
                 "(memoized at warmup — build-once/probe-many by design); "
-                "primary queries run on the raw single-row-group fixtures, "
-                "ingested_layout re-times the suite after the engine's "
-                "sized-file re-ingest (rewrite cost included as ingest_sec)",
+                "r10+: PRIMARY pass runs on the engine's sized-file "
+                "ingested layout (rewrite cost reported as ingest_sec); "
+                "raw_secondary re-times the raw single-row-group driver "
+                "fixtures for r1-r9 continuity",
             }
         )
     )
@@ -212,15 +226,24 @@ def main() -> None:
         "sf": sf,
         "passes": {
             "primary": {
-                "layout": "raw driver fixtures (single row group)",
+                "layout": primary_layout,
+                "ingest_sec": ingest_sec,
                 "total_sec": total,
                 "queries": timings,
             },
-            "ingested": ingested,
+            "raw_secondary": dict(
+                raw, layout="raw driver fixtures (single row group)"
+            )
+            if isinstance(raw, dict)
+            else raw,
         },
         "streaming": streaming,
         "notes": "best-of-3 per query; compare per-query times ONLY within "
-        "the same pass label across rounds",
+        "the same pass label across rounds. r10 pass relabeling (VERDICT "
+        "r09 next #6): 'primary' is now the sized-file ingested layout — "
+        "r1-r9 'primary' and r10+ 'raw_secondary' are the comparable raw "
+        "series; r9 'ingested' and r10+ 'primary' are the comparable "
+        "sized series (SCALE.md §r10)",
     }
     try:
         here = os.path.dirname(os.path.abspath(__file__))
@@ -256,9 +279,10 @@ def main() -> None:
         "sf": sf,
         "queries": timings,
     }
-    if isinstance(ingested, dict) and "value" in ingested:
-        compact["ingested_total_sec"] = ingested["value"]
-        compact["ingest_sec"] = ingested.get("ingest_sec")
+    if isinstance(raw, dict) and "value" in raw:
+        compact["raw_total_sec"] = raw["value"]
+    if ingest_sec is not None:
+        compact["ingest_sec"] = ingest_sec
     if isinstance(streaming, dict) and "value" in streaming:
         compact["stream_wire_mb_s"] = streaming["value"]
         compact["stream_events_s"] = streaming.get("events_per_sec")

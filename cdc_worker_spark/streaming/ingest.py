@@ -17,6 +17,7 @@ which is the standard idempotence recipe for append-only corpus sinks).
 from __future__ import annotations
 
 import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -37,6 +38,11 @@ DOC_SCHEMA = (
 #: index root (manifest-versioned generations, atomic pointer flips)
 LABELS_TABLE = "cluster_labels"
 
+#: pending-delta spool for compaction-cadence label maintenance
+#: (label_cadence > 1): one doc_id segment per unfolded batch, appended
+#: with the same exactly-once token protocol as the index extend
+PENDING_TABLE = "label_pending"
+
 
 def read_cluster_labels(spark: SparkSession, index_dir: str) -> DataFrame:
     """Current (doc_id, cluster_id) label snapshot — empty before the first
@@ -51,6 +57,95 @@ def read_cluster_labels(spark: SparkSession, index_dir: str) -> DataFrame:
     if not table_exists(index_dir, LABELS_TABLE):
         return spark.createDataFrame([], "doc_id long, cluster_id long")
     return spark.read.parquet(resolve_table(index_dir, LABELS_TABLE))
+
+
+def _pending_paths(index_dir: str) -> list[str]:
+    """Existing directories of the label-pending spool (base generation,
+    if one has been published, plus every registered segment)."""
+    from cdc_worker_spark.operators.index_layout import live_paths
+
+    return [p for p in live_paths(index_dir, PENDING_TABLE) if os.path.isdir(p)]
+
+
+def _pending_segment_count(index_dir: str) -> int:
+    """Registered-but-unfolded spool segments = batches since the last
+    fold (the cadence counter; the empty base generation a fold publishes
+    does not count)."""
+    from cdc_worker_spark.operators.index_layout import read_pointer
+
+    e = read_pointer(index_dir).get(PENDING_TABLE)
+    return len(e["segments"]) if e else 0
+
+
+def fold_pending_labels(
+    spark: SparkSession, index_dir: str, corpus_dir: str
+) -> bool:
+    """Fold every spooled pending delta into the cluster-label snapshot
+    and clear the spool — the compaction step of cadence-mode label
+    maintenance (``label_cadence > 1``). Returns False when the spool is
+    empty.
+
+    Exactness: the LSH pair predicate is pairwise, so folding N batches'
+    deltas at once is pairs-equivalent to folding them one by one —
+    delta_near_pairs probes the (already extended) index with the UNION
+    delta, and extend_dedup_clusters' reduced CC composes (the
+    cluster_incr.py monoid argument). Crash windows: a crash after the
+    labels publish but before the spool clear refolds the same pairs on
+    the next fold, which is IDEMPOTENT; a crash mid-fold leaves both
+    pointers on their previous complete generations.
+
+    100 TB note: this is the documented scale fix for the O(corpus)
+    per-batch snapshot rewrite — the rewrite now happens once per N
+    batches while per-batch work stays O(delta) (one tiny doc_id segment
+    append). Measured at sf10 in scripts/bench_streaming_labels.py
+    (SCALE.md §r10)."""
+    from cdc_worker_spark.operators.cluster_incr import (
+        delta_near_pairs,
+        extend_dedup_clusters,
+    )
+    from cdc_worker_spark.operators.index_layout import (
+        gc_generations,
+        next_generation,
+        publish_generation,
+    )
+
+    def _clear_spool() -> None:
+        pgen = next_generation(index_dir, PENDING_TABLE)
+        spark.createDataFrame([], "doc_id long").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(index_dir, pgen))
+        publish_generation(index_dir, PENDING_TABLE, pgen)
+        gc_generations(index_dir, PENDING_TABLE)
+
+    paths = _pending_paths(index_dir)
+    if not paths:
+        return False
+    pending_ids = spark.read.parquet(*paths).select("doc_id").distinct()
+    if pending_ids.count() == 0:
+        # spool segments exist but hold no ids (an all-rejected batch):
+        # clear them so the cadence counter can't stick above threshold
+        if _pending_segment_count(index_dir):
+            _clear_spool()
+        return False
+    corpus = spark.read.parquet(corpus_dir)
+    # dropDuplicates: at-least-once corpus appends may hold a replayed
+    # row twice; one text row per doc is what the pair verify expects
+    delta_docs = (
+        corpus.join(F.broadcast(pending_ids), "doc_id", "semi")
+        .dropDuplicates(["doc_id"])
+        .localCheckpoint(eager=True)
+    )
+    pairs = delta_near_pairs(spark, index_dir, corpus, delta_docs)
+    labels = extend_dedup_clusters(
+        read_cluster_labels(spark, index_dir), pairs
+    )
+    gen = next_generation(index_dir, LABELS_TABLE)
+    labels.write.mode("overwrite").parquet(os.path.join(index_dir, gen))
+    publish_generation(index_dir, LABELS_TABLE, gen)
+    gc_generations(index_dir, LABELS_TABLE)
+    # clear the spool: flip it to an empty base generation
+    _clear_spool()
+    return True
 
 
 def dedup_batch_against_index(
@@ -247,6 +342,8 @@ def run_dedup_ingest_pipeline(
     max_files_per_trigger: int | None = 1,
     available_now: bool = True,
     near_policy: str = "reject",
+    batch_metrics: list | None = None,
+    label_cadence: int = 1,
 ):
     """Stream jsonl document batches from ``input_dir`` through the
     probe -> split -> append -> extend loop. Bootstraps an empty index when
@@ -272,11 +369,19 @@ def run_dedup_ingest_pipeline(
     (tests/test_streaming_ingest.py::test_label_mode...).
 
     100 TB note: the reduced CC and pair probe are O(delta), but each
-    snapshot publish rewrites the O(corpus) label table (16 B/doc). At
-    corpus scale run label maintenance on a compaction cadence (one labels
-    rewrite per N batches — fold the accumulated delta in one call) rather
-    than per micro-batch; the per-batch shape here is the exactness-first
-    default and the measured overhead is in SCALE.md §r9."""
+    snapshot publish rewrites the O(corpus) label table (16 B/doc).
+    ``label_cadence=N`` (r10) is the compaction-cadence mode for corpus
+    scale: each batch spools its delta doc_ids as one exactly-once
+    segment (PENDING_TABLE, O(delta) work, no labels rewrite) and the
+    fold+publish runs once every N batches (:func:`fold_pending_labels`).
+    The spool survives restarts — a crashed run's unfolded residue is
+    folded by the next run's first fold — and an availableNow stream that
+    ends mid-cadence leaves residue the caller folds with one
+    ``fold_pending_labels`` call (see tests/test_streaming_ingest.py
+    cadence tests). End state is IDENTICAL to per-batch mode (the
+    pairwise-predicate monoid argument in fold_pending_labels' docstring);
+    the default cadence=1 keeps the exactness-first per-batch shape.
+    Measured overhead: SCALE.md §r9 (per-batch), §r10 (cadence)."""
     from cdc_worker_spark.operators.index_layout import table_exists
 
     if not table_exists(index_dir, "digests"):
@@ -309,6 +414,7 @@ def run_dedup_ingest_pipeline(
         # remaining window of the standard recipe).
         if batch_id in _committed():
             return
+        t_batch = time.perf_counter()
         accepted, rejected = dedup_batch_against_index(
             spark, index_dir, batch_df, near_policy=near_policy
         )
@@ -323,10 +429,53 @@ def run_dedup_ingest_pipeline(
         # crashes and the batch replays, the index extend is a no-op at
         # the segment layer too (exactly-once, not just at-least-once)
         extend_dedup_index(accepted, index_dir, token=f"b{batch_id}")
+        label_sec = None
         if near_policy == "label":
-            _extend_labels(batch_df, rejected)
+            t_lbl = time.perf_counter()
+            if label_cadence <= 1:
+                _extend_labels(batch_df, rejected)
+            else:
+                _spool_delta(batch_df, rejected, f"b{batch_id}")
+                if _pending_segment_count(index_dir) >= label_cadence:
+                    fold_pending_labels(spark, index_dir, corpus_dir)
+            label_sec = round(time.perf_counter() - t_lbl, 3)
         with open(committed_path, "a") as fh:
             fh.write(f"{batch_id}\n")
+        if batch_metrics is not None:
+            # per-batch cost split (SCALE.md §r10: the label-maintenance
+            # overhead claim is measured, not asserted) — caller-owned
+            # list, append-only, driver-side (foreachBatch runs on the
+            # driver so this is safe)
+            batch_metrics.append(
+                {
+                    "batch_id": batch_id,
+                    "batch_sec": round(time.perf_counter() - t_batch, 3),
+                    "label_sec": label_sec,
+                }
+            )
+
+    def _spool_delta(
+        batch_df: DataFrame, rejected: DataFrame, token: str
+    ) -> None:
+        """Cadence mode: append this batch's label-delta doc_ids as one
+        exactly-once spool segment (same token protocol as the index
+        extend — a replayed batch is a no-op). The fold that consumes the
+        spool re-derives the docs from the corpus, so only ids are
+        spooled: O(delta) rows of one long each."""
+        from cdc_worker_spark.operators.index_layout import (
+            begin_segment,
+            publish_segment,
+            segment_registered,
+        )
+
+        if segment_registered(index_dir, PENDING_TABLE, token):
+            return
+        delta_ids = batch_df.join(
+            rejected.select("doc_id"), "doc_id", "left_anti"
+        ).select("doc_id")
+        path = begin_segment(index_dir, PENDING_TABLE, token)
+        delta_ids.write.mode("overwrite").parquet(path)
+        publish_segment(index_dir, PENDING_TABLE, token)
 
     def _extend_labels(batch_df: DataFrame, rejected: DataFrame) -> None:
         from cdc_worker_spark.operators.cluster_incr import (

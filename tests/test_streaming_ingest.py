@@ -307,3 +307,111 @@ def test_crash_before_ledger_write_is_absorbed_by_replay_detection(spark, tmp_pa
     if glob.glob(str(tmp_path / "rejects") + "/*.parquet"):
         rej = spark.read.parquet(str(tmp_path / "rejects")).collect()
         assert not rej, f"self-match rows in audit: {rej}"
+
+
+def test_label_cadence_folds_every_n_batches_and_finalize_matches_batch(
+    spark, tmp_path
+):
+    """label_cadence=2 over 3 batches: the first fold fires after batch 2,
+    batch 3's delta stays spooled (labels lag by design), and one
+    fold_pending_labels call folds the residue — end state equals BOTH the
+    per-batch mode and the from-scratch batch recompute."""
+    from cdc_worker_spark.streaming.ingest import (
+        _pending_segment_count,
+        fold_pending_labels,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog tonight in the park"
+    other = "a second family of documents about sailing ships and harbors now"
+    in_dir = str(tmp_path / "in")
+    _write_batch(in_dir, "b0.jsonl", [
+        _doc(1, base),
+        _doc(2, base.replace("dog", "cat")),
+        _doc(3, "entirely novel content about cooking pasta with tomatoes"),
+    ])
+    time.sleep(0.05)
+    _write_batch(in_dir, "b1.jsonl", [
+        _doc(10, base.replace("park", "yard")),
+        _doc(11, other),
+    ])
+    time.sleep(0.05)
+    _write_batch(in_dir, "b2.jsonl", [
+        _doc(20, other.replace("ships", "boats")),  # near of 11: spooled
+        _doc(21, base),                             # exact dup: rejected
+    ])
+    kw = dict(
+        input_dir=in_dir,
+        index_dir=str(tmp_path / "idx"),
+        corpus_dir=str(tmp_path / "corpus"),
+        rejects_dir=str(tmp_path / "rejects"),
+        checkpoint_dir=str(tmp_path / "chk"),
+        near_policy="label",
+        label_cadence=2,
+    )
+    run_dedup_ingest_pipeline(spark, **kw).awaitTermination(180)
+
+    # batches 1+2 folded at the cadence boundary; batch 3 still spooled
+    assert _pending_segment_count(str(tmp_path / "idx")) == 1
+    mid = _label_rows(spark, tmp_path / "idx")
+    assert mid == [(1, 1), (2, 1), (10, 1)], mid  # 20's pair not folded yet
+
+    assert fold_pending_labels(
+        spark, str(tmp_path / "idx"), str(tmp_path / "corpus")
+    )
+    assert _pending_segment_count(str(tmp_path / "idx")) == 0
+    got = _label_rows(spark, tmp_path / "idx")
+    assert got == _batch_recompute_labels(spark, tmp_path / "corpus")
+    assert got == [(1, 1), (2, 1), (10, 1), (11, 11), (20, 11)], got
+    # a second finalize on the cleared spool is a no-op
+    assert not fold_pending_labels(
+        spark, str(tmp_path / "idx"), str(tmp_path / "corpus")
+    )
+
+
+def test_label_cadence_crash_replay_lands_on_same_labels(spark, tmp_path):
+    """Cadence-mode chaos twin: checkpoint AND ledger lost after a run with
+    unfolded residue — the replay's spool appends are no-ops (segment
+    tokens), the re-fold is idempotent, and finalize still lands on the
+    batch recompute."""
+    import shutil
+
+    base = "the quick brown fox jumps over the lazy dog tonight in the park"
+    in_dir = str(tmp_path / "in")
+    _write_batch(in_dir, "b0.jsonl", [
+        _doc(1, base),
+        _doc(2, base.replace("dog", "cat")),
+    ])
+    time.sleep(0.05)
+    _write_batch(in_dir, "b1.jsonl", [
+        _doc(10, base.replace("park", "yard")),
+    ])
+    time.sleep(0.05)
+    _write_batch(in_dir, "b2.jsonl", [
+        _doc(12, "fresh text on observatories and the motion of planets"),
+    ])
+    kw = dict(
+        input_dir=in_dir,
+        index_dir=str(tmp_path / "idx"),
+        corpus_dir=str(tmp_path / "corpus"),
+        rejects_dir=str(tmp_path / "rejects"),
+        checkpoint_dir=str(tmp_path / "chk"),
+        near_policy="label",
+        label_cadence=2,
+    )
+    from cdc_worker_spark.streaming.ingest import fold_pending_labels
+
+    run_dedup_ingest_pipeline(spark, **kw).awaitTermination(120)
+    shutil.rmtree(tmp_path / "chk")  # checkpoint + ledger both gone
+    run_dedup_ingest_pipeline(spark, **kw).awaitTermination(120)
+
+    corpus = [
+        r.doc_id
+        for r in spark.read.parquet(str(tmp_path / "corpus")).collect()
+    ]
+    assert sorted(corpus) == [1, 2, 10, 12], sorted(corpus)
+    fold_pending_labels(
+        spark, str(tmp_path / "idx"), str(tmp_path / "corpus")
+    )
+    got = _label_rows(spark, tmp_path / "idx")
+    assert got == _batch_recompute_labels(spark, tmp_path / "corpus")
+    assert got == [(1, 1), (2, 1), (10, 1)], got
