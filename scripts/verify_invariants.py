@@ -2176,6 +2176,25 @@ DUAL_SF100_EXCLUDE = {
         "lifted per-doc gram-explosion plan aborts at sf100 runtime "
         "(r9 part_c04); runtime_blocked, dual pinned at sf10",
     ),
+    # r10 fresh-JVM retries identified two more: each dual OOMs a 14g
+    # heap at sf100 (java.lang.OutOfMemoryError, /tmp/r10_b2.log and
+    # /tmp/r10_b3.log) — and q_basket_pairs' OOM is exactly what killed
+    # the shared SparkContext for the rest of the r9 zfix chunk. The
+    # BUILDERS are fine at sf100 (cap_basket valve / range-bucket layout);
+    # the lifted oracles lack those valves by construction.
+    "q_basket_pairs": (
+        "10",
+        "INVARIANTS_sf10_runtime_blocked_duals.json",
+        "lifted uncapped basket self-join OOMs 14g at sf100 (r10 "
+        "part_zr10_b02 + r9 chunk killer); runtime_blocked, dual pinned "
+        "at sf10; sf100 covered by the check_basket_pairs bespoke",
+    ),
+    "q_layout_range_bounds": (
+        "10",
+        "INVARIANTS_sf10_runtime_blocked_duals.json",
+        "lifted min/max-per-file-bucket plan OOMs 14g at sf100 (r10 "
+        "part_zr10_b03); runtime_blocked, dual pinned at sf10",
+    ),
 }
 
 
