@@ -71,91 +71,106 @@ def main() -> None:
         run_dedup_ingest_pipeline,
     )
 
+    from cdc_worker_spark.streaming.ingest import fold_pending_labels
+
     docs = load_table(spark, args.sf_dir, "documents").select(
         "doc_id", "text", "lang", "source", "n_chars"
     )
     is_delta = F.pmod(F.col("doc_id"), F.lit(DELTA_MOD)) == DELTA_REM
     base, delta = docs.filter(~is_delta), docs.filter(is_delta)
+    n_docs, n_delta = docs.count(), delta.count()
 
-    workdir = tempfile.mkdtemp(prefix="bench_stream_labels_")
-    index_dir = f"{workdir}/index"
-    corpus_dir = f"{workdir}/corpus"
-    in_dir = f"{workdir}/in"
+    def run_scenario(label_cadence: int) -> dict:
+        workdir = tempfile.mkdtemp(prefix="bench_stream_labels_")
+        index_dir = f"{workdir}/index"
+        corpus_dir = f"{workdir}/corpus"
+        in_dir = f"{workdir}/in"
 
-    # bootstrap the steady state: index + corpus + published label
-    # snapshot over the 90% base (migration price, reported separately)
-    t0 = time.perf_counter()
-    build_dedup_index(base, index_dir)
-    base.write.mode("overwrite").parquet(corpus_dir)
-    gen = next_generation(index_dir, LABELS_TABLE)
-    connected_components(minhash_pairs(base)).write.mode(
-        "overwrite"
-    ).parquet(f"{index_dir}/{gen}")
-    publish_generation(index_dir, LABELS_TABLE, gen)
-    base_build_sec = round(time.perf_counter() - t0, 3)
+        # bootstrap the steady state: index + corpus + published label
+        # snapshot over the 90% base (migration price, reported once)
+        t0 = time.perf_counter()
+        build_dedup_index(base, index_dir)
+        base.write.mode("overwrite").parquet(corpus_dir)
+        gen = next_generation(index_dir, LABELS_TABLE)
+        connected_components(minhash_pairs(base)).write.mode(
+            "overwrite"
+        ).parquet(f"{index_dir}/{gen}")
+        publish_generation(index_dir, LABELS_TABLE, gen)
+        base_build_sec = round(time.perf_counter() - t0, 3)
 
-    # the 10% delta as K jsonl micro-batch files (one file per trigger)
-    n_delta = delta.count()
-    delta.repartition(args.batches).write.mode("overwrite").json(in_dir)
+        # the 10% delta as K jsonl micro-batch files (one per trigger)
+        delta.repartition(args.batches).write.mode("overwrite").json(in_dir)
 
-    metrics: list[dict] = []
-    t0 = time.perf_counter()
-    query = run_dedup_ingest_pipeline(
-        spark,
-        input_dir=in_dir,
-        index_dir=index_dir,
-        corpus_dir=corpus_dir,
-        rejects_dir=f"{workdir}/rejects",
-        checkpoint_dir=f"{workdir}/ckpt",
-        max_files_per_trigger=1,
-        near_policy="label",
-        batch_metrics=metrics,
-    )
-    query.awaitTermination()
-    stream_sec = round(time.perf_counter() - t0, 3)
-
-    # equality gate FIRST: streaming-maintained labels == batch recompute
-    # over the accepted corpus (near dups kept in label mode, exact dups
-    # rejected)
-    corpus = spark.read.parquet(corpus_dir)
-    batch_labels = {
-        (r["doc_id"], r["cluster_id"])
-        for r in connected_components(minhash_pairs(corpus)).collect()
-    }
-    stream_labels = {
-        (r["doc_id"], r["cluster_id"])
-        for r in read_cluster_labels(spark, index_dir).collect()
-    }
-    if batch_labels != stream_labels:
-        raise SystemExit(
-            f"streaming labels != batch recompute: "
-            f"{len(batch_labels ^ stream_labels)} differing rows"
+        metrics: list[dict] = []
+        t0 = time.perf_counter()
+        query = run_dedup_ingest_pipeline(
+            spark,
+            input_dir=in_dir,
+            index_dir=index_dir,
+            corpus_dir=corpus_dir,
+            rejects_dir=f"{workdir}/rejects",
+            checkpoint_dir=f"{workdir}/ckpt",
+            max_files_per_trigger=1,
+            near_policy="label",
+            batch_metrics=metrics,
+            label_cadence=label_cadence,
         )
+        query.awaitTermination()
+        t_fin = time.perf_counter()
+        finalized = fold_pending_labels(spark, index_dir, corpus_dir)
+        finalize_sec = round(time.perf_counter() - t_fin, 3)
+        stream_sec = round(t_fin - t0, 3)
 
-    batch_secs = [m["batch_sec"] for m in metrics]
-    label_secs = [m["label_sec"] or 0.0 for m in metrics]
+        # equality gate FIRST: streaming-maintained labels == batch
+        # recompute over the accepted corpus (near dups kept in label
+        # mode, exact dups rejected)
+        corpus = spark.read.parquet(corpus_dir)
+        batch_labels = {
+            (r["doc_id"], r["cluster_id"])
+            for r in connected_components(minhash_pairs(corpus)).collect()
+        }
+        stream_labels = {
+            (r["doc_id"], r["cluster_id"])
+            for r in read_cluster_labels(spark, index_dir).collect()
+        }
+        if batch_labels != stream_labels:
+            raise SystemExit(
+                f"cadence={label_cadence}: streaming labels != batch "
+                f"recompute: {len(batch_labels ^ stream_labels)} rows"
+            )
+        shutil.rmtree(workdir, ignore_errors=True)
+
+        batch_secs = [m["batch_sec"] for m in metrics]
+        label_secs = [m["label_sec"] or 0.0 for m in metrics]
+        return {
+            "label_cadence": label_cadence,
+            "labels_equal": True,
+            "n_batches": len(metrics),
+            "stream_wall_sec": stream_sec,
+            "batch_sec_mean": round(sum(batch_secs) / len(batch_secs), 3),
+            "batch_sec_max": max(batch_secs),
+            "label_sec_mean": round(sum(label_secs) / len(label_secs), 3),
+            "label_sec_max": max(label_secs),
+            "label_share_of_batch": round(
+                sum(label_secs) / sum(batch_secs), 3
+            ),
+            "finalize_residue_sec": finalize_sec,
+            "finalized_residue": bool(finalized),
+            "base_build_once_sec": base_build_sec,
+        }
+
+    scenarios = [run_scenario(c) for c in (1, 4)]
     print(
         json.dumps(
             {
                 "metric": "streaming_label_maintenance_per_batch_sec",
                 "sf_dir": args.sf_dir,
-                "labels_equal": True,
-                "n_base_docs": docs.count() - n_delta,
+                "n_base_docs": n_docs - n_delta,
                 "n_delta_docs": n_delta,
-                "n_batches": len(metrics),
-                "stream_wall_sec": stream_sec,
-                "batch_sec_mean": round(sum(batch_secs) / len(batch_secs), 3),
-                "batch_sec_max": max(batch_secs),
-                "label_sec_mean": round(sum(label_secs) / len(label_secs), 3),
-                "label_sec_max": max(label_secs),
-                "label_share_of_batch": round(
-                    sum(label_secs) / sum(batch_secs), 3
-                ),
-                "base_build_once_sec": base_build_sec,
+                "scenarios": scenarios,
             }
         )
     )
-    shutil.rmtree(workdir, ignore_errors=True)
     spark.stop()
 
 
