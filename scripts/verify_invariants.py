@@ -2195,6 +2195,22 @@ DUAL_SF100_EXCLUDE = {
         "lifted min/max-per-file-bucket plan OOMs 14g at sf100 (r10 "
         "part_zr10_b03); runtime_blocked, dual pinned at sf10",
     ),
+    "q_orders_sla_latency": (
+        "10",
+        "INVARIANTS_sf10_runtime_blocked_duals.json",
+        "lifted SLA-window plan aborts a 14g heap at sf100 even in a "
+        "fresh solo JVM (r10 part_zr10_d00); runtime_blocked, dual "
+        "pinned at sf10",
+    ),
+    "q_agg_median_mode": (
+        "10",
+        "INVARIANTS_sf10_runtime_blocked_duals.json",
+        "lifted median-after-broadcast-join degenerates to the object-"
+        "agg sort-based fallback at sf100 (~600s/task of per-row "
+        "percentile-state churn across 4 AQE-coalesced partitions, "
+        "jstack-diagnosed r10); the BUILDER aggregates median PRE-join "
+        "and runs in 9.6s at sf100; runtime_blocked, dual pinned at sf10",
+    ),
 }
 
 
