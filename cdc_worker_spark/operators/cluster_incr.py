@@ -126,23 +126,25 @@ def delta_near_pairs(
     )
 
 
-def extend_dedup_clusters(
+def extend_dedup_cluster_parts(
     labels: DataFrame, delta_pairs: DataFrame
-) -> DataFrame:
-    """Fold a batch of delta near-dup pairs into an existing cluster-label
-    table: the result equals a from-scratch
-    ``connected_components(pairs(base) ∪ delta_pairs)`` (asserted in
-    tests/test_cluster_incr.py on order-atomic splits).
+) -> tuple[DataFrame, DataFrame] | None:
+    """The DELTA of folding ``delta_pairs`` into ``labels``, as two
+    delta-sized frames — or None when the pairs change nothing:
 
-    ``labels``: (doc_id, cluster_id) — the maintained table, cluster_id =
-    min doc_id of the component, docs without any pair absent (the
-    q_dedup_cluster_near convention). ``delta_pairs``: (doc_a, doc_b)
-    pairs touching the new batch (:func:`delta_near_pairs`).
+    - ``remap``: (cluster_id, _new) — existing components whose label
+      changes (no-op self-mappings filtered out). Broadcastable.
+    - ``new_rows``: (doc_id, cluster_id) — label rows for docs that had
+      none (delta docs and previously-isolated endpoints).
+
+    Exposed separately (r10) so a PARTITIONED label store can rewrite
+    only the buckets these touch instead of the whole corpus-scale
+    table; :func:`extend_dedup_clusters` composes them back into the
+    full-table result and is unchanged semantically.
 
     The reduced graph has one node per TOUCHED component representative
     (existing cluster_id, or the doc itself for graph-new nodes) and one
-    edge per delta pair — O(delta), never O(corpus). The final remap scans
-    ``labels`` once against the broadcast reduced-label table."""
+    edge per delta pair — O(delta), never O(corpus)."""
     la = labels.select(
         F.col("doc_id").alias("doc_a"), F.col("cluster_id").alias("lbl_a")
     )
@@ -170,17 +172,29 @@ def extend_dedup_clusters(
         .distinct()
     )
     if reduced.count() == 0:  # delta-sized frame: the count is cheap
-        return labels
-    red_labels = connected_components(reduced)
-    remap = red_labels.select(
-        F.col("doc_id").alias("cluster_id"), F.col("cluster_id").alias("_new")
-    )
-    base_new = (
-        labels.join(F.broadcast(remap), "cluster_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("_new", "cluster_id").alias("cluster_id"),
+        return None
+    red_labels = connected_components(reduced).localCheckpoint(eager=True)
+    # remap keys must be EXISTING cluster ids only: a graph-new node is
+    # its own reduced-graph rep, and including it in the remap would make
+    # a partitioned store rewrite the (empty) bucket of a cluster id that
+    # never existed — its label arrives via new_rows instead.
+    existing_reps = (
+        annotated.filter(~F.col("new_a"))
+        .select(F.col("rep_a").alias("doc_id"))
+        .union(
+            annotated.filter(~F.col("new_b")).select(
+                F.col("rep_b").alias("doc_id")
+            )
         )
+        .distinct()
+    )
+    remap = (
+        red_labels.join(F.broadcast(existing_reps), "doc_id")
+        .select(
+            F.col("doc_id").alias("cluster_id"),
+            F.col("cluster_id").alias("_new"),
+        )
+        .filter(F.col("cluster_id") != F.col("_new"))
     )
     # nodes new to the graph: endpoints that had no label row (delta docs
     # and previously-isolated base docs) — identified at annotation time,
@@ -192,6 +206,32 @@ def extend_dedup_clusters(
     )
     new_rows = red_labels.join(F.broadcast(new_ids), "doc_id").select(
         "doc_id", "cluster_id"
+    )
+    return remap, new_rows
+
+
+def extend_dedup_clusters(
+    labels: DataFrame, delta_pairs: DataFrame
+) -> DataFrame:
+    """Fold a batch of delta near-dup pairs into an existing cluster-label
+    table: the result equals a from-scratch
+    ``connected_components(pairs(base) ∪ delta_pairs)`` (asserted in
+    tests/test_cluster_incr.py on order-atomic splits).
+
+    ``labels``: (doc_id, cluster_id) — the maintained table, cluster_id =
+    min doc_id of the component, docs without any pair absent (the
+    q_dedup_cluster_near convention). ``delta_pairs``: (doc_a, doc_b)
+    pairs touching the new batch (:func:`delta_near_pairs`).
+
+    Composition of :func:`extend_dedup_cluster_parts`: the final remap
+    scans ``labels`` once against the broadcast reduced-label table."""
+    parts = extend_dedup_cluster_parts(labels, delta_pairs)
+    if parts is None:
+        return labels
+    remap, new_rows = parts
+    base_new = labels.join(F.broadcast(remap), "cluster_id", "left").select(
+        "doc_id",
+        F.coalesce("_new", "cluster_id").alias("cluster_id"),
     )
     return base_new.unionByName(new_rows)
 

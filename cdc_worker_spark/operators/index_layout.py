@@ -147,6 +147,20 @@ def publish_generation(root: str, table: str, gen_name: str) -> None:
     _write_pointer(root, cur)
 
 
+def publish_generations(root: str, gens: dict[str, str]) -> None:
+    """Atomically repoint SEVERAL tables in ONE pointer write — the flip
+    a partitioned snapshot needs: when a fold moves rows between bucket
+    tables, publishing buckets one at a time would expose a window where
+    a row has left its source bucket but not yet appeared in its
+    destination. One ``os.replace`` (a single object PUT) keeps every
+    reader on an all-old or all-new view; a crash before it leaves only
+    unreferenced debris for gc_generations."""
+    cur = read_pointer(root)
+    for table, gen_name in gens.items():
+        cur[table] = {"base": gen_name, "segments": []}
+    _write_pointer(root, cur)
+
+
 def gc_generations(root: str, table: str, grace_seconds: float = 0.0) -> None:
     """Remove every directory of ``table`` the pointer does not reference:
     stale bases/segments from completed flips and dangling ones from

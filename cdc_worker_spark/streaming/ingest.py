@@ -16,6 +16,7 @@ which is the standard idempotence recipe for append-only corpus sinks).
 
 from __future__ import annotations
 
+import json
 import os
 import time
 
@@ -43,20 +44,205 @@ LABELS_TABLE = "cluster_labels"
 #: with the same exactly-once token protocol as the index extend
 PENDING_TABLE = "label_pending"
 
+#: layout metadata for the PARTITIONED label snapshot (r10): when this
+#: file exists in the index root the label snapshot lives in
+#: ``cluster_labels_b{i:03d}`` bucket tables (bucket = cluster_id % B) and
+#: folds rewrite only the buckets their remap/new rows touch — the 100 TB
+#: fix for the O(corpus) per-fold snapshot rewrite. Bucketing by
+#: cluster_id co-locates every member of a component, so a merge moves
+#: whole clusters between at most O(delta) buckets.
+LABELS_META = "_labels_layout.json"
+
+
+def _labels_buckets(index_dir: str) -> int | None:
+    try:
+        with open(os.path.join(index_dir, LABELS_META)) as fh:
+            return int(json.load(fh)["buckets"])
+    except (FileNotFoundError, KeyError, ValueError):
+        return None
+
+
+def _bucket_table(i: int) -> str:
+    return f"cluster_labels_b{i:03d}"
+
 
 def read_cluster_labels(spark: SparkSession, index_dir: str) -> DataFrame:
     """Current (doc_id, cluster_id) label snapshot — empty before the first
     near pair is observed. Readers resolve the manifest pointer, so a
     mid-flip reader sees the previous complete generation, never a partial
-    write."""
+    write (partitioned layouts flip ALL touched buckets in one pointer
+    write — index_layout.publish_generations — so the union below is
+    always an all-old or all-new view)."""
     from cdc_worker_spark.operators.index_layout import (
         resolve_table,
         table_exists,
     )
 
+    buckets = _labels_buckets(index_dir)
+    if buckets is not None:
+        paths = [
+            resolve_table(index_dir, _bucket_table(i))
+            for i in range(buckets)
+            if table_exists(index_dir, _bucket_table(i))
+        ]
+        if not paths:
+            return spark.createDataFrame([], "doc_id long, cluster_id long")
+        return spark.read.parquet(*paths)
     if not table_exists(index_dir, LABELS_TABLE):
         return spark.createDataFrame([], "doc_id long, cluster_id long")
     return spark.read.parquet(resolve_table(index_dir, LABELS_TABLE))
+
+
+def write_label_snapshot(
+    spark: SparkSession,
+    index_dir: str,
+    labels: DataFrame,
+    buckets: int | None = None,
+) -> None:
+    """FULL snapshot write honoring the layout: bootstrap, migration, and
+    the monolithic fold all land here. Passing ``buckets`` declares (or
+    re-declares) the partitioned layout and writes the layout meta; all
+    bucket pointers flip in ONE pointer write."""
+    from cdc_worker_spark.operators.index_layout import (
+        gc_generations,
+        next_generation,
+        publish_generation,
+        publish_generations,
+    )
+
+    os.makedirs(index_dir, exist_ok=True)
+    if buckets is None:
+        buckets = _labels_buckets(index_dir)
+    if buckets is None:
+        gen = next_generation(index_dir, LABELS_TABLE)
+        labels.write.mode("overwrite").parquet(os.path.join(index_dir, gen))
+        publish_generation(index_dir, LABELS_TABLE, gen)
+        gc_generations(index_dir, LABELS_TABLE)
+        return
+    labels = labels.withColumn(
+        "_b", F.pmod(F.col("cluster_id"), F.lit(buckets))
+    ).localCheckpoint(eager=True)
+    gens: dict[str, str] = {}
+    for i in range(buckets):
+        t = _bucket_table(i)
+        gen = next_generation(index_dir, t)
+        labels.filter(F.col("_b") == i).drop("_b").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(index_dir, gen))
+        gens[t] = gen
+    publish_generations(index_dir, gens)
+    # the meta file is the layout COMMIT POINT and is written LAST: a
+    # crash before it leaves readers on the (complete) monolithic table
+    # with the bucket generations as published-but-ignored debris a
+    # re-run overwrites; a crash after it flips readers to the (complete,
+    # just-published) buckets. Written tmp->replace for the same reason.
+    tmp = os.path.join(index_dir, LABELS_META + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"buckets": buckets}, fh)
+    os.replace(tmp, os.path.join(index_dir, LABELS_META))
+    for t in gens:
+        gc_generations(index_dir, t)
+
+
+def apply_label_pairs(
+    spark: SparkSession, index_dir: str, pairs: DataFrame
+) -> bool:
+    """Fold delta near-dup pairs into the published label snapshot.
+    Returns False when the pairs change nothing (no publish happens).
+
+    Monolithic layout: compose the full new table and flip one pointer.
+    Partitioned layout (LABELS_META present): compute the delta-sized
+    (remap, new_rows) parts, derive the TOUCHED buckets — sources that
+    lose a remapped cluster, destinations that gain one, buckets of new
+    rows — rewrite only those, and flip them atomically in one pointer
+    write. Untouched buckets keep their generation directories bit-for-
+    bit (asserted in tests/test_streaming_ingest.py). Work per fold is
+    O(delta) + O(size of touched buckets), never O(corpus)."""
+    from cdc_worker_spark.operators.cluster_incr import (
+        extend_dedup_cluster_parts,
+    )
+    from cdc_worker_spark.operators.index_layout import (
+        gc_generations,
+        next_generation,
+        publish_generations,
+        resolve_table,
+        table_exists,
+    )
+
+    labels = read_cluster_labels(spark, index_dir)
+    parts = extend_dedup_cluster_parts(labels, pairs)
+    if parts is None:
+        return False
+    remap, new_rows = parts
+    buckets = _labels_buckets(index_dir)
+    if buckets is None:
+        base_new = labels.join(
+            F.broadcast(remap), "cluster_id", "left"
+        ).select(
+            "doc_id", F.coalesce("_new", "cluster_id").alias("cluster_id")
+        )
+        write_label_snapshot(
+            spark, index_dir, base_new.unionByName(new_rows)
+        )
+        return True
+
+    # ---- partitioned fold: rewrite only the touched buckets ----
+    remap_rows = remap.collect()  # delta-sized (reduced-CC table)
+    new_rows = new_rows.localCheckpoint(eager=True)
+    new_clusters = [
+        r["cluster_id"]
+        for r in new_rows.select("cluster_id").distinct().collect()
+    ]
+    src = {int(r["cluster_id"]) % buckets for r in remap_rows}
+    dst = {int(r["_new"]) % buckets for r in remap_rows} | {
+        int(c) % buckets for c in new_clusters
+    }
+    touched = sorted(src | dst)
+    # rows leaving their bucket: every member of a remapped cluster,
+    # already relabeled to the destination cluster id. Source buckets
+    # only — the remap is broadcast, the bucket scan streams.
+    src_paths = [
+        resolve_table(index_dir, _bucket_table(b))
+        for b in sorted(src)
+        if table_exists(index_dir, _bucket_table(b))
+    ]
+    if src_paths:
+        moving = (
+            spark.read.parquet(*src_paths)
+            .join(F.broadcast(remap), "cluster_id")
+            .select("doc_id", F.col("_new").alias("cluster_id"))
+            .localCheckpoint(eager=True)
+        )
+    else:
+        moving = spark.createDataFrame([], "doc_id long, cluster_id long")
+    gens: dict[str, str] = {}
+    for b in touched:
+        t = _bucket_table(b)
+        content = spark.createDataFrame([], "doc_id long, cluster_id long")
+        if table_exists(index_dir, t):
+            kept = spark.read.parquet(resolve_table(index_dir, t))
+            if b in src:  # drop rows whose cluster moved away
+                kept = kept.join(
+                    F.broadcast(remap.select("cluster_id")),
+                    "cluster_id",
+                    "left_anti",
+                )
+            content = kept
+        if b in dst:
+            content = content.unionByName(
+                moving.filter(F.pmod(F.col("cluster_id"), F.lit(buckets)) == b)
+            ).unionByName(
+                new_rows.filter(
+                    F.pmod(F.col("cluster_id"), F.lit(buckets)) == b
+                )
+            )
+        gen = next_generation(index_dir, t)
+        content.write.mode("overwrite").parquet(os.path.join(index_dir, gen))
+        gens[t] = gen
+    publish_generations(index_dir, gens)
+    for t in gens:
+        gc_generations(index_dir, t)
+    return True
 
 
 def _pending_paths(index_dir: str) -> list[str]:
@@ -99,10 +285,7 @@ def fold_pending_labels(
     batches while per-batch work stays O(delta) (one tiny doc_id segment
     append). Measured at sf10 in scripts/bench_streaming_labels.py
     (SCALE.md §r10)."""
-    from cdc_worker_spark.operators.cluster_incr import (
-        delta_near_pairs,
-        extend_dedup_clusters,
-    )
+    from cdc_worker_spark.operators.cluster_incr import delta_near_pairs
     from cdc_worker_spark.operators.index_layout import (
         gc_generations,
         next_generation,
@@ -136,16 +319,10 @@ def fold_pending_labels(
         .localCheckpoint(eager=True)
     )
     pairs = delta_near_pairs(spark, index_dir, corpus, delta_docs)
-    labels = extend_dedup_clusters(
-        read_cluster_labels(spark, index_dir), pairs
-    )
-    gen = next_generation(index_dir, LABELS_TABLE)
-    labels.write.mode("overwrite").parquet(os.path.join(index_dir, gen))
-    publish_generation(index_dir, LABELS_TABLE, gen)
-    gc_generations(index_dir, LABELS_TABLE)
+    changed = apply_label_pairs(spark, index_dir, pairs)
     # clear the spool: flip it to an empty base generation
     _clear_spool()
-    return True
+    return changed
 
 
 def dedup_batch_against_index(
@@ -344,6 +521,7 @@ def run_dedup_ingest_pipeline(
     near_policy: str = "reject",
     batch_metrics: list | None = None,
     label_cadence: int = 1,
+    label_buckets: int | None = None,
 ):
     """Stream jsonl document batches from ``input_dir`` through the
     probe -> split -> append -> extend loop. Bootstraps an empty index when
@@ -381,12 +559,32 @@ def run_dedup_ingest_pipeline(
     cadence tests). End state is IDENTICAL to per-batch mode (the
     pairwise-predicate monoid argument in fold_pending_labels' docstring);
     the default cadence=1 keeps the exactness-first per-batch shape.
-    Measured overhead: SCALE.md §r9 (per-batch), §r10 (cadence)."""
+    ``label_buckets=B`` (r10) additionally partitions the label snapshot
+    by cluster_id % B (``write_label_snapshot`` / ``apply_label_pairs``)
+    so each fold rewrites only the buckets its remap/new rows touch —
+    O(delta + touched buckets), never O(corpus) — with all touched
+    buckets flipped in one atomic pointer write; an existing monolithic
+    snapshot is migrated once at pipeline start. End state is identical
+    across {per-batch, cadence} × {monolithic, partitioned} and equals
+    the batch recompute (tests/test_streaming_ingest.py).
+    Measured overhead: SCALE.md §r9 (per-batch), §r10 (cadence +
+    partitioned)."""
     from cdc_worker_spark.operators.index_layout import table_exists
 
     if not table_exists(index_dir, "digests"):
         build_dedup_index(
             spark.createDataFrame([], DOC_SCHEMA), index_dir
+        )
+    if label_buckets is not None and _labels_buckets(index_dir) is None:
+        # declare the partitioned label layout before the first batch; an
+        # existing monolithic snapshot is split once (migration price,
+        # O(corpus), paid exactly once — folds after this touch only the
+        # buckets their delta reaches)
+        write_label_snapshot(
+            spark,
+            index_dir,
+            read_cluster_labels(spark, index_dir),
+            buckets=label_buckets,
         )
     os.makedirs(checkpoint_dir, exist_ok=True)
 
@@ -478,15 +676,7 @@ def run_dedup_ingest_pipeline(
         publish_segment(index_dir, PENDING_TABLE, token)
 
     def _extend_labels(batch_df: DataFrame, rejected: DataFrame) -> None:
-        from cdc_worker_spark.operators.cluster_incr import (
-            delta_near_pairs,
-            extend_dedup_clusters,
-        )
-        from cdc_worker_spark.operators.index_layout import (
-            gc_generations,
-            next_generation,
-            publish_generation,
-        )
+        from cdc_worker_spark.operators.cluster_incr import delta_near_pairs
 
         # delta = batch minus rejected: accepted docs plus replay-detected
         # ones (already ingested by a crashed prior attempt whose pairs may
@@ -497,15 +687,7 @@ def run_dedup_ingest_pipeline(
         )
         corpus = spark.read.parquet(corpus_dir)
         pairs = delta_near_pairs(spark, index_dir, corpus, delta)
-        labels = extend_dedup_clusters(
-            read_cluster_labels(spark, index_dir), pairs
-        )
-        gen = next_generation(index_dir, LABELS_TABLE)
-        labels.write.mode("overwrite").parquet(
-            os.path.join(index_dir, gen)
-        )
-        publish_generation(index_dir, LABELS_TABLE, gen)
-        gc_generations(index_dir, LABELS_TABLE)
+        apply_label_pairs(spark, index_dir, pairs)
 
     writer = stream.writeStream.foreachBatch(apply_batch).option(
         "checkpointLocation", checkpoint_dir

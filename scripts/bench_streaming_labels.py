@@ -60,18 +60,13 @@ def main() -> None:
         minhash_pairs,
     )
     from cdc_worker_spark.operators.dedup_index import build_dedup_index
-    from cdc_worker_spark.operators.index_layout import (
-        next_generation,
-        publish_generation,
-    )
     from cdc_worker_spark.sources.tables import load_table
     from cdc_worker_spark.streaming.ingest import (
-        LABELS_TABLE,
+        fold_pending_labels,
         read_cluster_labels,
         run_dedup_ingest_pipeline,
+        write_label_snapshot,
     )
-
-    from cdc_worker_spark.streaming.ingest import fold_pending_labels
 
     docs = load_table(spark, args.sf_dir, "documents").select(
         "doc_id", "text", "lang", "source", "n_chars"
@@ -80,7 +75,9 @@ def main() -> None:
     base, delta = docs.filter(~is_delta), docs.filter(is_delta)
     n_docs, n_delta = docs.count(), delta.count()
 
-    def run_scenario(label_cadence: int) -> dict:
+    def run_scenario(
+        label_cadence: int, label_buckets: int | None = None
+    ) -> dict:
         workdir = tempfile.mkdtemp(prefix="bench_stream_labels_")
         index_dir = f"{workdir}/index"
         corpus_dir = f"{workdir}/corpus"
@@ -91,11 +88,12 @@ def main() -> None:
         t0 = time.perf_counter()
         build_dedup_index(base, index_dir)
         base.write.mode("overwrite").parquet(corpus_dir)
-        gen = next_generation(index_dir, LABELS_TABLE)
-        connected_components(minhash_pairs(base)).write.mode(
-            "overwrite"
-        ).parquet(f"{index_dir}/{gen}")
-        publish_generation(index_dir, LABELS_TABLE, gen)
+        write_label_snapshot(
+            spark,
+            index_dir,
+            connected_components(minhash_pairs(base)),
+            buckets=label_buckets,
+        )
         base_build_sec = round(time.perf_counter() - t0, 3)
 
         # the 10% delta as K jsonl micro-batch files (one per trigger)
@@ -114,6 +112,7 @@ def main() -> None:
             near_policy="label",
             batch_metrics=metrics,
             label_cadence=label_cadence,
+            label_buckets=label_buckets,
         )
         query.awaitTermination()
         t_fin = time.perf_counter()
@@ -144,6 +143,7 @@ def main() -> None:
         label_secs = [m["label_sec"] or 0.0 for m in metrics]
         return {
             "label_cadence": label_cadence,
+            "label_buckets": label_buckets,
             "labels_equal": True,
             "n_batches": len(metrics),
             "stream_wall_sec": stream_sec,
@@ -159,7 +159,7 @@ def main() -> None:
             "base_build_once_sec": base_build_sec,
         }
 
-    scenarios = [run_scenario(c) for c in (1, 4)]
+    scenarios = [run_scenario(1), run_scenario(4), run_scenario(4, 16)]
     print(
         json.dumps(
             {

@@ -415,3 +415,123 @@ def test_label_cadence_crash_replay_lands_on_same_labels(spark, tmp_path):
     got = _label_rows(spark, tmp_path / "idx")
     assert got == _batch_recompute_labels(spark, tmp_path / "corpus")
     assert got == [(1, 1), (2, 1), (10, 1)], got
+
+
+def test_partitioned_labels_equal_monolithic_and_batch(spark, tmp_path):
+    """label_buckets=4: the bucket-partitioned snapshot must equal the
+    monolithic mode AND the batch recompute after the same stream, and a
+    fold must NOT rewrite buckets its delta never touches (the O(corpus)
+    rewrite is exactly what the layout exists to avoid)."""
+    from cdc_worker_spark.operators.index_layout import read_pointer
+    from cdc_worker_spark.streaming.ingest import (
+        _bucket_table,
+        _labels_buckets,
+        fold_pending_labels,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog tonight in the park"
+    other = "a second family of documents about sailing ships and harbors now"
+    batches = [
+        [_doc(1, base), _doc(2, base.replace("dog", "cat")),
+         _doc(3, "entirely novel content about cooking pasta with tomatoes")],
+        [_doc(10, base.replace("park", "yard")), _doc(11, other)],
+        [_doc(20, other.replace("ships", "boats")), _doc(21, base)],
+    ]
+
+    def run(root, **extra):
+        in_dir = str(root / "in")
+        for k, rows in enumerate(batches):
+            _write_batch(in_dir, f"b{k}.jsonl", rows)
+            time.sleep(0.05)
+        kw = dict(
+            input_dir=in_dir,
+            index_dir=str(root / "idx"),
+            corpus_dir=str(root / "corpus"),
+            rejects_dir=str(root / "rejects"),
+            checkpoint_dir=str(root / "chk"),
+            near_policy="label",
+            **extra,
+        )
+        run_dedup_ingest_pipeline(spark, **kw).awaitTermination(180)
+        return root / "idx"
+
+    mono = run(tmp_path / "mono")
+    part = run(tmp_path / "part", label_buckets=4)
+    assert _labels_buckets(str(part)) == 4
+    got_m = _label_rows(spark, mono)
+    got_p = _label_rows(spark, part)
+    want = _batch_recompute_labels(spark, tmp_path / "part" / "corpus")
+    assert got_p == got_m == want
+    assert got_p == [(1, 1), (2, 1), (10, 1), (11, 11), (20, 11)], got_p
+
+    # untouched-bucket stability: batch 4 pairs doc 30 with cluster 11
+    # (bucket 11%4=3); cluster 1's buckets must keep their generations.
+    ptr_before = read_pointer(str(part))
+    before = {
+        b: ptr_before[_bucket_table(b)]["base"]
+        for b in range(4)
+        if _bucket_table(b) in ptr_before
+    }
+    in_dir = str(tmp_path / "part" / "in")
+    _write_batch(in_dir, "b3.jsonl", [
+        _doc(30, other.replace("harbors", "marinas")),
+    ])
+    kw = dict(
+        input_dir=in_dir,
+        index_dir=str(part),
+        corpus_dir=str(tmp_path / "part" / "corpus"),
+        rejects_dir=str(tmp_path / "part" / "rejects"),
+        checkpoint_dir=str(tmp_path / "part" / "chk"),
+        near_policy="label",
+        label_buckets=4,
+    )
+    run_dedup_ingest_pipeline(spark, **kw).awaitTermination(120)
+    got = _label_rows(spark, part)
+    assert got == _batch_recompute_labels(
+        spark, tmp_path / "part" / "corpus"
+    )
+    assert (30, 11) in got
+    ptr_after = read_pointer(str(part))
+    after = {
+        b: ptr_after[_bucket_table(b)]["base"]
+        for b in range(4)
+        if _bucket_table(b) in ptr_after
+    }
+    touched = {b for b in before if before[b] != after.get(b)}
+    assert touched == {3}, (before, after)  # only cluster 11's bucket
+
+    # cadence mode over the partitioned layout composes too
+    cad = run(tmp_path / "cad", label_buckets=4, label_cadence=2)
+    fold_pending_labels(
+        spark, str(cad), str(tmp_path / "cad" / "corpus")
+    )
+    assert _label_rows(spark, cad) == want
+
+
+def test_partitioned_migration_splits_existing_monolithic(spark, tmp_path):
+    """Declaring label_buckets over an index with a MONOLITHIC snapshot
+    must migrate it once and keep every label."""
+    from cdc_worker_spark.streaming.ingest import (
+        _labels_buckets,
+        read_cluster_labels,
+        write_label_snapshot,
+    )
+
+    idx = str(tmp_path / "idx")
+    rows = [(i, i % 7) for i in range(50)]
+    write_label_snapshot(
+        spark,
+        idx,
+        spark.createDataFrame(rows, "doc_id long, cluster_id long"),
+    )
+    assert _labels_buckets(idx) is None
+    # re-declare partitioned: the one-time split
+    write_label_snapshot(
+        spark, idx, read_cluster_labels(spark, idx), buckets=4
+    )
+    assert _labels_buckets(idx) == 4
+    got = sorted(
+        (r.doc_id, r.cluster_id)
+        for r in read_cluster_labels(spark, idx).collect()
+    )
+    assert got == sorted(rows)
