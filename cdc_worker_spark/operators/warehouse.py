@@ -1641,16 +1641,24 @@ def q_parts_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_orders_sla_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-to-ship SLA dashboard: per priority class, the 30-day
     fulfilment rate and mean latency — the operational rollup a CDC-fed
-    warehouse serves continuously. The orders side (key + two small
-    columns) BROADCASTS onto the lineitem stream, so the fact table never
-    shuffles; latencies are exact integer day differences."""
+    warehouse serves continuously. Latencies are exact integer day
+    differences.
+
+    r10 scale fix: this used to FORCE-broadcast the orders side, which
+    is not a dim — it scales with the fact table (150M rows at sf100 =
+    ~1.6 GB of serialized task results, over the driver's 1 GB
+    maxResultSize; caught by check_sla_latency_replan the first time the
+    builder was EXECUTED at sf100 — earlier sweeps only planned it).
+    The join is now left to Catalyst/AQE: auto-broadcast at small sf,
+    co-partitioned orderkey shuffle at scale — the plan a 100 TB run
+    actually needs."""
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderdate", "o_orderpriority"
     )
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
     lat = F.datediff("l_shipdate", "o_orderdate")
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
         .groupBy("o_orderpriority")
         .agg(
             F.count("*").alias("n_lines"),

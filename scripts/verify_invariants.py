@@ -2062,8 +2062,243 @@ def check_copurchase_incr_monoid(ctx, df):
 #: per-query bespoke checks. Queries not listed rely on their lifted-oracle
 #: dual (validated at --validate scale); queries listed here run these IN
 #: ADDITION to the dual when one exists.
+def check_text_repetition_sample(ctx, df):
+    """Independent recount: 20 hash-sampled docs' repetition signals are
+    recomputed in PURE PYTHON on the driver (str.split / collections,
+    no Spark expressions) and must match the builder row for row — the
+    live sf100 check for a query whose lifted dual is runtime-blocked
+    there. str.split(' ') mirrors F.split's literal-space semantics
+    including empty tokens from doubled spaces."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    df = df.localCheckpoint(eager=True)
+    sample = df.orderBy(F.xxhash64("doc_id")).limit(20).collect()
+    if not sample:
+        return [("text_repetition_nonempty", False, "no rows emitted")]
+    ids = [r["doc_id"] for r in sample]
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in ctx.table("documents")
+        .filter(F.col("doc_id").isin(ids))
+        .select("doc_id", "text")
+        .collect()
+    }
+    bad = []
+    for r in sample:
+        ws = texts[r["doc_id"]].split(" ")
+        bigrams = [ws[i] + " " + ws[i + 1] for i in range(len(ws) - 1)]
+        want = (
+            len(ws),
+            len(set(ws)) / len(ws),
+            len(bigrams),
+            max(Counter(bigrams).values()) / len(bigrams),
+        )
+        got = (
+            r["n_words"],
+            r["distinct_word_frac"],
+            r["n_bigrams"],
+            r["top_bigram_frac"],
+        )
+        if (
+            want[0] != got[0]
+            or want[2] != got[2]
+            or abs(want[1] - got[1]) > 2e-6
+            or abs(want[3] - got[3]) > 2e-6
+        ):
+            bad.append((r["doc_id"], got, tuple(round(w, 6) for w in want)))
+    return [
+        (
+            "text_repetition_python_recount",
+            not bad,
+            f"sampled={len(sample)} mismatched={len(bad)}"
+            + (f" first={bad[0]}" if bad else ""),
+        )
+    ]
+
+
+def check_emb_outlier_refold(ctx, df):
+    """Independent formulation: one label's report row is recomputed via
+    64 element_at averages (centroid, no posexplode) and a zip_with/
+    aggregate fold for distances (no join) — a different plan family end
+    to end. n_vecs exact; mean/max within fold-order float tolerance;
+    n_outliers within ±2 (values sitting exactly on the round(.,6)
+    mean+2sd cut can flip with last-ulp sum-order differences)."""
+    from pyspark.sql import functions as F
+
+    rows = {r["label"]: r for r in df.collect()}
+    if not rows:
+        return [("emb_outlier_nonempty", False, "no rows emitted")]
+    lab = min(rows)
+    want = rows[lab]
+    emb = (
+        ctx.table("embeddings")
+        .filter(F.col("label") == lab)
+        .select(F.col("embedding").cast("array<double>").alias("e"))
+        .localCheckpoint(eager=True)
+    )
+    dims = 64
+    c = emb.agg(
+        *[
+            F.avg(F.element_at("e", i + 1)).alias(f"c{i}")
+            for i in range(dims)
+        ]
+    ).collect()[0]
+    carr = F.array(*[F.lit(float(c[i])) for i in range(dims)])
+    d = emb.select(
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(F.col("e"), carr, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+        ).alias("d")
+    ).localCheckpoint(eager=True)
+    st = d.agg(
+        F.count("*").alias("n"),
+        F.avg("d").alias("mu"),
+        F.max("d").alias("mx"),
+        F.stddev_samp("d").alias("sd"),
+    ).collect()[0]
+    n_out = d.filter(
+        F.round(F.col("d"), 6) > round(st["mu"] + 2 * st["sd"], 6)
+    ).count()
+    ok = (
+        st["n"] == want["n_vecs"]
+        and abs(st["mu"] - want["mean_dist"]) < 1e-4
+        and abs(st["mx"] - want["max_dist"]) < 1e-4
+        and abs(n_out - want["n_outliers"]) <= 2
+    )
+    return [
+        (
+            "emb_outlier_refold_one_label",
+            ok,
+            f"label={lab} n={st['n']}/{want['n_vecs']} "
+            f"mu={st['mu']:.6f}/{want['mean_dist']} "
+            f"mx={st['mx']:.6f}/{want['max_dist']} "
+            f"out={n_out}/{want['n_outliers']}",
+        )
+    ]
+
+
+def check_sla_latency_replan(ctx, df):
+    """Same-engine replanned recomputation: the builder broadcasts orders
+    onto the lineitem stream; this recount forces a sort-merge join (no
+    broadcast) and must agree EXACTLY (latencies are integer-day diffs,
+    so the int sums are order-independent and the rounded avgs bitwise
+    equal). Plus the FK identity: per-class n_lines sums to the lineitem
+    rowcount."""
+    from pyspark.sql import functions as F
+
+    got = {r["o_orderpriority"]: r for r in df.collect()}
+    o = ctx.table("orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = ctx.table("lineitem").select("l_orderkey", "l_shipdate")
+    lat = F.datediff("l_shipdate", "o_orderdate")
+    re = (
+        li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(
+                F.avg(F.when(lat <= 30, 1.0).otherwise(0.0)), 6
+            ).alias("sla_30d_rate"),
+            F.round(F.avg(lat), 6).alias("avg_latency_days"),
+        )
+        .collect()
+    )
+    bad = [
+        (r["o_orderpriority"], k)
+        for r in re
+        for k in ("n_lines", "sla_30d_rate", "avg_latency_days")
+        if got.get(r["o_orderpriority"]) is None
+        or got[r["o_orderpriority"]][k] != r[k]
+    ]
+    n_li = ctx.table("lineitem").count()
+    total = sum(r["n_lines"] for r in got.values())
+    checks = [
+        (
+            "sla_latency_merge_join_recount",
+            not bad and len(re) == len(got),
+            f"classes={len(re)} mismatches={bad[:3]}",
+        ),
+        (
+            "sla_latency_n_lines_sums_to_lineitem",
+            total == n_li,
+            f"{total} vs {n_li}",
+        ),
+    ]
+    return checks
+
+
+def check_median_mode_dominance(ctx, df):
+    """Live sf100 checks for the runtime-blocked median/mode dual:
+    (a) the exact median sits within loose tolerance of Spark's t-digest
+    approx_percentile (an INDEPENDENT algorithm over the same column);
+    (b) the reported mode user dominates deterministic probe users in a
+    single pushdown-filtered recount (never the full counts table);
+    (c) one row per event type."""
+    from pyspark.sql import functions as F
+
+    rows = df.collect()
+    ev = ctx.events_ms()
+    n_types = ev.select("event_type").distinct().count()
+    approx = {
+        r["event_type"]: r["ap"]
+        for r in ev.groupBy("event_type")
+        .agg(F.percentile_approx("value", 0.5, 10000).alias("ap"))
+        .collect()
+    }
+    med_bad = [
+        (r["event_type"], r["med_value"], approx.get(r["event_type"]))
+        for r in rows
+        if abs(r["med_value"] - approx[r["event_type"]]) > 0.5
+    ]
+    modes = {r["event_type"]: r["mode_user"] for r in rows}
+    probe_ids = sorted(
+        {u for m in modes.values() for u in (m, m - 1, m + 1, 17, 4242)}
+    )
+    counts = {
+        (r["event_type"], r["user_id"]): r["c"]
+        for r in ev.filter(F.col("user_id").isin(probe_ids))
+        .groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    dom_bad = []
+    for et, mu in modes.items():
+        c_mode = counts.get((et, mu), 0)
+        for u in (mu - 1, mu + 1, 17, 4242):
+            cu = counts.get((et, u), 0)
+            if cu > c_mode or (cu == c_mode and u < mu):
+                dom_bad.append((et, mu, c_mode, u, cu))
+    return [
+        (
+            "median_within_tdigest_tolerance",
+            not med_bad,
+            f"bad={med_bad[:3]}",
+        ),
+        (
+            "mode_dominates_probe_users",
+            not dom_bad,
+            f"probes={len(probe_ids)} bad={dom_bad[:3]}",
+        ),
+        (
+            "one_row_per_event_type",
+            len(rows) == n_types,
+            f"{len(rows)} vs {n_types}",
+        ),
+    ]
+
+
 BESPOKE = {
     "q_graph_copurchase_incr": [check_copurchase_incr_monoid],
+    "q_text_repetition": [check_text_repetition_sample],
+    "q_emb_outlier_report": [check_emb_outlier_refold],
+    "q_orders_sla_latency": [check_sla_latency_replan],
+    "q_agg_median_mode": [check_median_mode_dominance],
     "q_agg_approx_distinct": [check_approx_distinct],
     "q_agg_approx_percentile": [check_approx_percentile],
     "q_agg_hll_union": [check_hll_union],
@@ -2195,13 +2430,13 @@ DUAL_SF100_EXCLUDE = {
         "lifted min/max-per-file-bucket plan OOMs 14g at sf100 (r10 "
         "part_zr10_b03); runtime_blocked, dual pinned at sf10",
     ),
-    "q_orders_sla_latency": (
-        "10",
-        "INVARIANTS_sf10_runtime_blocked_duals.json",
-        "lifted SLA-window plan aborts a 14g heap at sf100 even in a "
-        "fresh solo JVM (r10 part_zr10_d00); runtime_blocked, dual "
-        "pinned at sf10",
-    ),
+    # q_orders_sla_latency was excluded here for part of r10: its
+    # "runtime_blocked dual" turned out to be the BUILDER's forced
+    # broadcast of the fact-scale orders table collapsing the driver
+    # (caught by check_sla_latency_replan, the first check to EXECUTE the
+    # builder at sf100). With the broadcast removed (warehouse.py r10
+    # scale fix) both builder and lifted dual run at sf100 — the
+    # exclusion is gone and the dual is live again.
     "q_agg_median_mode": (
         "10",
         "INVARIANTS_sf10_runtime_blocked_duals.json",
