@@ -2293,12 +2293,145 @@ def check_median_mode_dominance(ctx, df):
     ]
 
 
+def check_range_bounds_rank(ctx, df):
+    """Exact rank bracket for every emitted boundary, via direct counting
+    (one conditional-agg scan, independent of the builder's distributed
+    prefix sum): boundary b_i is the value at global rank
+    r_i = ceil(i*n/K) in the sorted multiset iff
+    count(key < b_i) < r_i <= count(key <= b_i). Also pins the boundary
+    set shape (bucket_idx exactly 1..K-1)."""
+    from pyspark.sql import functions as F
+
+    rows = sorted(df.collect(), key=lambda r: r["bucket_idx"])
+    if not rows:
+        return [("range_bounds_nonempty", False, "no boundaries emitted")]
+    k = len(rows) + 1
+    shape_ok = [r["bucket_idx"] for r in rows] == list(range(1, k))
+    li = ctx.table("lineitem").select("l_orderkey")
+    n = li.count()
+    aggs = []
+    for r in rows:
+        i, b = r["bucket_idx"], r["boundary"]
+        aggs.append(
+            F.sum((F.col("l_orderkey") < b).cast("long")).alias(f"lt{i}")
+        )
+        aggs.append(
+            F.sum((F.col("l_orderkey") <= b).cast("long")).alias(f"le{i}")
+        )
+    c = li.agg(*aggs).collect()[0]
+    bad = []
+    for r in rows:
+        i = r["bucket_idx"]
+        r_i = -(-i * n // k)  # ceil(i*n/K) in exact int arithmetic
+        if not (c[f"lt{i}"] < r_i <= c[f"le{i}"]):
+            bad.append((i, r["boundary"], c[f"lt{i}"], r_i, c[f"le{i}"]))
+    return [
+        (
+            "range_bounds_bucket_idx_complete",
+            shape_ok,
+            f"got {[r['bucket_idx'] for r in rows]}",
+        ),
+        (
+            "range_bounds_exact_rank_bracket",
+            not bad,
+            f"n={n} k={k} bad={bad[:3]}",
+        ),
+    ]
+
+
+def check_q21_bottom_recount(ctx, df):
+    """Independent recount of three reported suppliers' numwait in pure
+    python: pull every finished-order line for the supplier's candidate
+    orders and re-apply the spec predicate (late line, some other
+    supplier present, no other supplier late) with sets and loops — no
+    Spark joins in the verification logic. Samples the three SMALLEST
+    reported numwait rows so the per-supplier order set stays
+    driver-collectable at sf100."""
+    from pyspark.sql import functions as F
+
+    rows = df.collect()
+    if not rows:
+        return [("q21_nonempty", False, "no rows emitted")]
+    sample = sorted(rows, key=lambda r: (r["numwait"], r["s_name"]))[:3]
+    names = [r["s_name"] for r in sample]
+    sup = {
+        r["s_name"]: r["s_suppkey"]
+        for r in ctx.table("supplier")
+        .filter(F.col("s_name").isin(names))
+        .select("s_name", "s_suppkey")
+        .collect()
+    }
+    o = (
+        ctx.table("orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = ctx.table("lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    f_lines = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)
+        ).alias("late"),
+    )
+    bad = []
+    for r in sample:
+        sk = sup[r["s_name"]]
+        cand = (
+            f_lines.filter((F.col("l_suppkey") == sk) & F.col("late"))
+            .select("l_orderkey")
+            .distinct()
+        )
+        n_cand = cand.count()
+        if n_cand > 200_000:
+            return [
+                (
+                    "q21_bottom_python_recount",
+                    None,
+                    f"{r['s_name']}: {n_cand} candidate orders — too "
+                    "large to driver-collect; sampled recount skipped",
+                )
+            ]
+        lines = (
+            f_lines.join(F.broadcast(cand), "l_orderkey")
+            .collect()
+        )
+        orders: dict = {}
+        for ln in lines:
+            ok_, sk_, late_ = ln["l_orderkey"], ln["l_suppkey"], ln["late"]
+            d = orders.setdefault(ok_, {"supps": set(), "late": set(), "n_sk_late": 0})
+            d["supps"].add(sk_)
+            if late_:
+                d["late"].add(sk_)
+                if sk_ == sk:
+                    d["n_sk_late"] += 1
+        want = sum(
+            d["n_sk_late"]
+            for d in orders.values()
+            if len(d["supps"]) > 1 and d["late"] == {sk}
+        )
+        if want != r["numwait"]:
+            bad.append((r["s_name"], r["numwait"], want))
+    return [
+        (
+            "q21_bottom_python_recount",
+            not bad,
+            f"sampled={[ (r['s_name'], r['numwait']) for r in sample ]} "
+            f"bad={bad}",
+        )
+    ]
+
+
 BESPOKE = {
     "q_graph_copurchase_incr": [check_copurchase_incr_monoid],
     "q_text_repetition": [check_text_repetition_sample],
     "q_emb_outlier_report": [check_emb_outlier_refold],
     "q_orders_sla_latency": [check_sla_latency_replan],
     "q_agg_median_mode": [check_median_mode_dominance],
+    "q_layout_range_bounds": [check_range_bounds_rank],
+    "q_tpch_q21": [check_q21_bottom_recount],
     "q_agg_approx_distinct": [check_approx_distinct],
     "q_agg_approx_percentile": [check_approx_percentile],
     "q_agg_hll_union": [check_hll_union],
