@@ -522,6 +522,7 @@ def run_dedup_ingest_pipeline(
     batch_metrics: list | None = None,
     label_cadence: int = 1,
     label_buckets: int | None = None,
+    index_compact_cadence: int | None = None,
 ):
     """Stream jsonl document batches from ``input_dir`` through the
     probe -> split -> append -> extend loop. Bootstraps an empty index when
@@ -568,7 +569,13 @@ def run_dedup_ingest_pipeline(
     across {per-batch, cadence} × {monolithic, partitioned} and equals
     the batch recompute (tests/test_streaming_ingest.py).
     Measured overhead: SCALE.md §r9 (per-batch), §r10 (cadence +
-    partitioned)."""
+    partitioned).
+
+    ``index_compact_cadence=N`` (r10) runs compact_dedup_index every N
+    committed batches — the "nightly" small-files hygiene the compaction
+    docstring prescribes, wired into the loop so a long-running stream
+    never accumulates thousands of probe-taxing segment files. Keyed to
+    the committed-batch count, so replays never double-compact."""
     from cdc_worker_spark.operators.index_layout import table_exists
 
     if not table_exists(index_dir, "digests"):
@@ -639,6 +646,22 @@ def run_dedup_ingest_pipeline(
             label_sec = round(time.perf_counter() - t_lbl, 3)
         with open(committed_path, "a") as fh:
             fh.write(f"{batch_id}\n")
+        if (
+            index_compact_cadence is not None
+            and len(_committed()) % index_compact_cadence == 0
+        ):
+            # small-files hygiene on a cadence (every extend appends a
+            # few files; after thousands of batches the probe pays the
+            # per-file open tax). Runs AFTER the ledger write: compaction
+            # is a pure rewrite-and-flip, idempotent and crash-safe by
+            # the manifest protocol, so replay interplay is a non-issue —
+            # keyed to the committed count, a replayed batch (no-op,
+            # count unchanged) never double-compacts.
+            from cdc_worker_spark.operators.dedup_index import (
+                compact_dedup_index,
+            )
+
+            compact_dedup_index(spark, index_dir)
         if batch_metrics is not None:
             # per-batch cost split (SCALE.md §r10: the label-maintenance
             # overhead claim is measured, not asserted) — caller-owned

@@ -535,3 +535,54 @@ def test_partitioned_migration_splits_existing_monolithic(spark, tmp_path):
         for r in read_cluster_labels(spark, idx).collect()
     )
     assert got == sorted(rows)
+
+
+def test_index_compact_cadence_folds_segments_and_keeps_semantics(
+    spark, tmp_path
+):
+    """index_compact_cadence=2 over 4 batches: the per-batch extend
+    segments are folded into base generations (segment lists empty after
+    the cadence compaction), and dedup semantics are unchanged — a batch
+    AFTER the compaction still rejects a dup accepted three batches ago."""
+    from cdc_worker_spark.operators.index_layout import read_pointer
+
+    in_dir = str(tmp_path / "in")
+    texts = [
+        "first unique document about gardens and flowers today",
+        "second unique document about mountains and rivers tonight",
+        "third unique document about engines and turbines tomorrow",
+        "fourth unique document about libraries and archives yesterday",
+    ]
+    for k, t in enumerate(texts):
+        _write_batch(in_dir, f"b{k}.jsonl", [_doc(k + 1, t)])
+        time.sleep(0.05)
+    kw = dict(
+        input_dir=in_dir,
+        index_dir=str(tmp_path / "idx"),
+        corpus_dir=str(tmp_path / "corpus"),
+        rejects_dir=str(tmp_path / "rejects"),
+        checkpoint_dir=str(tmp_path / "chk"),
+        index_compact_cadence=2,
+    )
+    run_dedup_ingest_pipeline(spark, **kw).awaitTermination(180)
+
+    ptr = read_pointer(str(tmp_path / "idx"))
+    for table in ("digests", "signatures", "bands"):
+        assert ptr[table]["segments"] == [], (table, ptr[table])
+
+    # post-compaction probe correctness: an exact dup of batch-0's doc
+    # and a fresh doc arrive in batch 5
+    _write_batch(in_dir, "b4.jsonl", [
+        _doc(50, texts[0]),                      # exact dup: rejected
+        _doc(51, "fifth unique document about oceans and tides at dawn"),
+    ])
+    run_dedup_ingest_pipeline(spark, **kw).awaitTermination(120)
+    corpus = sorted(
+        r.doc_id for r in spark.read.parquet(str(tmp_path / "corpus")).collect()
+    )
+    rejects = {
+        r.doc_id: (r.match_id, r.kind)
+        for r in spark.read.parquet(str(tmp_path / "rejects")).collect()
+    }
+    assert corpus == [1, 2, 3, 4, 51], corpus
+    assert rejects == {50: (1, "exact")}, rejects
