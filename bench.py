@@ -14,6 +14,7 @@ import json
 import os
 import pathlib
 import re
+import shutil
 import sys
 import time
 
@@ -152,6 +153,8 @@ def main() -> None:
         ingest_sec = round(time.perf_counter() - t0, 3)
     except Exception as e:  # noqa: BLE001 — artifact must still emit
         ingest_error = f"{type(e).__name__}: {e}"
+        if cache is not None:  # don't leak a half-populated ingest dir
+            shutil.rmtree(cache, ignore_errors=True)
         cache = None
 
     if cache is not None:

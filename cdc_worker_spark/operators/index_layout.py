@@ -161,6 +161,28 @@ def publish_generations(root: str, gens: dict[str, str]) -> None:
     _write_pointer(root, cur)
 
 
+def drop_table(root: str, table: str) -> None:
+    """Remove ``table`` from the pointer and delete every directory that
+    belongs to it (plain dir, ``.g<N>`` generations, ``.s-*`` segments).
+    For layout migrations that obsolete a whole table — the monolithic
+    label snapshot after a bucketed re-declare, or out-of-range bucket
+    tables after a bucket-count shrink (ADVICE r10: these otherwise stay
+    referenced in the pointer as never-GC'd stale data). Safe when no
+    writer is in flight; callers run it AFTER the migration's commit
+    point, so readers have already resolved away from the table."""
+    import shutil
+
+    cur = read_pointer(root)
+    if table in cur:
+        del cur[table]
+        _write_pointer(root, cur)
+    for name in os.listdir(root):
+        if name == table or name.startswith(table + ".g") or name.startswith(
+            table + ".s-"
+        ):
+            shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+
+
 def gc_generations(root: str, table: str, grace_seconds: float = 0.0) -> None:
     """Remove every directory of ``table`` the pointer does not reference:
     stale bases/segments from completed flips and dangling ones from

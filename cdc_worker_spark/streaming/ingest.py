@@ -142,6 +142,24 @@ def write_label_snapshot(
     os.replace(tmp, os.path.join(index_dir, LABELS_META))
     for t in gens:
         gc_generations(index_dir, t)
+    # migration hygiene (ADVICE r10): once the meta commits B buckets,
+    # the monolithic table and any bucket table numbered >= B are
+    # unreachable by readers but still referenced in the pointer — drop
+    # them so a shrink/migration never strands stale data. Runs AFTER
+    # the commit point; a crash in between just leaves the same debris
+    # the next snapshot write cleans.
+    import re as _re
+
+    from cdc_worker_spark.operators.index_layout import (
+        drop_table,
+        read_pointer,
+    )
+
+    bucket_re = _re.compile(_re.escape(LABELS_TABLE) + r"_b(\d+)$")
+    for t in list(read_pointer(index_dir)):
+        m = bucket_re.match(t)
+        if t == LABELS_TABLE or (m and int(m.group(1)) >= buckets):
+            drop_table(index_dir, t)
 
 
 def apply_label_pairs(
@@ -582,17 +600,34 @@ def run_dedup_ingest_pipeline(
         build_dedup_index(
             spark.createDataFrame([], DOC_SCHEMA), index_dir
         )
-    if label_buckets is not None and _labels_buckets(index_dir) is None:
-        # declare the partitioned label layout before the first batch; an
-        # existing monolithic snapshot is split once (migration price,
-        # O(corpus), paid exactly once — folds after this touch only the
-        # buckets their delta reaches)
-        write_label_snapshot(
-            spark,
-            index_dir,
-            read_cluster_labels(spark, index_dir),
-            buckets=label_buckets,
-        )
+    if label_buckets is not None:
+        meta_buckets = _labels_buckets(index_dir)
+        if meta_buckets is None:
+            # declare the partitioned label layout before the first
+            # batch; an existing monolithic snapshot is split once
+            # (migration price, O(corpus), paid exactly once — folds
+            # after this touch only the buckets their delta reaches)
+            write_label_snapshot(
+                spark,
+                index_dir,
+                read_cluster_labels(spark, index_dir),
+                buckets=label_buckets,
+            )
+        elif meta_buckets != label_buckets:
+            # never silently fold into a different layout than the
+            # caller asked for (ADVICE r10: an operator who thinks they
+            # run 64 buckets must not silently be on 16). Re-bucketing
+            # is an explicit O(corpus) migration the operator opts into
+            # via write_label_snapshot, not a side effect of a restart.
+            raise ValueError(
+                f"label layout mismatch: index at {index_dir!r} is "
+                f"partitioned into {meta_buckets} buckets but the "
+                f"pipeline was asked for label_buckets={label_buckets}. "
+                "Either restart with the existing count or migrate "
+                "explicitly: write_label_snapshot(spark, index_dir, "
+                "read_cluster_labels(spark, index_dir), "
+                f"buckets={label_buckets})"
+            )
     os.makedirs(checkpoint_dir, exist_ok=True)
 
     reader = spark.readStream.schema(DOC_SCHEMA)
@@ -682,7 +717,17 @@ def run_dedup_ingest_pipeline(
         exactly-once spool segment (same token protocol as the index
         extend — a replayed batch is a no-op). The fold that consumes the
         spool re-derives the docs from the corpus, so only ids are
-        spooled: O(delta) rows of one long each."""
+        spooled: O(delta) rows of one long each.
+
+        Scope of "exactly-once": it holds within one cadence window.
+        fold_pending_labels' _clear_spool wipes the consumed segment
+        token list, so a replay AFTER full checkpoint/ledger loss will
+        re-spool already-folded batches; the end state stays correct
+        because the refold is idempotent (the delta_near_pairs probe and
+        fold are pure functions of corpus + labels — exercised by the
+        crash-replay test), at the cost of one redundant fold over the
+        replayed delta. If that redundancy ever matters at scale, retain
+        consumed tokens in a folded-token ledger instead of clearing."""
         from cdc_worker_spark.operators.index_layout import (
             begin_segment,
             publish_segment,

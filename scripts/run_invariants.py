@@ -157,13 +157,25 @@ def run_chunk(
 #: coverage (UNCOVERED). excluded_pinned / dialect_blocked SKIPs with a
 #: live bespoke or pinned-evidence check are fine.
 def _is_bad_check(c: dict) -> bool:
+    # Key on the CHECK NAME, not free-text substrings of arbitrary
+    # details: a genuinely failing invariant whose detail happens to
+    # contain e.g. "missing" must surface as a real failure, not be
+    # re-run forever as a "dead chunk" (ADVICE r10). The two dead/
+    # uncovered states the harness itself synthesizes are:
+    #   - check == "run", ok=False  (chunk ERROR / crashed / timed out /
+    #     part file absent — emitted only by run_chunk fallbacks and
+    #     verify_invariants' except path)
+    #   - check == "dual_lifted_oracle", ok=False, detail starting with
+    #     "UNCOVERED" (dual blocked with no bespoke coverage; the
+    #     excluded_pinned/dialect_blocked SKIPs carry different prefixes
+    #     and live alongside dual_pinned_evidence rows)
+    if c.get("ok") is not False:
+        return False
+    name = c.get("check") or ""
     detail = c.get("detail") or ""
-    if c.get("ok") is False and (
-        detail.startswith("ERROR")
-        or "crashed" in detail
-        or "UNCOVERED" in detail
-        or "missing" in detail
-    ):
+    if name == "run":
+        return True
+    if name == "no_live_check" and detail.startswith("UNCOVERED"):
         return True
     return False
 

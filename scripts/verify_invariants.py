@@ -2251,10 +2251,14 @@ def check_median_mode_dominance(ctx, df):
         .agg(F.percentile_approx("value", 0.5, 10000).alias("ap"))
         .collect()
     }
+    # approx.get(): a builder row whose event_type is absent from
+    # events_ms is exactly the wrong output this check exists to catch —
+    # record it as a mismatch, don't KeyError the harness (ADVICE r10)
     med_bad = [
         (r["event_type"], r["med_value"], approx.get(r["event_type"]))
         for r in rows
-        if abs(r["med_value"] - approx[r["event_type"]]) > 0.5
+        if r["event_type"] not in approx
+        or abs(r["med_value"] - approx[r["event_type"]]) > 0.5
     ]
     modes = {r["event_type"]: r["mode_user"] for r in rows}
     probe_ids = sorted(

@@ -212,6 +212,42 @@ def test_repair_reports_still_bad_when_retry_fails(tmp_path):
     assert n_bad == 1  # wrapper must exit nonzero — never silent
 
 
+def test_real_failures_are_not_misclassified_as_dead_chunks(tmp_path):
+    """ADVICE r10: _is_bad_check must key on the CHECK NAME, not detail
+    substrings — a genuinely failing invariant whose detail contains
+    'missing'/'crashed'/'UNCOVERED' as free text is a REAL failure the
+    sweep must report (exit nonzero via n_fail), not a dead chunk the
+    repair pass re-runs forever."""
+    import json
+
+    runner = _runner_mod()
+    parts = tmp_path / "parts"
+    parts.mkdir()
+    real_fail = [{"check": "gapfill_grid_complete_per_user", "ok": False,
+                  "detail": "user 42 grid missing 3 days; 2 rows crashed"
+                            " the UNCOVERED window"}]
+    (parts / "part_000.json").write_text(
+        json.dumps({"sf_dir": "sfX", "results": {"q_fail": real_fail}}))
+
+    bad, never = runner.scan_parts(parts, ["q_fail"])
+    assert not bad and not never  # completed with a real failure — no retry
+    merged = runner.merge_parts(
+        [json.loads((parts / "part_000.json").read_text())],
+        ["q_fail"], "sfX",
+    )
+    assert merged["n_fail"] == 1  # ...but the failure still counts
+
+    # the two synthesized dead/uncovered states stay bad by NAME
+    assert runner._is_bad_check(
+        {"check": "run", "ok": False, "detail": "ERROR boom"})
+    assert runner._is_bad_check(
+        {"check": "no_live_check", "ok": False,
+         "detail": "UNCOVERED: dual absent and no bespoke check"})
+    assert not runner._is_bad_check(
+        {"check": "dual_lifted_oracle", "ok": False,
+         "detail": "excluded_pinned(sf10): lifted plan OOMs at sf100"})
+
+
 def test_dual_block_taxonomy_and_pinned_evidence(inv):
     """VERDICT r09 next #4: {dialect_blocked, runtime_blocked(sf),
     excluded_pinned(sf)} — exclusions carry a pin scale + artifact that

@@ -537,6 +537,89 @@ def test_partitioned_migration_splits_existing_monolithic(spark, tmp_path):
     assert got == sorted(rows)
 
 
+def test_partitioned_migration_drops_stale_monolithic_and_buckets(
+    spark, tmp_path
+):
+    """ADVICE r10: a bucketed re-declare must not strand the migrated
+    monolithic table (or, on a shrink, the out-of-range bucket tables) in
+    the pointer as never-GC'd stale data — after the meta commit they are
+    unreachable by readers and must be dropped from pointer AND disk."""
+    from cdc_worker_spark.operators.index_layout import read_pointer
+    from cdc_worker_spark.streaming.ingest import (
+        LABELS_TABLE,
+        _bucket_table,
+        _labels_buckets,
+        read_cluster_labels,
+        write_label_snapshot,
+    )
+
+    idx = str(tmp_path / "idx")
+    rows = [(i, i % 7) for i in range(50)]
+    write_label_snapshot(
+        spark,
+        idx,
+        spark.createDataFrame(rows, "doc_id long, cluster_id long"),
+    )
+    # monolithic -> 4 buckets: the monolithic table must be gone
+    write_label_snapshot(
+        spark, idx, read_cluster_labels(spark, idx), buckets=4
+    )
+    ptr = read_pointer(idx)
+    assert LABELS_TABLE not in ptr
+    assert not any(n.startswith(LABELS_TABLE + ".g") for n in os.listdir(idx))
+    assert all(_bucket_table(i) in ptr for i in range(4))
+
+    # 4 -> 2 buckets (shrink): b002/b003 must be gone from pointer + disk
+    write_label_snapshot(
+        spark, idx, read_cluster_labels(spark, idx), buckets=2
+    )
+    assert _labels_buckets(idx) == 2
+    ptr = read_pointer(idx)
+    assert _bucket_table(0) in ptr and _bucket_table(1) in ptr
+    assert _bucket_table(2) not in ptr and _bucket_table(3) not in ptr
+    assert not any(
+        n.startswith(_bucket_table(2)) or n.startswith(_bucket_table(3))
+        for n in os.listdir(idx)
+    )
+    got = sorted(
+        (r.doc_id, r.cluster_id)
+        for r in read_cluster_labels(spark, idx).collect()
+    )
+    assert got == sorted(rows)
+
+
+def test_pipeline_raises_on_label_bucket_mismatch(spark, tmp_path):
+    """ADVICE r10: run_dedup_ingest_pipeline must refuse a label_buckets
+    that disagrees with the committed layout meta — an operator who asks
+    for 64 buckets must never silently run on 16."""
+    import pytest
+
+    from cdc_worker_spark.streaming.ingest import write_label_snapshot
+
+    idx = str(tmp_path / "idx")
+    write_label_snapshot(
+        spark,
+        idx,
+        spark.createDataFrame(
+            [(1, 1)], "doc_id long, cluster_id long"
+        ),
+        buckets=4,
+    )
+    in_dir = str(tmp_path / "in")
+    _write_batch(in_dir, "b0.jsonl", [_doc(1, "some document text here")])
+    with pytest.raises(ValueError, match="label layout mismatch"):
+        run_dedup_ingest_pipeline(
+            spark,
+            input_dir=in_dir,
+            index_dir=idx,
+            corpus_dir=str(tmp_path / "corpus"),
+            rejects_dir=str(tmp_path / "rejects"),
+            checkpoint_dir=str(tmp_path / "chk"),
+            near_policy="label",
+            label_buckets=8,
+        )
+
+
 def test_index_compact_cadence_folds_segments_and_keeps_semantics(
     spark, tmp_path
 ):
