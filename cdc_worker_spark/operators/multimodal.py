@@ -2,14 +2,16 @@
 typed metadata, decode / feature-extract plumbing as Arrow-batched Pandas UDFs.
 
 Design: media is an opaque ``binary`` column + metadata struct; all Spark-side
-plumbing (schema, partitioning, batch shape) is real. Five formats decode for
+plumbing (schema, partitioning, batch shape) is real. Six formats decode for
 REAL via in-repo codecs, one per compression family: PNG (filter+deflate),
 GIF (LZW), baseline JPEG (DCT/Huffman transform coding), PCM WAV, Y4M planar
-video — each oracle-checked end-to-end by its q_multimodal_decode_* query.
-Only MP3/H.264-class formats remain stubbed (their codecs are out of
-stdlib+numpy reach): the default "decoder" derives deterministic fake
-metadata from the bytes, and ``decode_media_batch(..., strict=True)`` raises
-NotImplementedError where a libavcodec/ffmpeg call would go.
+video, MJPEG-in-AVI compressed video (RIFF demux + per-frame T.81 decode) —
+each oracle-checked end-to-end by its q_multimodal_decode_* query. Only
+MP3/H.264-class INTER-frame formats remain stubbed (motion-compensation
+codecs are out of stdlib+numpy reach): the default "decoder" derives
+deterministic fake metadata from the bytes, and
+``decode_media_batch(..., strict=True)`` raises NotImplementedError where a
+libavcodec/ffmpeg call would go.
 
 At 100 TB: binary payloads dominate bytes — mapInPandas streams Arrow batches
 through the decoder without materializing the whole partition; metadata-only
@@ -68,16 +70,18 @@ def decode_media_batch(df: DataFrame, strict: bool = False) -> DataFrame:
 
     Payloads with a recognized signature ALWAYS decode for real via the
     in-repo codecs: PNG (filter+deflate), GIF (LZW), baseline JPEG
-    (DCT/Huffman transform coding), PCM WAV, Y4M video — one real codec
-    per compression family. For anything else:
+    (DCT/Huffman transform coding), PCM WAV, Y4M video, MJPEG-in-AVI
+    compressed video — one real codec per compression family. For
+    anything else:
     strict=False: deterministic fake decode (metadata derived from byte
     length) so the plumbing is testable without media libraries.
     strict=True: raises NotImplementedError exactly where
     libavcodec/soundfile/ffmpeg would be invoked (MP3/H.264-class
-    formats remain the documented seam).
+    INTER-frame formats remain the documented seam).
     """
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from cdc_worker_spark.functions.avi_codec import decode_mjpeg_avi
         from cdc_worker_spark.functions.gif_codec import decode_gif
         from cdc_worker_spark.functions.jpeg_codec import decode_jpeg
         from cdc_worker_spark.functions.png_codec import _SIGNATURE, decode_png
@@ -102,6 +106,17 @@ def decode_media_batch(df: DataFrame, strict: bool = False) -> DataFrame:
                     # REAL decode for Y4M video (functions/y4m_codec.py):
                     # geometry + actual frame count from the container
                     clip = decode_y4m(raw)
+                    rows.append(
+                        (
+                            doc_id, mtype, len(raw),
+                            clip["width"], clip["height"], clip["n_frames"],
+                        )
+                    )
+                elif raw[:4] == b"RIFF" and raw[8:12] == b"AVI ":
+                    # REAL decode for MJPEG compressed video
+                    # (functions/avi_codec.py): RIFF demux + per-frame
+                    # baseline-JPEG decode, frame count from the movi walk
+                    clip = decode_mjpeg_avi(raw)
                     rows.append(
                         (
                             doc_id, mtype, len(raw),
@@ -133,9 +148,11 @@ def decode_media_batch(df: DataFrame, strict: bool = False) -> DataFrame:
                     )
                 elif strict:
                     raise NotImplementedError(
-                        "real decode for MP3/H.264-class media requires "
-                        "libraries not present in this environment; wire "
-                        "libavcodec/soundfile/ffmpeg here"
+                        "real decode for MP3/H.264-class INTER-frame media "
+                        "(motion-compensated codecs) requires libraries not "
+                        "present in this environment; wire libavcodec/"
+                        "soundfile/ffmpeg here. Intra-frame compressed "
+                        "video (MJPEG-in-AVI) decodes for real above."
                     )
                 else:
                     n = len(raw)
@@ -609,3 +626,4 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frame_no",
         F.decode(F.col("frame_bytes"), "utf-8").alias("frame_chunk"),
     )
+

@@ -81,6 +81,7 @@ _QUERY_MODULES = (
     "cdc_worker_spark.operators.graph_incr",
     "cdc_worker_spark.operators.cluster_incr",
     "cdc_worker_spark.operators.warehouse_ext",
+    "cdc_worker_spark.operators.multimodal_video",
 )
 
 

@@ -111,7 +111,8 @@ q_win_distribution q_union_distinct q_intersect q_except q_intersect_all
 q_cdc_checkpoint q_cdc_snapshot_merge q_math_funcs q_json_funcs q_hex_funcs
 q_cdc_bitmap q_map_funcs q_udtf_sentences q_multimodal_join q_multimodal_meta
 q_multimodal_decode_png q_multimodal_decode_gif q_multimodal_decode_wav
-q_multimodal_decode_y4m q_multimodal_frames q_docs_sample_stratified
+q_multimodal_decode_y4m q_multimodal_decode_mjpeg q_multimodal_frames
+q_docs_sample_stratified
 q_docs_cap_per_source q_docs_sample_weighted q_emb_quantize q_docs_shuffle
 q_pivot_events q_unpivot_orders q_pivot_daily_matrix q_exists_correlated
 q_scalar_subquery q_win_ignore_nulls q_dq_profile q_layout_zorder

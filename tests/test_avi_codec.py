@@ -142,6 +142,25 @@ def test_corrupt_inputs_raise():
         decode_mjpeg_avi(encode_mjpeg_avi(w, h, [other]))
 
 
+def test_decode_media_batch_real_mjpeg_avi(spark):
+    """A RIFF/'AVI ' payload flows through the mapInPandas decode seam
+    with real metadata (geometry from the stream headers, frame count
+    from the movi walk), including under strict=True — compressed video
+    is no longer the stub branch."""
+    from cdc_worker_spark.operators.multimodal import decode_media_batch
+
+    w, h, n = 16, 8, 3
+    _, jpegs = _clip(w, h, n, seed=19)
+    data = encode_mjpeg_avi(w, h, jpegs)
+    df = spark.createDataFrame(
+        [(9, bytearray(data), "video/avi")],
+        "doc_id: long, media: binary, media_type: string",
+    )
+    out = decode_media_batch(df, strict=True).collect()[0]
+    assert (out.width, out.height, out.n_frames) == (w, h, n)
+    assert out.n_bytes == len(data)
+
+
 def test_word_alignment_odd_frame_sizes():
     """JPEG payloads are frequently odd-length; the pad byte must not
     corrupt the following chunk."""

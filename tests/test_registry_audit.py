@@ -19,9 +19,9 @@ def test_registry_size_matches_docs():
     these numbers; update both together."""
     qs = all_queries()
     oracles = all_oracles()
-    assert len(qs) == 216, f"registry has {len(qs)} queries, docs say 216"
-    assert len(oracles) == 198, (
-        f"{len(oracles)} oracle-checked queries, docs say 198 "
+    assert len(qs) == 217, f"registry has {len(qs)} queries, docs say 217"
+    assert len(oracles) == 199, (
+        f"{len(oracles)} oracle-checked queries, docs say 199 "
         f"({len(qs) - len(oracles)} rows-only by design)"
     )
 
