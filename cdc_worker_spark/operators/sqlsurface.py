@@ -139,18 +139,19 @@ def q_win_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_agg_median_mode",
     oracle="""
-    SELECT event_type,
-           round(median(value), 6) AS med_value,
-           CAST(min(m) AS BIGINT) AS mode_user
-    FROM events
+    SELECT med.event_type,
+           med.med_value,
+           CAST(min(t.m) AS BIGINT) AS mode_user
+    FROM (SELECT event_type, round(median(value), 6) AS med_value
+          FROM events GROUP BY event_type) med
     JOIN (
       SELECT event_type AS et, user_id AS m
       FROM (SELECT event_type, user_id, count(*) AS c,
                    max(count(*)) OVER (PARTITION BY event_type) AS mx
             FROM events GROUP BY 1, 2)
       WHERE c = mx
-    ) t ON t.et = event_type
-    GROUP BY event_type
+    ) t ON t.et = med.event_type
+    GROUP BY med.event_type, med.med_value
     """,
 )
 def q_agg_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -158,7 +159,15 @@ def q_agg_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     user per event type, ties -> smallest id — bare mode() is
     nondeterministic under ties in BOTH engines, so the tie-break is
     explicit). The mode side is counts-only (two aggs + a window over tiny
-    (type, user) counts); the join keys are the 5 event types."""
+    (type, user) counts); the join keys are the 5 event types.
+
+    r11: the DUAL aggregates the median PRE-join too. Its original
+    median-AFTER-join form (median over the mode-join row product —
+    equal because tied modes duplicate rows uniformly) livelocked the
+    sf100 sweep in the object-agg sort-based fallback (~600s/task of
+    per-row percentile-state churn, jstack-diagnosed r10); aggregating
+    before the join is the builder's own scale shape and keeps DuckDB
+    semantics bit-identical."""
     ev = load_events_ms(spark, sf_dir)
     med = ev.groupBy("event_type").agg(F.round(F.median("value"), 6).alias("med_value"))
     counts = ev.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("c"))

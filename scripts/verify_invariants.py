@@ -2575,15 +2575,13 @@ DUAL_SF100_EXCLUDE = {
     # builder at sf100). With the broadcast removed (warehouse.py r10
     # scale fix) both builder and lifted dual run at sf100 — the
     # exclusion is gone and the dual is live again.
-    "q_agg_median_mode": (
-        "10",
-        "INVARIANTS_sf10_runtime_blocked_duals.json",
-        "lifted median-after-broadcast-join degenerates to the object-"
-        "agg sort-based fallback at sf100 (~600s/task of per-row "
-        "percentile-state churn across 4 AQE-coalesced partitions, "
-        "jstack-diagnosed r10); the BUILDER aggregates median PRE-join "
-        "and runs in 9.6s at sf100; runtime_blocked, dual pinned at sf10",
-    ),
+    # q_agg_median_mode was excluded here through r10: its lifted
+    # median-AFTER-join form degenerated to the object-agg sort-based
+    # fallback at sf100 (~600s/task of per-row percentile-state churn,
+    # jstack-diagnosed r10). r11 rewrote the ORACLE to aggregate the
+    # median pre-join (the builder's own shape, bit-identical DuckDB
+    # semantics — VERDICT r10 next #6); the lifted dual now runs live at
+    # sf100, so the exclusion is gone, not pinned.
 }
 
 

@@ -38,7 +38,11 @@ unchanged.
 Round-10 probe (VERDICT r09 next #8, 2026-08-16): re-ran once — curl to
 repo1.maven.org exit 6 ("Could not resolve host"), `pip download
 grpcio-tools` still "No matching distribution found" (index
-unreachable); unchanged."""
+unreachable); unchanged.
+
+Round-11 probe (VERDICT r10 next #7, 2026-08-16): re-ran once — curl to
+repo1.maven.org exit 6 ("Could not resolve host"), `pip download`
+still "No matching distribution found" (index unreachable); unchanged."""
 
 from __future__ import annotations
 

@@ -218,7 +218,9 @@ def test_delta_merge_sink_matches_latest_wins_state(spark, tmp_path):
     exit 6 "Could not resolve host: repo1.maven.org", pip index still
     unreachable; unchanged. Round-10 probe (2026-08-16): re-ran once —
     curl exit 6 "Could not resolve host: repo1.maven.org", pip
-    "No matching distribution found"; unchanged."""
+    "No matching distribution found"; unchanged. Round-11 probe
+    (2026-08-16): re-ran once — curl exit 6 "Could not resolve host",
+    pip "No matching distribution found"; unchanged."""
     import pytest
 
     try:

@@ -243,7 +243,9 @@ def test_session_close_summaries_transform_with_state(spark, tmp_path):
     (2026-08-16): re-ran once — same "No matching distribution found for
     protobuf" (pip index DNS-blocked); unchanged. Round-10 probe
     (2026-08-16): re-ran once — same "No matching distribution found"
-    (pip index DNS-blocked); unchanged."""
+    (pip index DNS-blocked); unchanged. Round-11 probe (2026-08-16):
+    re-ran once — `pip download protobuf` "No matching distribution
+    found" (pip index DNS-blocked); unchanged."""
     pytest.importorskip(
         "google.protobuf",
         reason="transformWithState needs protobuf; container is offline",
