@@ -43,6 +43,17 @@ def main() -> None:
     ap.add_argument("--labels", default="10000000,100000000")
     ap.add_argument("--buckets", default="0,16,64,256")
     ap.add_argument("--touched", default="100,10000")
+    ap.add_argument(
+        "--id-mode",
+        choices=["hashed", "sequential"],
+        default="hashed",
+        help="hashed (default): doc ids are xxhash64-scrambled and "
+        "cluster ids scattered — the snapshot encodes at realistic "
+        "bytes/row, like a real fold output written in shuffle order. "
+        "sequential: range ids — parquet delta-encoding crushes them to "
+        "a few bits/row, a best-case-compressibility LOWER bound that "
+        "flatters the monolithic full rewrite (the r11 first-pass grid).",
+    )
     ap.add_argument("--cpus", default="32")
     ap.add_argument("--driver-mem", default="16g")
     ap.add_argument("--workdir", default=None)
@@ -75,10 +86,24 @@ def main() -> None:
 
     for n_labels in n_grid:
         n_clusters = n_labels // 3
-        labels = spark.range(n_labels).select(
-            F.col("id").alias("doc_id"),
-            (F.col("id") - F.col("id") % 3).alias("cluster_id"),
-        )
+        if args.id_mode == "hashed":
+            # scrambled doc ids, scattered cluster ids (min xxhash of the
+            # 3 members — the CC min-label convention over real ids);
+            # written in hash order like a fold's shuffle output
+            base = F.col("id") - F.col("id") % 3
+            labels = spark.range(n_labels).select(
+                F.xxhash64(F.col("id")).alias("doc_id"),
+                F.least(
+                    F.xxhash64(base),
+                    F.xxhash64(base + 1),
+                    F.xxhash64(base + 2),
+                ).alias("cluster_id"),
+            )
+        else:
+            labels = spark.range(n_labels).select(
+                F.col("id").alias("doc_id"),
+                (F.col("id") - F.col("id") % 3).alias("cluster_id"),
+            )
         for buckets in b_grid:
             build_dir = tempfile.mkdtemp(
                 prefix=f"xover_b{buckets}_", dir=args.workdir
@@ -95,9 +120,11 @@ def main() -> None:
                 )
                 shutil.rmtree(fold_dir)
                 shutil.copytree(build_dir, fold_dir)
-                # K delta pairs: new doc N+i <-> representative member of
-                # a hash-chosen cluster (rep doc_id == cluster_id)
-                pairs = spark.range(k_touched).select(
+                # K delta pairs: new doc N+i <-> a member of a
+                # hash-chosen cluster (c_orig is the cluster's smallest
+                # ORIGINAL id; its label is the min member id in
+                # sequential mode, the min member xxhash in hashed mode)
+                sel = spark.range(k_touched).select(
                     (F.lit(n_labels) + F.col("id")).alias("doc_a"),
                     (
                         3
@@ -105,26 +132,53 @@ def main() -> None:
                             F.col("id") * F.lit(HASH_MULT),
                             F.lit(n_clusters),
                         )
-                    ).alias("doc_b"),
+                    ).alias("c_orig"),
                 )
+                if args.id_mode == "hashed":
+                    c = F.col("c_orig")
+                    c_lbl = F.least(
+                        F.xxhash64(c), F.xxhash64(c + 1), F.xxhash64(c + 2)
+                    )
+                    pairs = sel.select(
+                        "doc_a", F.xxhash64(c).alias("doc_b")
+                    )
+                    # min-label CC: a small new id can become the new
+                    # cluster label (remapping the 3 members) — expected
+                    # label is the min of both
+                    expected_new = sel.select(
+                        F.col("doc_a").alias("doc_id"),
+                        F.least(c_lbl, F.col("doc_a")).alias(
+                            "want_cluster"
+                        ),
+                    )
+                else:
+                    pairs = sel.select(
+                        "doc_a", F.col("c_orig").alias("doc_b")
+                    )
+                    expected_new = sel.select(
+                        F.col("doc_a").alias("doc_id"),
+                        F.col("c_orig").alias("want_cluster"),
+                    )
                 t0 = time.perf_counter()
                 changed = apply_label_pairs(spark, fold_dir, pairs)
                 fold_sec = round(time.perf_counter() - t0, 2)
                 assert changed, "fold reported no-op on a non-empty delta"
 
                 # equality gate (untimed): N+K rows; every new doc labeled
-                # with its target cluster's id (min-label: the rep itself)
+                # with its target cluster's label (min-label convention)
                 got = read_cluster_labels(spark, fold_dir)
                 n_total = got.count()
-                expected_new = pairs.select(
-                    F.col("doc_a").alias("doc_id"),
-                    F.col("doc_b").alias("want_cluster"),
+                # join on doc_id (hashed existing ids can exceed N, so a
+                # >=N filter would not isolate the new docs); wrong label
+                # OR missing row both count as bad
+                joined = got.join(expected_new, "doc_id").localCheckpoint(
+                    eager=True
                 )
                 n_bad = (
-                    got.filter(F.col("doc_id") >= n_labels)
-                    .join(expected_new, "doc_id")
-                    .filter(F.col("cluster_id") != F.col("want_cluster"))
-                    .count()
+                    joined.filter(
+                        F.col("cluster_id") != F.col("want_cluster")
+                    ).count()
+                    + (k_touched - joined.count())
                 )
                 shutil.rmtree(fold_dir, ignore_errors=True)
                 if n_total != n_labels + k_touched or n_bad:
