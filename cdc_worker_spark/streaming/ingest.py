@@ -93,6 +93,57 @@ def read_cluster_labels(spark: SparkSession, index_dir: str) -> DataFrame:
     return spark.read.parquet(resolve_table(index_dir, LABELS_TABLE))
 
 
+def _write_bucket_generations(
+    spark: SparkSession,
+    index_dir: str,
+    content_with_b: DataFrame,
+    bucket_ids: list[int],
+    buckets: int,
+) -> dict[str, str]:
+    """Write fresh generation directories for ``bucket_ids`` from a frame
+    carrying its bucket assignment in ``_b`` — in ONE Spark job.
+
+    The r10 implementation ran one read+write job PER bucket; the r11
+    crossover probe measured that per-bucket job overhead (~0.5-0.7 s
+    each at local[32]) dominating the fold wall whenever more than a
+    handful of buckets are touched — the exact regime the partitioned
+    layout exists for. One ``repartition(n, _b) + partitionBy(_b)`` write
+    pays one shuffle of exactly the rewrite bytes and emits one file per
+    bucket; the ``_b=<i>`` subdirectories are then renamed into the
+    generation dirs (pure metadata on a filesystem; on an object store
+    this is the same server-side move every table-format compaction
+    does). Buckets in ``bucket_ids`` that end with zero rows still get a
+    (0-row, schema-bearing) generation so readers never hit a missing
+    directory. Returns {table: generation_dir}; the caller publishes all
+    of them in one pointer flip."""
+    import shutil
+
+    from cdc_worker_spark.operators.index_layout import next_generation
+
+    scratch = os.path.join(index_dir, "_labels_split_tmp")
+    shutil.rmtree(scratch, ignore_errors=True)
+    (
+        content_with_b.repartition(max(1, len(bucket_ids)), "_b")
+        .write.partitionBy("_b")
+        .mode("overwrite")
+        .parquet(scratch)
+    )
+    gens: dict[str, str] = {}
+    empty = spark.createDataFrame([], "doc_id long, cluster_id long")
+    for i in bucket_ids:
+        t = _bucket_table(i)
+        gen = next_generation(index_dir, t)
+        dst = os.path.join(index_dir, gen)
+        src = os.path.join(scratch, f"_b={i}")
+        if os.path.isdir(src):
+            os.rename(src, dst)
+        else:  # bucket emptied by the fold: 0-row generation with schema
+            empty.write.mode("overwrite").parquet(dst)
+        gens[t] = gen
+    shutil.rmtree(scratch, ignore_errors=True)
+    return gens
+
+
 def write_label_snapshot(
     spark: SparkSession,
     index_dir: str,
@@ -102,7 +153,9 @@ def write_label_snapshot(
     """FULL snapshot write honoring the layout: bootstrap, migration, and
     the monolithic fold all land here. Passing ``buckets`` declares (or
     re-declares) the partitioned layout and writes the layout meta; all
-    bucket pointers flip in ONE pointer write."""
+    bucket pointers flip in ONE pointer write. The partitioned split is
+    ONE partitionBy job (r11), not a job per bucket — migration cost is
+    one shuffle of the corpus, independent of the bucket count."""
     from cdc_worker_spark.operators.index_layout import (
         gc_generations,
         next_generation,
@@ -119,17 +172,13 @@ def write_label_snapshot(
         publish_generation(index_dir, LABELS_TABLE, gen)
         gc_generations(index_dir, LABELS_TABLE)
         return
-    labels = labels.withColumn(
-        "_b", F.pmod(F.col("cluster_id"), F.lit(buckets))
-    ).localCheckpoint(eager=True)
-    gens: dict[str, str] = {}
-    for i in range(buckets):
-        t = _bucket_table(i)
-        gen = next_generation(index_dir, t)
-        labels.filter(F.col("_b") == i).drop("_b").write.mode(
-            "overwrite"
-        ).parquet(os.path.join(index_dir, gen))
-        gens[t] = gen
+    gens = _write_bucket_generations(
+        spark,
+        index_dir,
+        labels.withColumn("_b", F.pmod(F.col("cluster_id"), F.lit(buckets))),
+        list(range(buckets)),
+        buckets,
+    )
     publish_generations(index_dir, gens)
     # the meta file is the layout COMMIT POINT and is written LAST: a
     # crash before it leaves readers on the (complete) monolithic table
@@ -181,7 +230,6 @@ def apply_label_pairs(
     )
     from cdc_worker_spark.operators.index_layout import (
         gc_generations,
-        next_generation,
         publish_generations,
         resolve_table,
         table_exists,
@@ -233,30 +281,40 @@ def apply_label_pairs(
         )
     else:
         moving = spark.createDataFrame([], "doc_id long, cluster_id long")
-    gens: dict[str, str] = {}
-    for b in touched:
-        t = _bucket_table(b)
-        content = spark.createDataFrame([], "doc_id long, cluster_id long")
-        if table_exists(index_dir, t):
-            kept = spark.read.parquet(resolve_table(index_dir, t))
-            if b in src:  # drop rows whose cluster moved away
-                kept = kept.join(
-                    F.broadcast(remap.select("cluster_id")),
-                    "cluster_id",
-                    "left_anti",
-                )
-            content = kept
-        if b in dst:
-            content = content.unionByName(
-                moving.filter(F.pmod(F.col("cluster_id"), F.lit(buckets)) == b)
-            ).unionByName(
-                new_rows.filter(
-                    F.pmod(F.col("cluster_id"), F.lit(buckets)) == b
-                )
-            )
-        gen = next_generation(index_dir, t)
-        content.write.mode("overwrite").parquet(os.path.join(index_dir, gen))
-        gens[t] = gen
+    # ONE read of every touched bucket + ONE partitionBy write of the new
+    # contents (r11): the r10 per-bucket job loop paid ~0.5-0.7 s of job
+    # overhead per touched bucket, which the crossover probe measured as
+    # the dominant fold cost. A bucket's rows always satisfy
+    # pmod(cluster_id, B) == its bucket id (the layout invariant), so
+    # the bucket assignment recomputes from the data itself; the
+    # remap anti-join only affects src-bucket rows (a remapped cluster
+    # lives wholly in its own bucket), so applying it to the union is a
+    # no-op for the rest.
+    touched_paths = [
+        resolve_table(index_dir, _bucket_table(b))
+        for b in touched
+        if table_exists(index_dir, _bucket_table(b))
+    ]
+    if touched_paths:
+        kept = spark.read.parquet(*touched_paths).join(
+            F.broadcast(remap.select("cluster_id")), "cluster_id", "left_anti"
+        )
+    else:
+        kept = spark.createDataFrame([], "doc_id long, cluster_id long")
+    dst_set = dst
+    content = kept.unionByName(moving).unionByName(
+        new_rows.select("doc_id", "cluster_id")
+    )
+    content = content.withColumn(
+        "_b", F.pmod(F.col("cluster_id"), F.lit(buckets))
+    )
+    # rows produced by moving/new_rows belong to dst buckets by
+    # construction; kept rows stay in their touched bucket — every _b
+    # lands inside `touched`, which is what gets republished
+    gens = _write_bucket_generations(
+        spark, index_dir, content, touched, buckets
+    )
+    assert set(dst_set) <= set(touched)
     publish_generations(index_dir, gens)
     for t in gens:
         gc_generations(index_dir, t)
