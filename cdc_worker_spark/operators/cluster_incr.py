@@ -145,13 +145,39 @@ def extend_dedup_cluster_parts(
     The reduced graph has one node per TOUCHED component representative
     (existing cluster_id, or the doc itself for graph-new nodes) and one
     edge per delta pair — O(delta), never O(corpus)."""
-    la = labels.select(
+    # Scan pruning (r11): the two label lookups below only ever need the
+    # delta ENDPOINTS' rows, yet a bare broadcast join still full-scans
+    # the corpus-scale label table — the crossover probe measured those
+    # two scans as the dominant per-fold cost at 7e8 labels, in BOTH
+    # label layouts. For small deltas, push the endpoint ids into the
+    # scan as an IN filter: with the snapshot's doc_id-sorted row groups
+    # (write_label_snapshot sorts within files) parquet min/max stats
+    # prune the scan to ~|delta| row groups instead of the whole table.
+    # Deltas above the cap fall back to the full scan — correctness is
+    # identical either way (the filter keeps exactly the lookup keys).
+    _PRUNE_CAP = 4096
+    ids = [
+        r[0]
+        for r in delta_pairs.select(
+            F.explode(F.array("doc_a", "doc_b")).alias("i")
+        )
+        .distinct()
+        .limit(_PRUNE_CAP + 1)
+        .collect()
+    ]
+    lookup = (
+        labels.filter(F.col("doc_id").isin(ids))
+        if len(ids) <= _PRUNE_CAP
+        else labels
+    )
+    la = lookup.select(
         F.col("doc_id").alias("doc_a"), F.col("cluster_id").alias("lbl_a")
     )
-    lb = labels.select(
+    lb = lookup.select(
         F.col("doc_id").alias("doc_b"), F.col("cluster_id").alias("lbl_b")
     )
-    # delta side broadcasts; the corpus-scale label table streams map-side
+    # delta side broadcasts; the label side streams map-side (pruned to
+    # ~|delta| row groups when the IN filter pushes down)
     annotated = (
         F.broadcast(delta_pairs.select("doc_a", "doc_b"))
         .join(la, "doc_a", "left")

@@ -32,5 +32,11 @@ def get_spark(app_name: str = "cdc-worker-spark") -> SparkSession:
         # Arrow for any pandas_udf / applyInPandas path (vectorized transfer).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # Push IN filters with up to this many values down to parquet as
+        # point predicates (default 10, above which Spark degrades to a
+        # useless min/max range for spread keys). The incremental-label
+        # fold's delta-endpoint lookups rely on this + doc_id-sorted row
+        # groups to prune the corpus-scale label scan (cluster_incr r11).
+        .config("spark.sql.parquet.pushdown.inFilterThreshold", "4096")
         .getOrCreate()
     )

@@ -124,6 +124,12 @@ def _write_bucket_generations(
     shutil.rmtree(scratch, ignore_errors=True)
     (
         content_with_b.repartition(max(1, len(bucket_ids)), "_b")
+        # doc_id-sorted row groups: tight parquet min/max stats let the
+        # fold's delta-endpoint label lookups (cluster_incr IN-filter
+        # pushdown) prune the scan to ~|delta| row groups — free at
+        # write time (sort rides the rewrite shuffle), measured as the
+        # dominant per-fold cost otherwise
+        .sortWithinPartitions("doc_id")
         .write.partitionBy("_b")
         .mode("overwrite")
         .parquet(scratch)
@@ -168,7 +174,11 @@ def write_label_snapshot(
         buckets = _labels_buckets(index_dir)
     if buckets is None:
         gen = next_generation(index_dir, LABELS_TABLE)
-        labels.write.mode("overwrite").parquet(os.path.join(index_dir, gen))
+        # same doc_id-sorted row groups as the bucketed writer, for the
+        # same delta-endpoint lookup pruning
+        labels.sortWithinPartitions("doc_id").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(index_dir, gen))
         publish_generation(index_dir, LABELS_TABLE, gen)
         gc_generations(index_dir, LABELS_TABLE)
         return
@@ -264,57 +274,41 @@ def apply_label_pairs(
         int(c) % buckets for c in new_clusters
     }
     touched = sorted(src | dst)
-    # rows leaving their bucket: every member of a remapped cluster,
-    # already relabeled to the destination cluster id. Source buckets
-    # only — the remap is broadcast, the bucket scan streams.
-    src_paths = [
-        resolve_table(index_dir, _bucket_table(b))
-        for b in sorted(src)
-        if table_exists(index_dir, _bucket_table(b))
-    ]
-    if src_paths:
-        moving = (
-            spark.read.parquet(*src_paths)
-            .join(F.broadcast(remap), "cluster_id")
-            .select("doc_id", F.col("_new").alias("cluster_id"))
-            .localCheckpoint(eager=True)
-        )
-    else:
-        moving = spark.createDataFrame([], "doc_id long, cluster_id long")
     # ONE read of every touched bucket + ONE partitionBy write of the new
     # contents (r11): the r10 per-bucket job loop paid ~0.5-0.7 s of job
     # overhead per touched bucket, which the crossover probe measured as
-    # the dominant fold cost. A bucket's rows always satisfy
-    # pmod(cluster_id, B) == its bucket id (the layout invariant), so
-    # the bucket assignment recomputes from the data itself; the
-    # remap anti-join only affects src-bucket rows (a remapped cluster
-    # lives wholly in its own bucket), so applying it to the union is a
-    # no-op for the rest.
+    # the dominant fold cost — and a first one-job version still read the
+    # touched bytes twice (moved rows and kept rows as separate scans).
+    # This is the monolithic fold's own transformation — left-join the
+    # broadcast remap, coalesce the new label — restricted to the touched
+    # buckets: one scan, one shuffle of exactly the rewrite bytes.
+    # Correctness of the restriction: a remapped cluster's rows live
+    # wholly in its own (src, touched) bucket; every remap destination
+    # and new-row cluster lands in a dst (touched) bucket by
+    # construction of `touched`; untouched buckets are disjoint from
+    # both and keep their generation directories bit-for-bit.
     touched_paths = [
         resolve_table(index_dir, _bucket_table(b))
         for b in touched
         if table_exists(index_dir, _bucket_table(b))
     ]
     if touched_paths:
-        kept = spark.read.parquet(*touched_paths).join(
-            F.broadcast(remap.select("cluster_id")), "cluster_id", "left_anti"
+        relabeled = (
+            spark.read.parquet(*touched_paths)
+            .join(F.broadcast(remap), "cluster_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("_new", "cluster_id").alias("cluster_id"),
+            )
         )
     else:
-        kept = spark.createDataFrame([], "doc_id long, cluster_id long")
-    dst_set = dst
-    content = kept.unionByName(moving).unionByName(
+        relabeled = spark.createDataFrame([], "doc_id long, cluster_id long")
+    content = relabeled.unionByName(
         new_rows.select("doc_id", "cluster_id")
-    )
-    content = content.withColumn(
-        "_b", F.pmod(F.col("cluster_id"), F.lit(buckets))
-    )
-    # rows produced by moving/new_rows belong to dst buckets by
-    # construction; kept rows stay in their touched bucket — every _b
-    # lands inside `touched`, which is what gets republished
+    ).withColumn("_b", F.pmod(F.col("cluster_id"), F.lit(buckets)))
     gens = _write_bucket_generations(
         spark, index_dir, content, touched, buckets
     )
-    assert set(dst_set) <= set(touched)
     publish_generations(index_dir, gens)
     for t in gens:
         gc_generations(index_dir, t)

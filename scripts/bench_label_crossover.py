@@ -69,6 +69,8 @@ def main() -> None:
         .config("spark.sql.shuffle.partitions", "64")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", args.driver_mem)
+        # required for the delta-endpoint lookup pruning (session.py note)
+        .config("spark.sql.parquet.pushdown.inFilterThreshold", "4096")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
