@@ -176,7 +176,17 @@ def decode_mjpeg_avi(data: bytes) -> dict:
                     if c2 == b"strh" and s2 >= 8:
                         if data[b2 : b2 + 4] == b"vids":
                             is_vids = True
-                    elif c2 == b"strf" and s2 >= 12 and is_vids:
+                    elif (
+                        c2 == b"strf"
+                        and s2 >= 12
+                        and is_vids
+                        # geometry must come from the stream we will DEMUX
+                        # (the first vids stream) — a later vids stream with
+                        # different dimensions is simply not selected, it
+                        # must not overwrite the selected stream's geometry
+                        # (ADVICE r11)
+                        and stream_no < 0
+                    ):
                         bi_w, bi_h = struct.unpack_from("<ii", data, b2 + 4)
                         width, height = abs(bi_w), abs(bi_h)
                 if is_vids and stream_no < 0:

@@ -39,6 +39,15 @@ import re
 
 POINTER_FILE = "_CURRENT.json"
 
+#: reserved pointer key for LAYOUT metadata that must flip atomically
+#: WITH the table repoints it describes (e.g. the label snapshot's bucket
+#: count — ADVICE r11: a grow/shrink re-bucket that publishes the new
+#: bucket generations in one pointer write but the bucket count in a
+#: separate file gives concurrent readers a mixed layout/pointer view:
+#: duplicates on shrink, missing rows on grow). Not a table name; every
+#: table iteration below skips it.
+META_KEY = "_meta"
+
 _TOKEN_RE = re.compile(r"[^A-Za-z0-9_.-]")
 
 
@@ -46,18 +55,32 @@ def _pointer_path(root: str) -> str:
     return os.path.join(root, POINTER_FILE)
 
 
-def read_pointer(root: str) -> dict:
-    """table -> {"base": dir, "segments": [dirs]} ({} when no flip has
-    happened yet). v1 pointers (plain string values) are normalized."""
+def _read_raw(root: str) -> dict:
+    """Pointer file verbatim (tables + the reserved META_KEY entry)."""
     p = _pointer_path(root)
     if not os.path.isfile(p):
         return {}
     with open(p) as f:
-        raw = json.load(f)
+        return json.load(f)
+
+
+def read_pointer(root: str) -> dict:
+    """table -> {"base": dir, "segments": [dirs]} ({} when no flip has
+    happened yet). v1 pointers (plain string values) are normalized; the
+    reserved META_KEY entry is excluded (use :func:`read_meta`)."""
     return {
         t: ({"base": v, "segments": []} if isinstance(v, str) else v)
-        for t, v in raw.items()
+        for t, v in _read_raw(root).items()
+        if t != META_KEY
     }
+
+
+def read_meta(root: str) -> dict:
+    """The pointer's layout-metadata entry ({} when absent). Reading it
+    and the table entries from the same file is what makes a layout
+    migration atomic for readers: one ``os.replace`` flips both."""
+    v = _read_raw(root).get(META_KEY, {})
+    return dict(v) if isinstance(v, dict) else {}
 
 
 def _write_pointer(root: str, cur: dict) -> None:
@@ -129,8 +152,10 @@ def begin_segment(root: str, table: str, token: str) -> str:
 
 def publish_segment(root: str, table: str, token: str) -> None:
     """Atomically register a fully-written segment (one pointer PUT)."""
-    cur = read_pointer(root)
+    cur = _read_raw(root)  # raw: preserve META_KEY and untouched entries
     e = cur.get(table, {"base": table, "segments": []})
+    if isinstance(e, str):  # v1 entry being appended to: normalize it
+        e = {"base": e, "segments": []}
     e = {"base": e["base"], "segments": list(e["segments"])}
     name = segment_name(table, token)
     if name not in e["segments"]:
@@ -142,22 +167,34 @@ def publish_segment(root: str, table: str, token: str) -> None:
 def publish_generation(root: str, table: str, gen_name: str) -> None:
     """Atomically repoint ``table``'s base at ``gen_name`` and clear its
     segment list (compaction folded them in)."""
-    cur = read_pointer(root)
+    cur = _read_raw(root)
     cur[table] = {"base": gen_name, "segments": []}
     _write_pointer(root, cur)
 
 
-def publish_generations(root: str, gens: dict[str, str]) -> None:
+def publish_generations(
+    root: str, gens: dict[str, str], meta: dict | None = None
+) -> None:
     """Atomically repoint SEVERAL tables in ONE pointer write — the flip
     a partitioned snapshot needs: when a fold moves rows between bucket
     tables, publishing buckets one at a time would expose a window where
     a row has left its source bucket but not yet appeared in its
     destination. One ``os.replace`` (a single object PUT) keeps every
     reader on an all-old or all-new view; a crash before it leaves only
-    unreferenced debris for gc_generations."""
-    cur = read_pointer(root)
+    unreferenced debris for gc_generations.
+
+    ``meta`` (optional) merges layout metadata into the pointer's
+    reserved META_KEY entry IN THE SAME write — the commit point for
+    layout migrations (bucket-count declare/grow/shrink): readers can
+    never observe new generations under an old layout or vice versa."""
+    cur = _read_raw(root)
     for table, gen_name in gens.items():
         cur[table] = {"base": gen_name, "segments": []}
+    if meta:
+        m = cur.get(META_KEY, {})
+        m = dict(m) if isinstance(m, dict) else {}
+        m.update(meta)
+        cur[META_KEY] = m
     _write_pointer(root, cur)
 
 
@@ -172,7 +209,7 @@ def drop_table(root: str, table: str) -> None:
     point, so readers have already resolved away from the table."""
     import shutil
 
-    cur = read_pointer(root)
+    cur = _read_raw(root)
     if table in cur:
         del cur[table]
         _write_pointer(root, cur)

@@ -44,17 +44,31 @@ LABELS_TABLE = "cluster_labels"
 #: with the same exactly-once token protocol as the index extend
 PENDING_TABLE = "label_pending"
 
-#: layout metadata for the PARTITIONED label snapshot (r10): when this
-#: file exists in the index root the label snapshot lives in
-#: ``cluster_labels_b{i:03d}`` bucket tables (bucket = cluster_id % B) and
-#: folds rewrite only the buckets their remap/new rows touch — the 100 TB
-#: fix for the O(corpus) per-fold snapshot rewrite. Bucketing by
-#: cluster_id co-locates every member of a component, so a merge moves
-#: whole clusters between at most O(delta) buckets.
+#: LEGACY layout-metadata file for the PARTITIONED label snapshot (r10).
+#: Since r12 the bucket count lives IN the manifest pointer (reserved
+#: META_KEY entry, key ``labels_buckets``) so a re-bucket migration flips
+#: layout + bucket generations in ONE atomic pointer write — the r10/r11
+#: two-file commit (generations in the pointer, bucket count in this
+#: side file) left a window where a concurrent reader saw new buckets
+#: under the old count: duplicates on shrink, missing rows on grow
+#: (ADVICE r11). The side file is still READ as a fallback so
+#: pre-existing on-disk indexes keep working; the first snapshot write
+#: migrates the count into the pointer and deletes it.
 LABELS_META = "_labels_layout.json"
+
+#: pointer-meta key carrying the label snapshot's bucket count
+LABELS_META_KEY = "labels_buckets"
 
 
 def _labels_buckets(index_dir: str) -> int | None:
+    """Bucket count of the partitioned label layout (None = monolithic).
+    The manifest pointer's meta entry is authoritative; the legacy side
+    file is a read-only fallback for pre-r12 indexes."""
+    from cdc_worker_spark.operators.index_layout import read_meta
+
+    v = read_meta(index_dir).get(LABELS_META_KEY)
+    if v is not None:
+        return int(v)
     try:
         with open(os.path.join(index_dir, LABELS_META)) as fh:
             return int(json.load(fh)["buckets"])
@@ -98,7 +112,6 @@ def _write_bucket_generations(
     index_dir: str,
     content_with_b: DataFrame,
     bucket_ids: list[int],
-    buckets: int,
 ) -> dict[str, str]:
     """Write fresh generation directories for ``bucket_ids`` from a frame
     carrying its bucket assignment in ``_b`` — in ONE Spark job.
@@ -128,8 +141,15 @@ def _write_bucket_generations(
         # fold's delta-endpoint label lookups (cluster_incr IN-filter
         # pushdown) prune the scan to ~|delta| row groups — free at
         # write time (sort rides the rewrite shuffle), measured as the
-        # dominant per-fold cost otherwise
-        .sortWithinPartitions("doc_id")
+        # dominant per-fold cost otherwise. The sort MUST lead with _b:
+        # a partition holds several _b values, and a dynamic-partition
+        # write requires [_b] ordering — sorting on doc_id alone makes
+        # the writer insert its own SortExec on _b, whose spill-merge
+        # interleaves equal-_b runs and silently loses the doc_id order
+        # inside each bucket file (ADVICE r11). Leading with _b, the
+        # plan's output ordering already satisfies the writer and
+        # doc_id order within each bucket is guaranteed.
+        .sortWithinPartitions("_b", "doc_id")
         .write.partitionBy("_b")
         .mode("overwrite")
         .parquet(scratch)
@@ -187,18 +207,23 @@ def write_label_snapshot(
         index_dir,
         labels.withColumn("_b", F.pmod(F.col("cluster_id"), F.lit(buckets))),
         list(range(buckets)),
-        buckets,
     )
-    publish_generations(index_dir, gens)
-    # the meta file is the layout COMMIT POINT and is written LAST: a
-    # crash before it leaves readers on the (complete) monolithic table
-    # with the bucket generations as published-but-ignored debris a
-    # re-run overwrites; a crash after it flips readers to the (complete,
-    # just-published) buckets. Written tmp->replace for the same reason.
-    tmp = os.path.join(index_dir, LABELS_META + ".tmp")
-    with open(tmp, "w") as fh:
-        json.dump({"buckets": buckets}, fh)
-    os.replace(tmp, os.path.join(index_dir, LABELS_META))
+    # ONE atomic pointer write commits the bucket generations AND the
+    # bucket count (pointer meta): declare, grow, and shrink migrations
+    # all flip in a single os.replace, so a concurrent reader resolves
+    # either (old count, old generations) or (new count, new
+    # generations) — never a mixed layout/pointer view (ADVICE r11). A
+    # crash before it leaves readers on the previous complete layout
+    # with the new generations as unreferenced debris a re-run
+    # overwrites.
+    publish_generations(index_dir, gens, meta={LABELS_META_KEY: buckets})
+    # the pre-r12 side file is superseded by the pointer meta — remove
+    # it so it can never contradict the pointer (readers prefer the
+    # pointer either way; this is hygiene, after the commit point)
+    try:
+        os.remove(os.path.join(index_dir, LABELS_META))
+    except FileNotFoundError:
+        pass
     for t in gens:
         gc_generations(index_dir, t)
     # migration hygiene (ADVICE r10): once the meta commits B buckets,
@@ -228,7 +253,8 @@ def apply_label_pairs(
     Returns False when the pairs change nothing (no publish happens).
 
     Monolithic layout: compose the full new table and flip one pointer.
-    Partitioned layout (LABELS_META present): compute the delta-sized
+    Partitioned layout (bucket count in the pointer meta, or the legacy
+    LABELS_META side file): compute the delta-sized
     (remap, new_rows) parts, derive the TOUCHED buckets — sources that
     lose a remapped cluster, destinations that gain one, buckets of new
     rows — rewrite only those, and flip them atomically in one pointer
@@ -306,9 +332,7 @@ def apply_label_pairs(
     content = relabeled.unionByName(
         new_rows.select("doc_id", "cluster_id")
     ).withColumn("_b", F.pmod(F.col("cluster_id"), F.lit(buckets)))
-    gens = _write_bucket_generations(
-        spark, index_dir, content, touched, buckets
-    )
+    gens = _write_bucket_generations(spark, index_dir, content, touched)
     publish_generations(index_dir, gens)
     for t in gens:
         gc_generations(index_dir, t)

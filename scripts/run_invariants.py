@@ -165,7 +165,7 @@ def _is_bad_check(c: dict) -> bool:
     #   - check == "run", ok=False  (chunk ERROR / crashed / timed out /
     #     part file absent — emitted only by run_chunk fallbacks and
     #     verify_invariants' except path)
-    #   - check == "dual_lifted_oracle", ok=False, detail starting with
+    #   - check == "no_live_check", ok=False, detail starting with
     #     "UNCOVERED" (dual blocked with no bespoke coverage; the
     #     excluded_pinned/dialect_blocked SKIPs carry different prefixes
     #     and live alongside dual_pinned_evidence rows)

@@ -123,6 +123,40 @@ def test_demux_selects_first_video_stream():
     assert [f["pixels"] for f in clip["frames"]] == raw
 
 
+def test_second_video_stream_geometry_ignored():
+    """Two vids streams with DIFFERENT geometries: frames come from the
+    first, so the second's strf must not overwrite the accepted geometry
+    (ADVICE r11 — it previously did, raising a spurious mismatch)."""
+    w, h = 8, 8
+    raw, jpegs = _clip(w, h, 2, seed=13)
+    avih = struct.pack("<10I4I", 100000, 0, 0, 0, 2, 0, 2, 0, w, h, 0, 0, 0, 0)
+
+    def _vids_strl(sw: int, sh: int) -> bytes:
+        strh = struct.pack(
+            "<4s4sI2H8I4h", b"vids", b"MJPG",
+            0, 0, 0, 0, 1, 10, 0, 2, 0, 0xFFFFFFFF, 0, 0, 0, sw, sh,
+        )
+        strf = struct.pack(
+            "<I2i2H4s5i", 40, sw, sh, 1, 24, b"MJPG", sw * sh * 3, 0, 0, 0, 0
+        )
+        return _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf))
+
+    hdrl = _list(
+        b"hdrl",
+        _chunk(b"avih", avih) + _vids_strl(w, h) + _vids_strl(32, 24),
+    )
+    movi = _list(
+        b"movi",
+        _chunk(b"00dc", jpegs[0])
+        + _chunk(b"01dc", b"\x00" * 16)  # second stream: not selected
+        + _chunk(b"00dc", jpegs[1]),
+    )
+    clip = decode_mjpeg_avi(_chunk(b"RIFF", b"AVI " + hdrl + movi))
+    assert clip["n_frames"] == 2
+    assert (clip["width"], clip["height"]) == (w, h)
+    assert [f["pixels"] for f in clip["frames"]] == raw
+
+
 def test_corrupt_inputs_raise():
     w, h = 8, 8
     _, jpegs = _clip(w, h, 1)

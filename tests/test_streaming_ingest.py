@@ -588,6 +588,107 @@ def test_partitioned_migration_drops_stale_monolithic_and_buckets(
     assert got == sorted(rows)
 
 
+def test_bucket_files_keep_doc_id_sorted_row_groups(spark, tmp_path):
+    """ADVICE r11: the delta-endpoint IN-pushdown pruning relies on
+    doc_id-sorted row groups inside every bucket file. The writer sorts
+    on ('_b', 'doc_id') so the dynamic-partition write's required [_b]
+    ordering is already satisfied and no writer-inserted SortExec can
+    interleave equal-_b runs — pin the actual on-disk order."""
+    import pyarrow.parquet as pq
+
+    from cdc_worker_spark.operators.index_layout import resolve_table
+    from cdc_worker_spark.streaming.ingest import (
+        _bucket_table,
+        write_label_snapshot,
+    )
+
+    idx = str(tmp_path / "idx")
+    # enough rows across enough partitions that an unsorted write would
+    # be detected; ids scrambled so input order is not already sorted
+    rows = [((i * 2654435761) % 100003, i % 13) for i in range(5000)]
+    labels = spark.createDataFrame(
+        rows, "doc_id long, cluster_id long"
+    ).repartition(8)
+    write_label_snapshot(spark, idx, labels, buckets=4)
+    seen = 0
+    for b in range(4):
+        d = resolve_table(idx, _bucket_table(b))
+        for name in os.listdir(d):
+            if not name.endswith(".parquet"):
+                continue
+            col = pq.read_table(
+                os.path.join(d, name), columns=["doc_id"]
+            ).column("doc_id").to_pylist()
+            assert col == sorted(col), f"bucket {b} file {name} unsorted"
+            seen += len(col)
+    assert seen == len(rows)
+
+
+def test_bucket_count_commits_atomically_in_pointer(spark, tmp_path):
+    """ADVICE r11: the bucket count must flip in the SAME pointer write
+    as the bucket generations — a separate side-file commit gives a
+    concurrent reader a mixed layout/pointer view on grow/shrink
+    (duplicates on shrink, missing rows on grow). The pointer meta is
+    authoritative; the legacy side file is a read-only fallback that the
+    next snapshot write migrates away."""
+    import json as _json
+
+    from cdc_worker_spark.operators.index_layout import read_meta
+    from cdc_worker_spark.streaming.ingest import (
+        LABELS_META,
+        LABELS_META_KEY,
+        _labels_buckets,
+        read_cluster_labels,
+        write_label_snapshot,
+    )
+
+    idx = str(tmp_path / "idx")
+    rows = [(i, i % 7) for i in range(50)]
+    labels = spark.createDataFrame(rows, "doc_id long, cluster_id long")
+    write_label_snapshot(spark, idx, labels, buckets=4)
+    # count lives in the pointer; no side file exists to drift from it
+    assert read_meta(idx)[LABELS_META_KEY] == 4
+    assert not os.path.exists(os.path.join(idx, LABELS_META))
+
+    # grow 4 -> 8: pointer meta and generations flip together, and a
+    # stale legacy side file (planted here) cannot override the pointer
+    write_label_snapshot(
+        spark, idx, read_cluster_labels(spark, idx), buckets=8
+    )
+    with open(os.path.join(idx, LABELS_META), "w") as fh:
+        _json.dump({"buckets": 2}, fh)  # adversarial stale side file
+    assert _labels_buckets(idx) == 8  # pointer wins
+    got = sorted(
+        (r.doc_id, r.cluster_id)
+        for r in read_cluster_labels(spark, idx).collect()
+    )
+    assert got == sorted(rows)
+
+    # legacy-only index (pre-r12 on-disk layout): side file still reads,
+    # and the next snapshot write migrates the count into the pointer
+    legacy = str(tmp_path / "legacy")
+    write_label_snapshot(spark, legacy, labels, buckets=4)
+    # simulate pre-r12: strip the pointer meta, restore the side file
+    from cdc_worker_spark.operators.index_layout import (
+        META_KEY,
+        _pointer_path,
+        _read_raw,
+    )
+
+    raw = _read_raw(legacy)
+    raw.pop(META_KEY, None)
+    with open(_pointer_path(legacy), "w") as fh:
+        _json.dump(raw, fh)
+    with open(os.path.join(legacy, LABELS_META), "w") as fh:
+        _json.dump({"buckets": 4}, fh)
+    assert _labels_buckets(legacy) == 4  # fallback path
+    write_label_snapshot(
+        spark, legacy, read_cluster_labels(spark, legacy)
+    )
+    assert read_meta(legacy)[LABELS_META_KEY] == 4  # migrated
+    assert not os.path.exists(os.path.join(legacy, LABELS_META))
+
+
 def test_pipeline_raises_on_label_bucket_mismatch(spark, tmp_path):
     """ADVICE r10: run_dedup_ingest_pipeline must refuse a label_buckets
     that disagrees with the committed layout meta — an operator who asks
