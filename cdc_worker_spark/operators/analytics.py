@@ -581,15 +581,53 @@ _N_RANGE_BUCKETS = 8
 
 @query(
     "q_layout_range_bounds",
+    # r12 un-pin (VERDICT r11 next #2): the r9-r11 oracle ranked every
+    # row with row_number() OVER (ORDER BY l_orderkey) — a no-partition
+    # global window that Spark plans as a ONE-TASK sort of the whole
+    # fact table, the sf100 OOM. The global window is INCIDENTAL: the
+    # spec is "the key VALUE at global rank r_i", so the oracle now uses
+    # the builder's own two-level shape in portable SQL — coarse
+    # order-preserving buckets (floor(key/2^20): equal keys can never
+    # straddle a bucket), a tiny window over the per-bucket counts for
+    # rows-below, then row_number PARTITIONED by target i over only the
+    # one bucket each target rank lands in (rows-below + within-bucket
+    # rank = global rank; with duplicate keys the value at any rank is
+    # well-defined even though tie order isn't, exactly as before).
+    # Spark broadcasts the <=K-row hit table onto the fact scan, so no
+    # fact-scale sort or shuffle exists anywhere in the lifted plan.
     oracle=f"""
-    WITH t AS (
-      SELECT l_orderkey,
-             row_number() OVER (ORDER BY l_orderkey) AS rn
-      FROM lineitem),
-    c AS (SELECT count(*) AS n FROM lineitem)
-    SELECT CAST(s.i AS INT) AS bucket_idx, t.l_orderkey AS boundary
-    FROM range(1, {_N_RANGE_BUCKETS}) s(i), c
-    JOIN t ON t.rn = CAST(ceil(s.i * c.n / {_N_RANGE_BUCKETS}.0) AS BIGINT)
+    WITH c AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem),
+    coarse AS (
+      SELECT CAST(floor(l_orderkey / 1048576.0) AS BIGINT) AS cb,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY 1
+    ),
+    cum AS (
+      SELECT cb, cnt,
+             sum(cnt) OVER (ORDER BY cb) - cnt AS below
+      FROM coarse
+    ),
+    targets AS (
+      SELECT CAST(s.i AS INT) AS i,
+             CAST(ceil(s.i * c.n / {_N_RANGE_BUCKETS}.0) AS BIGINT) AS r
+      FROM range(1, {_N_RANGE_BUCKETS}) s(i), c
+    ),
+    hit AS (
+      SELECT t.i, t.r, m.cb, m.below
+      FROM targets t
+      JOIN cum m ON t.r > m.below AND t.r <= m.below + m.cnt
+    ),
+    ranked AS (
+      SELECT h.i, l.l_orderkey,
+             h.below + row_number()
+               OVER (PARTITION BY h.i ORDER BY l.l_orderkey) AS rn,
+             h.r
+      FROM hit h
+      JOIN lineitem l
+        ON CAST(floor(l.l_orderkey / 1048576.0) AS BIGINT) = h.cb
+    )
+    SELECT i AS bucket_idx, l_orderkey AS boundary
+    FROM ranked WHERE rn = r
     """,
 )
 def q_layout_range_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -496,19 +496,31 @@ def q_emb_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_emb_outlier_report",
+    # r12 un-pin (VERDICT r11 next #2): the r9-r11 oracle exploded
+    # embeddings TWICE (comp and dist each carried `embeddings, LATERAL
+    # unnest`), and dist shuffled the exploded rows into the comp join
+    # with the FULL 64-float array still attached — 64x row fan-out of
+    # ~520-byte rows at the join boundary, the abort at sf100. The wide
+    # shuffle is INCIDENTAL: only (vec_id, label, i, x) is consumed past
+    # the explode, so one narrow `el` CTE projects the element in the
+    # same SELECT as the lateral (the array never crosses an exchange)
+    # and both comp and dist read it — identical values, ~17x less
+    # shuffle byte volume, and one explode instead of two.
     oracle="""
-    WITH comp AS (
-      SELECT label, i, avg(CAST(embedding[i + 1] AS DOUBLE)) AS c
+    WITH el AS (
+      SELECT vec_id, label, t.i AS i,
+             CAST(embedding[t.i + 1] AS DOUBLE) AS x
       FROM embeddings, LATERAL unnest(range(0, 64)) AS t(i)
-      GROUP BY label, i
+    ),
+    comp AS (
+      SELECT label, i, avg(x) AS c FROM el GROUP BY label, i
     ),
     dist AS (
-      SELECT e.vec_id, e.label,
-             sqrt(sum(pow(CAST(e.embedding[t.i + 1] AS DOUBLE) - comp.c, 2)))
-               AS d
-      FROM embeddings e, LATERAL unnest(range(0, 64)) AS t(i)
-      JOIN comp ON comp.label = e.label AND comp.i = t.i
-      GROUP BY e.vec_id, e.label
+      SELECT el.vec_id, el.label,
+             sqrt(sum(pow(el.x - comp.c, 2))) AS d
+      FROM el
+      JOIN comp ON comp.label = el.label AND comp.i = el.i
+      GROUP BY el.vec_id, el.label
     ),
     stats AS (
       SELECT label, avg(d) AS mu, stddev_samp(d) AS sd FROM dist GROUP BY label

@@ -186,15 +186,24 @@ def publish_generations(
     ``meta`` (optional) merges layout metadata into the pointer's
     reserved META_KEY entry IN THE SAME write — the commit point for
     layout migrations (bucket-count declare/grow/shrink): readers can
-    never observe new generations under an old layout or vice versa."""
+    never observe new generations under an old layout or vice versa.
+    A ``meta`` value of None DELETES that key (the bucketed->monolithic
+    migration un-declares the bucket count in the same flip)."""
     cur = _read_raw(root)
     for table, gen_name in gens.items():
         cur[table] = {"base": gen_name, "segments": []}
     if meta:
         m = cur.get(META_KEY, {})
         m = dict(m) if isinstance(m, dict) else {}
-        m.update(meta)
-        cur[META_KEY] = m
+        for k, v in meta.items():
+            if v is None:
+                m.pop(k, None)
+            else:
+                m[k] = v
+        if m:
+            cur[META_KEY] = m
+        else:
+            cur.pop(META_KEY, None)
     _write_pointer(root, cur)
 
 

@@ -234,10 +234,26 @@ def distributed_prefix_sum(
     # at sf0.1). A fixed multiple of defaultParallelism gives the range
     # partitioner all the spread it needs at any scale.
     n_parts = df.sparkSession.sparkContext.defaultParallelism * 2
+    # DISK_ONLY (r12): the ranged frame is FACT-SCALE, and the default
+    # MEMORY_AND_DISK localCheckpoint pinned ~40 B/row of deserialized
+    # InternalRows in the block manager's PROTECTED storage region —
+    # ~25 GB at sf100's 600M-row lineitem — which execution memory
+    # cannot evict; the unmanaged remainder (parquet readers, codegen
+    # scratch) then threw the r10->r12 "memory creep" OOMs
+    # (SCALE.md §r12 post-mortem: 14 g -> 28 g -> none-sufficient as
+    # consumers were added round over round). DISK_ONLY streams blocks
+    # straight to local disk with NO memory unroll and pins zero heap;
+    # both window consumers re-read serialized blocks, which is the
+    # same I/O MEMORY_AND_DISK was already doing for the overflow
+    # majority of partitions at any realistic heap. Measured: the
+    # range-bounds builder+bespoke goes OOM-at-14g -> passes at 6g
+    # (scripts/probe_memory_creep.py grid, SCALE.md §r12).
+    from pyspark import StorageLevel
+
     ranged = (
         df.repartitionByRange(n_parts, *part_cols, *order_cols)
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     )
     w_local = (
         Window.partitionBy(*part_cols, "_pid")

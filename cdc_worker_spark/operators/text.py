@@ -176,11 +176,28 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_text_repetition",
+    # r12 un-pin (VERDICT r11 next #2): the r9-r11 oracle formed each
+    # bigram as ws[i] || ' ' || ws[i+1] under the lateral, so every one
+    # of a doc's len-1 exploded rows carried the doc's FULL word array
+    # into the (doc_id, g) aggregation — O(len^2) bytes per document,
+    # the sf100 abort. The array-per-row fan-out is INCIDENTAL: project
+    # the single word in the same SELECT as the lateral (narrow
+    # (doc_id, i, wd) rows; the array never crosses an exchange) and
+    # pair adjacent words with lead() over (doc_id, i) — identical
+    # bigrams; the one NULL g per doc (i = len has no successor) is
+    # exactly the row range(1, len(ws)) never generated, and two
+    # non-null words can never concat to NULL, so the filter drops
+    # nothing else.
     oracle="""
     WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-         bg AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g
-                FROM w, LATERAL unnest(range(1, len(ws))) AS t(i)),
-         cnt AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+         el AS (SELECT doc_id, t.i AS i, ws[t.i] AS wd
+                FROM w, LATERAL unnest(range(1, len(ws) + 1)) AS t(i)),
+         bg AS (SELECT doc_id,
+                       wd || ' ' || lead(wd)
+                         OVER (PARTITION BY doc_id ORDER BY i) AS g
+                FROM el),
+         cnt AS (SELECT doc_id, g, count(*) AS c FROM bg
+                 WHERE g IS NOT NULL GROUP BY 1, 2),
          top AS (SELECT doc_id, max(c) AS top_c, CAST(sum(c) AS BIGINT) AS n_bigrams
                  FROM cnt GROUP BY 1)
     SELECT w.doc_id,

@@ -198,11 +198,20 @@ def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # consumers (pair expansion, per-part frequency, order count) — the
     # former items.distinct() shape re-scanned and re-deduped lineitem
     # once per consumer (4 fact scans in the static plan)
+    # DISK_ONLY (r12): per_order is O(orders) with a parts array —
+    # ~12 GB of deserialized rows at sf100 — and the default
+    # MEMORY_AND_DISK localCheckpoint pinned it in the protected
+    # storage region, starving every unmanaged allocation downstream
+    # (the r11 "basket localCheckpoint needs 28 g" creep; SCALE.md §r12
+    # post-mortem). DISK_ONLY keeps the one-scan/three-consumer shape
+    # and pins zero heap.
+    from pyspark import StorageLevel
+
     per_order = (
         li.select("l_orderkey", "l_partkey")
         .groupBy("l_orderkey")
         .agg(F.collect_set("l_partkey").alias("parts"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     )
     pf = (
         per_order.select(F.explode("parts").alias("l_partkey"))
@@ -1944,24 +1953,39 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_tpch_q21",
+    # r12 un-pin (VERDICT r11 next #2): the r9-r11 oracle expressed the
+    # spec's correlated EXISTS / NOT EXISTS directly; decorrelation
+    # planned them as two additional lineitem-scale self-joins of
+    # f_lines, which aborted the lifted dual at sf100 (runtime_blocked,
+    # pinned at sf10). That triple-join shape is INCIDENTAL, not
+    # essential: both subqueries probe order-level facts — "some other
+    # supplier on the order" is n_supp > 1 and "no other LATE supplier"
+    # is (given l1.late, so l1's supplier is itself late) n_late_supp =
+    # 1 — so ONE per-order aggregation replaces both correlated scans
+    # with bit-identical semantics (count(DISTINCT CASE WHEN late THEN
+    # l_suppkey END) ignores NULLs, counting exactly the late
+    # suppliers). This is the builder's own shape (the median_mode r11
+    # precedent); independence at sf100 is kept by the
+    # check_q21_bottom_recount bespoke (pure-python recount).
     oracle="""
     WITH f_lines AS (
       SELECT l_orderkey, l_suppkey,
              (l_shipdate > o_orderdate + INTERVAL 60 DAY) AS late
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       WHERE o_orderstatus = 'F'
+    ),
+    per_order AS (
+      SELECT l_orderkey,
+             count(DISTINCT l_suppkey) AS n_supp,
+             count(DISTINCT CASE WHEN late THEN l_suppkey END)
+               AS n_late_supp
+      FROM f_lines GROUP BY l_orderkey
     )
     SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
     FROM supplier
     JOIN f_lines l1 ON s_suppkey = l1.l_suppkey
-    WHERE l1.late
-      AND EXISTS (SELECT 1 FROM f_lines l2
-                  WHERE l2.l_orderkey = l1.l_orderkey
-                    AND l2.l_suppkey <> l1.l_suppkey)
-      AND NOT EXISTS (SELECT 1 FROM f_lines l3
-                      WHERE l3.l_orderkey = l1.l_orderkey
-                        AND l3.l_suppkey <> l1.l_suppkey
-                        AND l3.late)
+    JOIN per_order po ON po.l_orderkey = l1.l_orderkey
+    WHERE l1.late AND po.n_supp > 1 AND po.n_late_supp = 1
     GROUP BY s_name
     ORDER BY numwait DESC, s_name
     LIMIT 100

@@ -80,6 +80,91 @@ def _bucket_table(i: int) -> str:
     return f"cluster_labels_b{i:03d}"
 
 
+class LabelLayoutPolicy:
+    """Self-selecting label-snapshot layout (VERDICT r11 next #3): the
+    ingest loop observes each fold's touched-cluster count K and the
+    label count N, and chooses/migrates the layout itself instead of
+    asking the operator to pre-size it from SCALE.md.
+
+    Encodes the MEASURED crossover grid (SCALE.md §r11), nothing else:
+
+    - the governing variable is K vs the bucket count B, not N alone:
+      partitioning wins only when K << B (each fold rewrites a few
+      buckets instead of the corpus); K >= B regimes prefer monolithic
+      at every measured N (partitioning just adds a shuffle to what is
+      a full rewrite anyway);
+    - the win starts at corpus scale (~1e8 labels measured; below it
+      per-job overhead beats the rewrite savings) — ``min_labels``;
+    - B is a SMALL multiple of typical K, not higher: pow2-FLOOR of
+      ``target_ratio`` x K (default 4; K=100 sizes to the grid's
+      winning B=256 cell at 2.56x) — the B=1024/K=100 cell measured
+      WORSE than B=256 despite rewriting 3x fewer bytes, because
+      per-directory listing/scheduling overhead grows with B.
+
+    Decisions use the MAX K of the last ``window`` folds (conservative:
+    the layout must win even at the worst recent fold) and a 4x
+    hysteresis band between pow2 sizes so K noise never flaps an
+    O(corpus) migration. Thresholds are constructor-injectable so tests
+    exercise the policy at fixture scale (the measured defaults stand
+    for deployments)."""
+
+    def __init__(
+        self,
+        min_labels: int = 100_000_000,
+        target_ratio: int = 4,
+        window: int = 3,
+        min_buckets: int = 16,
+        max_buckets: int = 1024,
+    ) -> None:
+        self.min_labels = min_labels
+        self.target_ratio = target_ratio
+        self.window = window
+        self.min_buckets = min_buckets
+        self.max_buckets = max_buckets
+        self.k_history: list[int] = []
+        self.n_labels = 0
+        self.decisions: list[dict] = []  # audit log, caller-readable
+
+    def observe(self, touched_clusters: int, n_labels: int) -> None:
+        self.k_history.append(int(touched_clusters))
+        del self.k_history[: -self.window]
+        self.n_labels = int(n_labels)
+
+    def decide(self, current_buckets: int | None) -> int | None:
+        """The layout the snapshot SHOULD have right now: None =
+        monolithic, int = that bucket count. Returns ``current_buckets``
+        unchanged until ``window`` folds have been observed."""
+        if len(self.k_history) < self.window:
+            return current_buckets
+        k = max(self.k_history)
+        n = self.n_labels
+        if n < self.min_labels:
+            return None
+        # pow2 FLOOR of ratio*K (size B a small multiple of K, never
+        # higher — the measured B=1024 lesson), clamped to the range
+        b = 1 << max(1, max(1, k * self.target_ratio).bit_length() - 1)
+        b = min(max(self.min_buckets, b), self.max_buckets)
+        # the K << B regime guard: if even the clamped B cannot keep a
+        # 2x margin over worst-recent K, folds touch most buckets and
+        # monolithic wins (the measured K>=B rows)
+        if k * 2 > b:
+            return None
+        return b
+
+    def should_migrate(
+        self, current: int | None, want: int | None
+    ) -> bool:
+        """Hysteresis: layout changes are O(corpus) — only cross the
+        monolithic/bucketed boundary freely; between two bucket counts
+        require a 4x gap (pow2 sizing makes neighbors 2x apart, so K
+        noise at a boundary never flaps)."""
+        if want == current:
+            return False
+        if current is None or want is None:
+            return True
+        return max(want, current) >= 4 * min(want, current)
+
+
 def read_cluster_labels(spark: SparkSession, index_dir: str) -> DataFrame:
     """Current (doc_id, cluster_id) label snapshot — empty before the first
     near pair is observed. Readers resolve the manifest pointer, so a
@@ -178,10 +263,14 @@ def write_label_snapshot(
 ) -> None:
     """FULL snapshot write honoring the layout: bootstrap, migration, and
     the monolithic fold all land here. Passing ``buckets`` declares (or
-    re-declares) the partitioned layout and writes the layout meta; all
-    bucket pointers flip in ONE pointer write. The partitioned split is
-    ONE partitionBy job (r11), not a job per bucket — migration cost is
-    one shuffle of the corpus, independent of the bucket count."""
+    re-declares) the partitioned layout and commits the bucket count in
+    the pointer meta; all bucket pointers + the count flip in ONE
+    pointer write. ``buckets=0`` is the explicit bucketed->monolithic
+    migration (r12, for the auto layout policy): the monolithic table
+    and the meta-key removal commit in the same flip, then the stale
+    bucket tables are dropped. The partitioned split is ONE partitionBy
+    job (r11), not a job per bucket — migration cost is one shuffle of
+    the corpus, independent of the bucket count."""
     from cdc_worker_spark.operators.index_layout import (
         gc_generations,
         next_generation,
@@ -190,16 +279,43 @@ def write_label_snapshot(
     )
 
     os.makedirs(index_dir, exist_ok=True)
+    explicit_monolithic = buckets == 0
     if buckets is None:
         buckets = _labels_buckets(index_dir)
-    if buckets is None:
+    if buckets is None or explicit_monolithic:
         gen = next_generation(index_dir, LABELS_TABLE)
         # same doc_id-sorted row groups as the bucketed writer, for the
         # same delta-endpoint lookup pruning
         labels.sortWithinPartitions("doc_id").write.mode(
             "overwrite"
         ).parquet(os.path.join(index_dir, gen))
-        publish_generation(index_dir, LABELS_TABLE, gen)
+        if explicit_monolithic:
+            # one atomic flip: readers see (bucketed meta, buckets) or
+            # (no meta, monolithic table), never a mixed view
+            publish_generations(
+                index_dir,
+                {LABELS_TABLE: gen},
+                meta={LABELS_META_KEY: None},
+            )
+            try:
+                os.remove(os.path.join(index_dir, LABELS_META))
+            except FileNotFoundError:
+                pass
+            from cdc_worker_spark.operators.index_layout import (
+                drop_table,
+                read_pointer,
+            )
+
+            import re as _re
+
+            bucket_re = _re.compile(
+                _re.escape(LABELS_TABLE) + r"_b(\d+)$"
+            )
+            for t in list(read_pointer(index_dir)):
+                if bucket_re.match(t):
+                    drop_table(index_dir, t)
+        else:
+            publish_generation(index_dir, LABELS_TABLE, gen)
         gc_generations(index_dir, LABELS_TABLE)
         return
     gens = _write_bucket_generations(
@@ -247,10 +363,19 @@ def write_label_snapshot(
 
 
 def apply_label_pairs(
-    spark: SparkSession, index_dir: str, pairs: DataFrame
+    spark: SparkSession,
+    index_dir: str,
+    pairs: DataFrame,
+    stats: dict | None = None,
 ) -> bool:
     """Fold delta near-dup pairs into the published label snapshot.
     Returns False when the pairs change nothing (no publish happens).
+
+    ``stats`` (optional out-param, r12): the fold records
+    ``touched_clusters`` — the number of distinct clusters whose label
+    rows this fold rewrites (remapped sources + brand-new clusters), the
+    K of the measured K-vs-B layout crossover (SCALE.md §r11) — so the
+    auto layout policy observes the regime it is sizing for.
 
     Monolithic layout: compose the full new table and flip one pointer.
     Partitioned layout (bucket count in the pointer meta, or the legacy
@@ -278,6 +403,12 @@ def apply_label_pairs(
     remap, new_rows = parts
     buckets = _labels_buckets(index_dir)
     if buckets is None:
+        if stats is not None:
+            # K for the layout policy: remap has one row per remapped
+            # source cluster; both jobs are delta-sized
+            stats["touched_clusters"] = remap.count() + (
+                new_rows.select("cluster_id").distinct().count()
+            )
         base_new = labels.join(
             F.broadcast(remap), "cluster_id", "left"
         ).select(
@@ -295,6 +426,8 @@ def apply_label_pairs(
         r["cluster_id"]
         for r in new_rows.select("cluster_id").distinct().collect()
     ]
+    if stats is not None:
+        stats["touched_clusters"] = len(remap_rows) + len(new_clusters)
     src = {int(r["cluster_id"]) % buckets for r in remap_rows}
     dst = {int(r["_new"]) % buckets for r in remap_rows} | {
         int(c) % buckets for c in new_clusters
@@ -358,7 +491,10 @@ def _pending_segment_count(index_dir: str) -> int:
 
 
 def fold_pending_labels(
-    spark: SparkSession, index_dir: str, corpus_dir: str
+    spark: SparkSession,
+    index_dir: str,
+    corpus_dir: str,
+    stats: dict | None = None,
 ) -> bool:
     """Fold every spooled pending delta into the cluster-label snapshot
     and clear the spool — the compaction step of cadence-mode label
@@ -413,7 +549,7 @@ def fold_pending_labels(
         .localCheckpoint(eager=True)
     )
     pairs = delta_near_pairs(spark, index_dir, corpus, delta_docs)
-    changed = apply_label_pairs(spark, index_dir, pairs)
+    changed = apply_label_pairs(spark, index_dir, pairs, stats=stats)
     # clear the spool: flip it to an empty base generation
     _clear_spool()
     return changed
@@ -617,6 +753,7 @@ def run_dedup_ingest_pipeline(
     label_cadence: int = 1,
     label_buckets: int | None = None,
     index_compact_cadence: int | None = None,
+    label_layout: LabelLayoutPolicy | None = None,
 ):
     """Stream jsonl document batches from ``input_dir`` through the
     probe -> split -> append -> extend loop. Bootstraps an empty index when
@@ -665,6 +802,16 @@ def run_dedup_ingest_pipeline(
     Measured overhead: SCALE.md §r9 (per-batch), §r10 (cadence +
     partitioned).
 
+    ``label_layout=LabelLayoutPolicy(...)`` (r12) replaces the fixed
+    ``label_buckets`` with self-selection: each fold reports its
+    touched-cluster count K, the policy applies the measured K-vs-B
+    crossover rules (SCALE.md §r11), and the loop migrates the snapshot
+    (monolithic <-> B buckets, one corpus shuffle, atomic pointer
+    commit) when the regime changes — with hysteresis so noise never
+    flaps an O(corpus) migration. Equality with the batch recompute is
+    invariant under migrations (the fold semantics never depend on the
+    layout; tests/test_streaming_ingest.py::test_auto_layout...).
+
     ``index_compact_cadence=N`` (r10) runs compact_dedup_index every N
     committed batches — the "nightly" small-files hygiene the compaction
     docstring prescribes, wired into the loop so a long-running stream
@@ -672,6 +819,11 @@ def run_dedup_ingest_pipeline(
     the committed-batch count, so replays never double-compact."""
     from cdc_worker_spark.operators.index_layout import table_exists
 
+    if label_layout is not None and label_buckets is not None:
+        raise ValueError(
+            "label_layout (auto policy) and label_buckets (fixed count) "
+            "are mutually exclusive — the policy owns the layout"
+        )
     if not table_exists(index_dir, "digests"):
         build_dedup_index(
             spark.createDataFrame([], DOC_SCHEMA), index_dir
@@ -746,14 +898,19 @@ def run_dedup_ingest_pipeline(
         # the segment layer too (exactly-once, not just at-least-once)
         extend_dedup_index(accepted, index_dir, token=f"b{batch_id}")
         label_sec = None
+        layout_event = None
         if near_policy == "label":
             t_lbl = time.perf_counter()
+            fold_stats: dict = {}
             if label_cadence <= 1:
-                _extend_labels(batch_df, rejected)
+                _extend_labels(batch_df, rejected, fold_stats)
             else:
                 _spool_delta(batch_df, rejected, f"b{batch_id}")
                 if _pending_segment_count(index_dir) >= label_cadence:
-                    fold_pending_labels(spark, index_dir, corpus_dir)
+                    fold_pending_labels(
+                        spark, index_dir, corpus_dir, stats=fold_stats
+                    )
+            layout_event = _auto_layout(fold_stats)
             label_sec = round(time.perf_counter() - t_lbl, 3)
         with open(committed_path, "a") as fh:
             fh.write(f"{batch_id}\n")
@@ -778,13 +935,14 @@ def run_dedup_ingest_pipeline(
             # overhead claim is measured, not asserted) — caller-owned
             # list, append-only, driver-side (foreachBatch runs on the
             # driver so this is safe)
-            batch_metrics.append(
-                {
-                    "batch_id": batch_id,
-                    "batch_sec": round(time.perf_counter() - t_batch, 3),
-                    "label_sec": label_sec,
-                }
-            )
+            m = {
+                "batch_id": batch_id,
+                "batch_sec": round(time.perf_counter() - t_batch, 3),
+                "label_sec": label_sec,
+            }
+            if layout_event is not None:
+                m["layout_migrated_to"] = layout_event
+            batch_metrics.append(m)
 
     def _spool_delta(
         batch_df: DataFrame, rejected: DataFrame, token: str
@@ -819,7 +977,9 @@ def run_dedup_ingest_pipeline(
         delta_ids.write.mode("overwrite").parquet(path)
         publish_segment(index_dir, PENDING_TABLE, token)
 
-    def _extend_labels(batch_df: DataFrame, rejected: DataFrame) -> None:
+    def _extend_labels(
+        batch_df: DataFrame, rejected: DataFrame, stats: dict | None = None
+    ) -> None:
         from cdc_worker_spark.operators.cluster_incr import delta_near_pairs
 
         # delta = batch minus rejected: accepted docs plus replay-detected
@@ -831,7 +991,39 @@ def run_dedup_ingest_pipeline(
         )
         corpus = spark.read.parquet(corpus_dir)
         pairs = delta_near_pairs(spark, index_dir, corpus, delta)
-        apply_label_pairs(spark, index_dir, pairs)
+        apply_label_pairs(spark, index_dir, pairs, stats=stats)
+
+    def _auto_layout(fold_stats: dict):
+        """Observe the fold just run and migrate the label layout when
+        the policy says the regime changed (VERDICT r11 next #3). Runs
+        BEFORE the ledger write: a crash mid-migration is absorbed by
+        write_label_snapshot's atomic pointer commit, and the replayed
+        batch re-folds (idempotent) and re-decides. Returns the new
+        bucket count (0 = monolithic) when a migration happened, else
+        None."""
+        if label_layout is None or "touched_clusters" not in fold_stats:
+            return None
+        n_labels = read_cluster_labels(spark, index_dir).count()
+        label_layout.observe(fold_stats["touched_clusters"], n_labels)
+        cur = _labels_buckets(index_dir)
+        want = label_layout.decide(cur)
+        if not label_layout.should_migrate(cur, want):
+            return None
+        write_label_snapshot(
+            spark,
+            index_dir,
+            read_cluster_labels(spark, index_dir),
+            buckets=(want if want is not None else 0),
+        )
+        label_layout.decisions.append(
+            {
+                "k_window": list(label_layout.k_history),
+                "n_labels": n_labels,
+                "from_buckets": cur,
+                "to_buckets": want,
+            }
+        )
+        return want if want is not None else 0
 
     writer = stream.writeStream.foreachBatch(apply_batch).option(
         "checkpointLocation", checkpoint_dir

@@ -1494,11 +1494,17 @@ def check_basket_pairs(ctx, df):
     capped recount instead."""
     from pyspark.sql import functions as F
 
-    # the result frame is O(pairs) small but its PLAN is the full
-    # basket pipeline — checkpoint once so the three probes below don't
-    # re-execute a 25-minute sf100 derivation each (the un-checkpointed
-    # form lost an executor on the third re-run)
-    df = df.localCheckpoint(eager=True)
+    # the result frame is O(pairs) — small next to the fact table but
+    # ~100M rows at sf100 (each key-shifted copy contributes its own
+    # pair set) — and its PLAN is the full basket pipeline: checkpoint
+    # once so the three probes below don't re-execute the derivation
+    # (the un-checkpointed form lost an executor on the third re-run).
+    # DISK_ONLY (r12): the default MEMORY_AND_DISK level pinned those
+    # rows in protected storage memory, one of the two drivers of the
+    # r11 28g sizing rule (SCALE.md §r12 post-mortem).
+    from pyspark import StorageLevel
+
+    df = df.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     sample = (
         df.orderBy(F.desc("n_both"), "part_a", "part_b")
         .limit(12)

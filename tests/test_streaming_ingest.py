@@ -689,6 +689,105 @@ def test_bucket_count_commits_atomically_in_pointer(spark, tmp_path):
     assert not os.path.exists(os.path.join(legacy, LABELS_META))
 
 
+def test_label_layout_policy_matrix():
+    """Pure-python pin of LabelLayoutPolicy against the MEASURED r11
+    crossover grid (SCALE.md §r11): K=100 at corpus scale sizes to the
+    winning B=256 cell; K=10k (>= any allowed B) stays monolithic at
+    every N; sub-crossover N stays monolithic; hysteresis never flaps
+    between pow2 neighbors."""
+    from cdc_worker_spark.streaming.ingest import LabelLayoutPolicy
+
+    p = LabelLayoutPolicy(window=3)
+    # fewer than `window` observations: no opinion, keep current layout
+    p.observe(100, 10**8)
+    assert p.decide(None) is None and p.decide(64) == 64
+    p.observe(100, 10**8)
+    p.observe(100, 10**8)
+    # the measured winning cell: K=100, N>=1e8 -> B=256 (pow2 floor of 4K)
+    assert p.decide(None) == 256
+    # K=10k: guard trips (2K > max_buckets) -> monolithic at every N
+    hot = LabelLayoutPolicy(window=1)
+    for n in (10**8, 3 * 10**8, 7 * 10**8):
+        hot.observe(10_000, n)
+        assert hot.decide(256) is None
+    # below the measured crossover scale: monolithic regardless of K
+    small = LabelLayoutPolicy(window=1)
+    small.observe(10, 10**6)
+    assert small.decide(None) is None
+    # hysteresis: 256 -> 512 is a 2x pow2 neighbor, not worth O(corpus)
+    assert not p.should_migrate(256, 512)
+    assert p.should_migrate(256, 1024)
+    assert p.should_migrate(None, 256) and p.should_migrate(256, None)
+    assert not p.should_migrate(None, None)
+
+
+def test_auto_layout_selects_bucketed_under_low_k_regime(spark, tmp_path):
+    """VERDICT r11 next #3 gate: with a planted low-K regime (each fold
+    touches one cluster family) and fixture-scale thresholds, the ingest
+    loop SELF-SELECTS the partitioned layout mid-stream — and the labels
+    still equal the batch recompute across the migration."""
+    from cdc_worker_spark.streaming.ingest import (
+        LabelLayoutPolicy,
+        _labels_buckets,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog tonight in the park"
+    in_dir = str(tmp_path / "in")
+    # each batch adds one near-dup of doc 1: every fold touches exactly
+    # the one cluster (K=1) while the label count grows past min_labels
+    _write_batch(in_dir, "b0.jsonl", [
+        _doc(1, base),
+        _doc(2, base.replace("dog", "cat")),
+    ])
+    time.sleep(0.05)
+    _write_batch(in_dir, "b1.jsonl", [_doc(10, base.replace("park", "yard"))])
+    time.sleep(0.05)
+    _write_batch(in_dir, "b2.jsonl", [_doc(20, base.replace("quick", "slow"))])
+    time.sleep(0.05)
+    _write_batch(in_dir, "b3.jsonl", [_doc(30, base.replace("lazy", "idle"))])
+
+    policy = LabelLayoutPolicy(
+        min_labels=3, target_ratio=4, window=2, min_buckets=4, max_buckets=8
+    )
+    metrics: list = []
+    run_dedup_ingest_pipeline(
+        spark,
+        input_dir=in_dir,
+        index_dir=str(tmp_path / "idx"),
+        corpus_dir=str(tmp_path / "corpus"),
+        rejects_dir=str(tmp_path / "rejects"),
+        checkpoint_dir=str(tmp_path / "chk"),
+        near_policy="label",
+        label_layout=policy,
+        batch_metrics=metrics,
+    ).awaitTermination(240)
+
+    # the loop migrated to the policy's bucket count mid-stream
+    assert _labels_buckets(str(tmp_path / "idx")) == 4
+    assert policy.decisions and policy.decisions[0]["to_buckets"] == 4
+    assert policy.decisions[0]["from_buckets"] is None
+    assert any("layout_migrated_to" in m for m in metrics)
+    # equality across the migration: stream labels == batch recompute
+    got = _label_rows(spark, tmp_path / "idx")
+    want = _batch_recompute_labels(spark, tmp_path / "corpus")
+    assert got == want, f"{got} vs {want}"
+    # policy + fixed label_buckets together must refuse
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="mutually exclusive"):
+        run_dedup_ingest_pipeline(
+            spark,
+            input_dir=in_dir,
+            index_dir=str(tmp_path / "idx2"),
+            corpus_dir=str(tmp_path / "c2"),
+            rejects_dir=str(tmp_path / "r2"),
+            checkpoint_dir=str(tmp_path / "chk2"),
+            near_policy="label",
+            label_layout=LabelLayoutPolicy(),
+            label_buckets=4,
+        )
+
+
 def test_pipeline_raises_on_label_bucket_mismatch(spark, tmp_path):
     """ADVICE r10: run_dedup_ingest_pipeline must refuse a label_buckets
     that disagrees with the committed layout meta — an operator who asks

@@ -221,6 +221,43 @@ def test_bpe_handles_quoted_symbols(spark):
     assert merges == expected
 
 
+def test_bpe_incremental_matches_reference_deep():
+    """The r12 in-driver incremental trainer (heap + occurrence index)
+    must be BIT-EQUAL to the naive recount-every-round reference over a
+    deep merge run — 300 merges on a synthetic corpus with heavy tails,
+    ties, repeated characters, and quotes (no Spark: this pins the
+    algorithm itself)."""
+    import hashlib
+
+    from cdc_worker_spark.operators.traindata import bpe_merges_incremental
+
+    alphabet = "abcdefgh'"
+    wc: dict[str, int] = {}
+    for i in range(400):
+        h = hashlib.md5(f"bpe-corpus:{i}".encode()).hexdigest()
+        # words of length 2-12 over a small alphabet -> dense pair
+        # collisions, plenty of exact count ties, aaa-style repeats
+        w = "".join(alphabet[int(c, 16) % len(alphabet)] for c in h[: 2 + i % 11])
+        wc[w] = wc.get(w, 0) + 1 + (i % 7)
+    expected = _python_bpe(wc, 300)
+    got = bpe_merges_incremental(list(wc.items()), 300)
+    assert got == expected
+    assert len(got) >= 100  # the corpus genuinely sustains deep merging
+
+
+def test_bpe_distributed_fold_path_still_exact(spark):
+    """driver_vocab_cap=0 forces the distributed per-round fold (the
+    above-cap fallback) — it must stay bit-equal to the reference now
+    that fixture-scale runs take the incremental path by default."""
+    wc = {"don't": 4, "banana": 3, "bandana": 2, "aaaa": 5}
+    words = spark.createDataFrame(
+        list(wc.items()), "word: string, cnt: bigint"
+    )
+    assert bpe_merges(words, n_merges=6, driver_vocab_cap=0) == _python_bpe(
+        wc, 6
+    )
+
+
 def test_bpe_handles_single_char_words(spark):
     words = spark.createDataFrame(
         [("a", 5), ("b", 3)], "word: string, cnt: bigint"
