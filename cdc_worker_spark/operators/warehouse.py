@@ -1962,9 +1962,13 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     # supplier on the order" is n_supp > 1 and "no other LATE supplier"
     # is (given l1.late, so l1's supplier is itself late) n_late_supp =
     # 1 — so ONE per-order aggregation replaces both correlated scans
-    # with bit-identical semantics (count(DISTINCT CASE WHEN late THEN
-    # l_suppkey END) ignores NULLs, counting exactly the late
-    # suppliers). This is the builder's own shape (the median_mode r11
+    # with bit-identical semantics. The distinct counts are computed as
+    # a two-level aggregation (per (order, supplier) first, then per
+    # order): a direct pair of count(DISTINCT ...) expressions planned
+    # as a 2x Expand over the 600M-row f_lines, which exhausted
+    # execution memory at the sf100 sweep heap (r12 first attempt,
+    # part_zr12_a03); the pre-group form has one hash-agg chain and no
+    # expand. This is the builder's own shape (the median_mode r11
     # precedent); independence at sf100 is kept by the
     # check_q21_bottom_recount bespoke (pure-python recount).
     oracle="""
@@ -1974,12 +1978,16 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       WHERE o_orderstatus = 'F'
     ),
+    per_supp AS (
+      SELECT l_orderkey, l_suppkey,
+             max(CASE WHEN late THEN 1 ELSE 0 END) AS any_late
+      FROM f_lines GROUP BY l_orderkey, l_suppkey
+    ),
     per_order AS (
       SELECT l_orderkey,
-             count(DISTINCT l_suppkey) AS n_supp,
-             count(DISTINCT CASE WHEN late THEN l_suppkey END)
-               AS n_late_supp
-      FROM f_lines GROUP BY l_orderkey
+             count(*) AS n_supp,
+             sum(any_late) AS n_late_supp
+      FROM per_supp GROUP BY l_orderkey
     )
     SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
     FROM supplier

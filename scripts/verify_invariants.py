@@ -2530,50 +2530,32 @@ DUAL_SF100_EXCLUDE = {
         "same unrolled-iteration lifted plan as q_graph_pagerank; dual "
         "verified at sf10, sf100 covered by the mass bespoke check",
     ),
-    # r10: the three duals the r9 sweep reported as "dialect_blocked ...
-    # UNCOVERED" when they actually ABORTED at sf100 runtime (VERDICT r09
-    # missing #1d / wrong #2). Each lifted plan re-plans a heavy
-    # intermediate per reference (Q21's triple lineitem self-join CTE,
-    # the outlier report's unrolled global-aggregate cross join, the
-    # repetition dual's per-doc gram explosion) that the builder avoids;
-    # at sf100 they exceed the 16g sweep heap. Duals pinned at sf10.
-    "q_tpch_q21": (
-        "10",
-        "INVARIANTS_sf10_runtime_blocked_duals.json",
-        "lifted triple lineitem self-join CTE aborts at sf100 runtime "
-        "(r9 part_zfix3); runtime_blocked, dual pinned at sf10",
-    ),
-    "q_emb_outlier_report": (
-        "10",
-        "INVARIANTS_sf10_runtime_blocked_duals.json",
-        "lifted global-stats cross-join plan aborts at sf100 runtime "
-        "(r9 part_zfix3); runtime_blocked, dual pinned at sf10",
-    ),
-    "q_text_repetition": (
-        "10",
-        "INVARIANTS_sf10_runtime_blocked_duals.json",
-        "lifted per-doc gram-explosion plan aborts at sf100 runtime "
-        "(r9 part_c04); runtime_blocked, dual pinned at sf10",
-    ),
-    # r10 fresh-JVM retries identified two more: each dual OOMs a 14g
-    # heap at sf100 (java.lang.OutOfMemoryError, /tmp/r10_b2.log and
-    # /tmp/r10_b3.log) — and q_basket_pairs' OOM is exactly what killed
-    # the shared SparkContext for the rest of the r9 zfix chunk. The
-    # BUILDERS are fine at sf100 (cap_basket valve / range-bucket layout);
-    # the lifted oracles lack those valves by construction.
-    "q_basket_pairs": (
-        "10",
-        "INVARIANTS_sf10_runtime_blocked_duals.json",
-        "lifted uncapped basket self-join OOMs 14g at sf100 (r10 "
-        "part_zr10_b02 + r9 chunk killer); runtime_blocked, dual pinned "
-        "at sf10; sf100 covered by the check_basket_pairs bespoke",
-    ),
-    "q_layout_range_bounds": (
-        "10",
-        "INVARIANTS_sf10_runtime_blocked_duals.json",
-        "lifted min/max-per-file-bucket plan OOMs 14g at sf100 (r10 "
-        "part_zr10_b03); runtime_blocked, dual pinned at sf10",
-    ),
+    # r10-r11 pinned five more duals as runtime_blocked at sf100; all
+    # five were un-pinned in r12 by the twice-proven incidental-shape
+    # method (the sla-latency / median_mode precedents) plus the r12
+    # DISK_ONLY checkpoint fix:
+    # - q_tpch_q21: the correlated EXISTS/NOT-EXISTS decorrelated into a
+    #   triple lineitem self-join (r9 abort). INCIDENTAL — the oracle
+    #   now uses the per-order aggregate (n_supp/n_late_supp), the
+    #   builder's own shape with bit-identical semantics.
+    # - q_emb_outlier_report: both CTEs exploded embeddings with the
+    #   full 64-float array crossing the join shuffle (r9 abort).
+    #   INCIDENTAL — one narrow (vec_id,label,i,x) explode CTE feeds
+    #   comp and dist; the array never crosses an exchange.
+    # - q_text_repetition: each bigram row dragged the doc's whole word
+    #   array through the aggregation — O(len^2) bytes/doc (r9 abort).
+    #   INCIDENTAL — narrow positional explode + lead() over (doc, i).
+    # - q_layout_range_bounds: row_number() with no PARTITION BY = a
+    #   one-task sort of the fact table (r10 OOM). INCIDENTAL — the
+    #   builder's two-level prefix-sum shape in portable SQL (coarse
+    #   order-preserving buckets + rank inside the one hit bucket).
+    # - q_basket_pairs: the OOM was not the dual's self-join shape at
+    #   all — the BUILDER's MEMORY_AND_DISK per-order localCheckpoint
+    #   pinned ~12 GB of protected storage that the dual then died
+    #   against (SCALE.md §r12 post-mortem); with DISK_ONLY the same
+    #   uncapped oracle runs at the sweep heap.
+    # All five calibrated at sf0.01 (dual_allowlist r12) and ran LIVE at
+    # sf100 in part_zr12_* chunks.
     # q_orders_sla_latency was excluded here for part of r10: its
     # "runtime_blocked dual" turned out to be the BUILDER's forced
     # broadcast of the fact-scale orders table collapsing the driver

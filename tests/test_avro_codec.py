@@ -42,7 +42,12 @@ unreachable); unchanged.
 
 Round-11 probe (VERDICT r10 next #7, 2026-08-16): re-ran once — curl to
 repo1.maven.org exit 6 ("Could not resolve host"), `pip download`
-still "No matching distribution found" (index unreachable); unchanged."""
+still "No matching distribution found" (index unreachable); unchanged.
+
+Round-12 probe (VERDICT r11 next #7, 2026-08-16): re-ran once — curl to
+repo1.maven.org exit 6 ("Could not resolve host"), `pip download
+protobuf` retries die with "Name or service not known" on the index
+host; unchanged."""
 
 from __future__ import annotations
 

@@ -220,7 +220,9 @@ def test_delta_merge_sink_matches_latest_wins_state(spark, tmp_path):
     curl exit 6 "Could not resolve host: repo1.maven.org", pip
     "No matching distribution found"; unchanged. Round-11 probe
     (2026-08-16): re-ran once — curl exit 6 "Could not resolve host",
-    pip "No matching distribution found"; unchanged."""
+    pip "No matching distribution found"; unchanged. Round-12 probe
+    (2026-08-16): re-ran once — curl exit 6 "Could not resolve host",
+    pip retries "Name or service not known"; unchanged."""
     import pytest
 
     try:

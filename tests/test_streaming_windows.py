@@ -245,7 +245,9 @@ def test_session_close_summaries_transform_with_state(spark, tmp_path):
     (2026-08-16): re-ran once — same "No matching distribution found"
     (pip index DNS-blocked); unchanged. Round-11 probe (2026-08-16):
     re-ran once — `pip download protobuf` "No matching distribution
-    found" (pip index DNS-blocked); unchanged."""
+    found" (pip index DNS-blocked); unchanged. Round-12 probe
+    (2026-08-16): re-ran once — `pip download protobuf` retries die
+    with "Name or service not known" on the index host; unchanged."""
     pytest.importorskip(
         "google.protobuf",
         reason="transformWithState needs protobuf; container is offline",
