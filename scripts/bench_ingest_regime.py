@@ -62,6 +62,20 @@ def main() -> None:
     ap.add_argument("--label-cadence", type=int, default=2)
     ap.add_argument("--cpus", default="32")
     ap.add_argument("--driver-mem", default="16g")
+    ap.add_argument(
+        "--twins",
+        default="partitioned,monolithic",
+        help="comma list of partitioned|monolithic|auto (auto = "
+        "pre-seed monolithic, LabelLayoutPolicy self-selects "
+        "mid-stream)",
+    )
+    ap.add_argument(
+        "--policy-min-labels",
+        type=int,
+        default=100_000_000,
+        help="LabelLayoutPolicy min_labels for the auto twin (the "
+        "measured default stands for real runs; lower only for smokes)",
+    )
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -86,6 +100,7 @@ def main() -> None:
         minhash_pairs,
     )
     from cdc_worker_spark.streaming.ingest import (
+        LabelLayoutPolicy,
         _labels_buckets,
         fold_pending_labels,
         read_cluster_labels,
@@ -189,8 +204,15 @@ def main() -> None:
         ).collect()[0]
         return (row["n"], row["hx"])
 
-    def run_twin(buckets: int | None) -> dict:
-        work = tempfile.mkdtemp(prefix=f"regime_b{buckets or 0}_")
+    def run_twin(buckets: int | None, auto: bool = False) -> dict:
+        """One full seed+preseed+stream pass. ``auto=True`` is the
+        self-selection twin (VERDICT r11 next #3 SCALE row): pre-seed
+        MONOLITHIC and hand the stream a LabelLayoutPolicy at its
+        measured defaults — the loop must discover the K<<B regime from
+        its own fold stats and migrate mid-stream; the layout gate then
+        asserts the policy's own sizing rule (pow2-floor of 4K, here
+        K=families-per-fold) rather than a caller-pinned count."""
+        work = tempfile.mkdtemp(prefix=f"regime_b{'auto' if auto else (buckets or 0)}_")
         in_dir = f"{work}/in"
         index_dir = f"{work}/index"
         corpus_dir = f"{work}/corpus"
@@ -217,7 +239,7 @@ def main() -> None:
             spark,
             index_dir,
             real.unionByName(filler_labels()),
-            buckets=buckets,
+            buckets=None if auto else buckets,
         )
         preseed_sec = round(time.perf_counter() - t0, 1)
         filler_before = fingerprint(
@@ -228,6 +250,11 @@ def main() -> None:
         for b in range(args.stream_batches):
             stream_batch(b).coalesce(1).write.mode("append").json(in2)
         metrics: list[dict] = []
+        policy = (
+            LabelLayoutPolicy(min_labels=args.policy_min_labels)
+            if auto
+            else None
+        )
         t0 = time.perf_counter()
         run_dedup_ingest_pipeline(
             spark,
@@ -239,7 +266,8 @@ def main() -> None:
             max_files_per_trigger=1,
             near_policy="label",
             label_cadence=args.label_cadence,
-            label_buckets=buckets,
+            label_buckets=None if auto else buckets,
+            label_layout=policy,
             batch_metrics=metrics,
         ).awaitTermination()
         t_fin = time.perf_counter()
@@ -269,30 +297,59 @@ def main() -> None:
             else f"FAIL {filler_before} -> {filler_after}"
         )
         got_b = _labels_buckets(index_dir)
-        gates["layout_kept"] = (
-            "PASS" if got_b == buckets else f"FAIL {got_b} != {buckets}"
-        )
+        if auto:
+            # the gate asserts the POLICY's own sizing rule, derived
+            # from a scratch policy fed the planted regime (K identical
+            # every fold, N = filler scale) — not a hand-pinned count
+            k = args.families_per_batch * args.label_cadence
+            probe = LabelLayoutPolicy(min_labels=args.policy_min_labels)
+            for _ in range(probe.window):
+                probe.observe(k, args.filler)
+            expected_b = probe.decide(None)
+            gates["layout_selected"] = (
+                "PASS"
+                if got_b == expected_b and len(policy.decisions) == 1
+                else (
+                    f"FAIL got={got_b} want={expected_b} "
+                    f"migrations={len(policy.decisions)}"
+                )
+            )
+        else:
+            gates["layout_kept"] = (
+                "PASS"
+                if got_b == buckets
+                else f"FAIL {got_b} != {buckets}"
+            )
         label_secs = [
             m["label_sec"] for m in metrics if m.get("label_sec")
         ]
         out = {
-            "buckets": buckets or 0,
+            "buckets": got_b or 0,
             "preseed_sec": preseed_sec,
             "stream_sec": stream_sec,
             "finalize_sec": finalize_sec,
             "label_sec_sum": round(sum(label_secs), 1),
             "label_sec_max": max(label_secs) if label_secs else None,
+            "label_secs": [round(s, 1) for s in label_secs],
             "n_folds": sum(
                 1 for s in label_secs if s and s > 1.0
             ),  # spool-only batches are sub-second
             "gates": gates,
         }
+        if auto:
+            out["decisions"] = policy.decisions
         shutil.rmtree(work, ignore_errors=True)
         return out
 
+    twin_runs = {
+        "partitioned": lambda: run_twin(args.buckets),
+        "monolithic": lambda: run_twin(None),
+        "auto": lambda: run_twin(None, auto=True),
+    }
     twins = {
-        "partitioned": run_twin(args.buckets),
-        "monolithic": run_twin(None),
+        name: twin_runs[name]()
+        for name in args.twins.split(",")
+        if name in twin_runs
     }
     ok = all(
         v == "PASS" for t in twins.values() for v in t["gates"].values()
