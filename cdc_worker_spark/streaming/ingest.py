@@ -95,11 +95,16 @@ class LabelLayoutPolicy:
       a full rewrite anyway);
     - the win starts at corpus scale (~1e8 labels measured; below it
       per-job overhead beats the rewrite savings) — ``min_labels``;
-    - B is a SMALL multiple of typical K, not higher: pow2-FLOOR of
-      ``target_ratio`` x K (default 4; K=100 sizes to the grid's
-      winning B=256 cell at 2.56x) — the B=1024/K=100 cell measured
-      WORSE than B=256 despite rewriting 3x fewer bytes, because
-      per-directory listing/scheduling overhead grows with B.
+    - B is a SMALL multiple of typical K: pow2-CEILING of
+      ``target_ratio`` x K (default 4 — the realized ratio lands in
+      [4, 8)). Both sides of that window are MEASURED at 7e8 labels
+      (SCALE.md §r12 sizing cells, every cell equality-gated): going
+      below it costs — K=50 folds at B=128 (2.6x) took 21.2 s vs
+      B=256 (5.1x) 15.9 s, and K=100 at B=256 (2.6x) 31.7 s vs B=512
+      (5.1x) 13.5 s — and so does going far above it: the r11
+      B=1024/K=100 (10x) cell measured worse than its smaller
+      neighbor because per-directory listing/scheduling overhead
+      grows with B once buckets shrink.
 
     Decisions use the MAX K of the last ``window`` folds (conservative:
     the layout must win even at the worst recent fold) and a 4x
@@ -140,9 +145,10 @@ class LabelLayoutPolicy:
         n = self.n_labels
         if n < self.min_labels:
             return None
-        # pow2 FLOOR of ratio*K (size B a small multiple of K, never
-        # higher — the measured B=1024 lesson), clamped to the range
-        b = 1 << max(1, max(1, k * self.target_ratio).bit_length() - 1)
+        # pow2 CEILING of ratio*K — the realized ratio stays in
+        # [ratio, 2*ratio), the window the §r12 sizing cells measured
+        # as winning from both sides — clamped to the range
+        b = 1 << max(1, (max(1, k * self.target_ratio) - 1).bit_length())
         b = min(max(self.min_buckets, b), self.max_buckets)
         # the K << B regime guard: if even the clamped B cannot keep a
         # 2x margin over worst-recent K, folds touch most buckets and

@@ -690,11 +690,13 @@ def test_bucket_count_commits_atomically_in_pointer(spark, tmp_path):
 
 
 def test_label_layout_policy_matrix():
-    """Pure-python pin of LabelLayoutPolicy against the MEASURED r11
-    crossover grid (SCALE.md §r11): K=100 at corpus scale sizes to the
-    winning B=256 cell; K=10k (>= any allowed B) stays monolithic at
-    every N; sub-crossover N stays monolithic; hysteresis never flaps
-    between pow2 neighbors."""
+    """Pure-python pin of LabelLayoutPolicy against the MEASURED
+    crossover + sizing cells (SCALE.md §r11 grid, §r12 sizing): K=100
+    at corpus scale sizes to the measured-winning B=512 cell (pow2
+    CEILING of 4K — the r12 cells showed the floor neighbor losing
+    from below at both K=50 and K=100); K=10k (>= any allowed B) stays
+    monolithic at every N; sub-crossover N stays monolithic; hysteresis
+    never flaps between pow2 neighbors."""
     from cdc_worker_spark.streaming.ingest import LabelLayoutPolicy
 
     p = LabelLayoutPolicy(window=3)
@@ -703,8 +705,13 @@ def test_label_layout_policy_matrix():
     assert p.decide(None) is None and p.decide(64) == 64
     p.observe(100, 10**8)
     p.observe(100, 10**8)
-    # the measured winning cell: K=100, N>=1e8 -> B=256 (pow2 floor of 4K)
-    assert p.decide(None) == 256
+    # the measured winning cell: K=100, N>=1e8 -> B=512 (pow2 ceil of 4K;
+    # 13.5 s vs B=256's 31.7 s at 7e8, §r12)
+    assert p.decide(None) == 512
+    # the other measured sizing anchor: K=50 -> B=256 (15.9 vs 21.2 s)
+    p50 = LabelLayoutPolicy(window=1)
+    p50.observe(50, 10**8)
+    assert p50.decide(None) == 256
     # K=10k: guard trips (2K > max_buckets) -> monolithic at every N
     hot = LabelLayoutPolicy(window=1)
     for n in (10**8, 3 * 10**8, 7 * 10**8):
