@@ -152,6 +152,23 @@ def run_chunk(
     return None
 
 
+#: queries whose lifted dual needs more heap than the sweep default at
+#: sf100 (measured r12: pagerank's un-checkpointed 10-iteration dual
+#: OOMs 16g, passes 24g fingerprint-equal) — run as their own
+#: fresh-JVM chunk at HEAVY_DUAL_MEM instead of being excluded/pinned.
+HEAVY_DUAL_QUERIES = {"q_graph_pagerank", "q_graph_pagerank_directed"}
+HEAVY_DUAL_MEM = "24g"
+
+
+def _max_mem(a: str, b: str) -> str:
+    """The larger of two -g heap strings ('16g', '24g'); non-g forms
+    fall back to the heavy default's side (never shrink a user heap)."""
+    try:
+        return a if int(a.rstrip("g")) >= int(b.rstrip("g")) else b
+    except ValueError:
+        return b
+
+
 #: latest-state problems a finished sweep must not contain: the chunk
 #: died (run ERROR / crashed), or the dual was blocked with no bespoke
 #: coverage (UNCOVERED). excluded_pinned / dialect_blocked SKIPs with a
@@ -376,6 +393,19 @@ def main() -> int:
     # sf100 chunk loop but keep it in the declared coverage contract.
     sf10_suite = [] if args.only else getattr(inv, "SUITE_SF10", [])
     main_queries = [q for q in declared if q not in sf10_suite]
+    # heavy-dual chunk (r12): queries whose LIFTED DUAL needs a larger
+    # heap than the sweep default at sf100 — measured, not assumed: the
+    # un-checkpointed 10-iteration pagerank dual OOMs 16g (stage-102
+    # heap death, r9 + re-reproduced r12) and runs fingerprint-EQUAL at
+    # 24g (125.9 s / 62.1 s solo probes). They run in their own
+    # fresh-JVM chunk at HEAVY_DUAL_MEM so every declared dual runs
+    # LIVE in every sweep; with --only, the operator controls the heap.
+    heavy_dual = (
+        []
+        if args.only
+        else [q for q in main_queries if q in HEAVY_DUAL_QUERIES]
+    )
+    main_queries = [q for q in main_queries if q not in heavy_dual]
     work = HERE / "_inv_parts"
     work.mkdir(exist_ok=True)
     t0 = time.time()
@@ -419,6 +449,40 @@ def main() -> int:
             f"{done}/{len(declared)} queries done",
             flush=True,
         )
+
+    # the heavy-dual pair in its own fresh JVM at the measured heap
+    if heavy_dual:
+        hmem = _max_mem(args.driver_mem, HEAVY_DUAL_MEM)
+        part = run_chunk(
+            heavy_dual,
+            args.sf,
+            work / "part_heavydual.json",
+            args.chunk_timeout,
+            hmem,
+        )
+        if part is None:
+            part = {"results": {}, "wall_sec": 0.0}
+            for j, q in enumerate(heavy_dual):
+                single = run_chunk(
+                    [q],
+                    args.sf,
+                    work / f"part_heavydual_{j}.json",
+                    args.chunk_timeout,
+                    hmem,
+                )
+                if single is None:
+                    part["results"][q] = [
+                        {
+                            "check": "run",
+                            "ok": False,
+                            "detail": "heavy-dual chunk crashed/timed "
+                            "out even as a single-query fresh JVM",
+                        }
+                    ]
+                else:
+                    part["results"].update(single["results"])
+                    part["wall_sec"] += single.get("wall_sec") or 0
+        parts.append(part)
 
     # the pair-dump family (SUITE_SF10) in its own fresh JVM at the
     # cluster-dual sf
