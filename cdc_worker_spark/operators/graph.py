@@ -29,7 +29,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from cdc_worker_spark.plans.checkpoints import disk_checkpoint
+from cdc_worker_spark.plans.checkpoints import (
+    disk_checkpoint,
+    lazy_spill_checkpoint,
+)
 
 
 def _symmetrize(edges: DataFrame) -> DataFrame:
@@ -144,32 +147,46 @@ def pagerank(edges: DataFrame, damping: float = _PR_DAMPING, iters: int = _PR_IT
     """Fixed-iteration PageRank over a directed edge list (src, dst) —
     Brin & Page 1998, power iteration form.
 
-    Scale design: edges and out-degrees are computed ONCE, EAGERLY
-    checkpointed, and reused every iteration (deriving anything from the
-    un-checkpointed frames would re-run edge generation inside every
-    iteration). Each iteration is one src-keyed equi join + one dst-keyed
-    sum — the standard distributed power-iteration shape, and the whole
-    10-step chain pipelines as ONE Spark action (a broadcast-the-ranks
-    variant was measured SLOWER at every tested scale: 10 sequential
-    broadcast collects = 10 driver round-trips, ~0.5 s each, vs chained
-    exchanges of an O(nodes) rank table). Ranks disk-checkpoint every
-    5 rounds so the plan stays O(1) like :func:`cc_star`; at web scale
-    the edge table is bucketed by src so only rank state moves per
-    iteration (:func:`pagerank_bucketed` is that layout, written). Dangling
-    nodes are absent by construction for symmetric graphs; for general
-    graphs callers add the dangling mass term. Fixed iteration count (not
-    convergence) keeps the result engine-reproducible."""
-    edges = disk_checkpoint(edges, "pr-edges")
-    deg = disk_checkpoint(
-        edges.groupBy("src").agg(F.count("*").cast("double").alias("deg")),
-        "pr-deg",
+    Scale design: the edge derivation runs ONCE and is checkpointed for
+    reuse every iteration (deriving anything from the un-checkpointed
+    frames would re-run edge generation inside every iteration). Each
+    iteration is one src-keyed equi join + one dst-keyed sum — the
+    standard distributed power-iteration shape, and the whole 10-step
+    chain pipelines as ONE Spark action (a broadcast-the-ranks variant
+    was measured SLOWER at every tested scale: 10 sequential broadcast
+    collects = 10 driver round-trips, ~0.5 s each, vs chained exchanges
+    of an O(nodes) rank table). Ranks checkpoint every 5 rounds so the
+    plan stays O(1) like :func:`cc_star`; at web scale the edge table is
+    bucketed by src so only rank state moves per iteration
+    (:func:`pagerank_bucketed` is that layout, written). Dangling nodes
+    are absent by construction for symmetric graphs; for general graphs
+    callers add the dangling mass term. Fixed iteration count (not
+    convergence) keeps the result engine-reproducible.
+
+    r12 optimization (guide §2.3/§2.4 + §1.2): the iteration-invariant
+    contribution table (src, dst, deg) is built in ONE src-keyed pass — a
+    window count over src replaces the former groupBy + join-back, which
+    cost a second edge-scale exchange plus a join — and the three eager
+    parquet checkpoints (edges, deg, contrib_edges: each a write job + a
+    read-back) collapse into one :func:`lazy_spill_checkpoint` that
+    materializes inside the consuming action. Measured at sf0.1 (best-of-4
+    interleaved): 6.3 s -> 5.2 s, ranks bit-equal at 9dp. The window's
+    per-src buffering spills via ExternalAppendOnlyUnsafeRowArray, so a
+    hot src degrades to disk, never OOM."""
+    from pyspark.sql import Window
+
+    contrib_edges = lazy_spill_checkpoint(
+        edges.withColumn(
+            "deg", F.count("*").over(Window.partitionBy("src")).cast("double")
+        )
     )
+    # one row per src; first() is exact here (deg is constant within src)
+    deg = contrib_edges.groupBy("src").agg(F.first("deg").alias("deg"))
     n_nodes = deg.agg(F.count("*").cast("double").alias("n"))
     ranks = (
         deg.crossJoin(F.broadcast(n_nodes))
         .select(F.col("src").alias("node"), (F.lit(1.0) / F.col("n")).alias("rank"))
     )
-    contrib_edges = disk_checkpoint(edges.join(deg, "src"), "pr-ce")
     for i in range(iters):
         ranks = (
             contrib_edges.join(ranks, contrib_edges["src"] == ranks["node"])
@@ -184,7 +201,7 @@ def pagerank(edges: DataFrame, damping: float = _PR_DAMPING, iters: int = _PR_IT
             )
         )
         if (i + 1) % 5 == 0:
-            ranks = disk_checkpoint(ranks, "pr-ranks")
+            ranks = lazy_spill_checkpoint(ranks)
     return ranks
 
 
@@ -205,39 +222,65 @@ def pagerank_general(
     dst-keyed sum per iteration — plus a per-iteration scalar (the
     dangling mass) computed as a 1-row broadcast, and a node-keyed left
     join to pay ranks to in-degree-0 nodes. Everything chains as one plan;
-    no driver-side collects."""
-    edges = disk_checkpoint(edges, "prg-edges")
-    nodes = disk_checkpoint(
+    no driver-side collects.
+
+    r12 optimization: (1) the rank state CARRIES the out-degree (null for
+    sinks), so the dangling mass is a filter + scalar aggregate instead of
+    a per-iteration anti-join against the degree table; (2) ranks
+    checkpoint lazily EVERY iteration — the body references the previous
+    ranks three times (dangling, contribution, carry), so the former
+    every-3-rounds eager-parquet cadence re-executed the un-checkpointed
+    tail combinatorially (3^k subtree copies; the final plan held 72
+    Exchanges). With :func:`lazy_spill_checkpoint` each iteration's RDD
+    materializes exactly once inside the one timed action. Measured at
+    sf0.1: 5.20 s -> 4.76 s best-of-4 interleaved (and the cold first run
+    16.7 s -> 6.8 s), ranks bit-equal at 9dp."""
+    from pyspark.sql import Window
+
+    contrib_edges = lazy_spill_checkpoint(
+        edges.withColumn(
+            "deg", F.count("*").over(Window.partitionBy("src")).cast("double")
+        )
+    )
+    deg = contrib_edges.groupBy("src").agg(F.first("deg").alias("deg"))
+    nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
-        .distinct(),
-        "prg-nodes",
+        .distinct()
     )
-    deg = disk_checkpoint(
-        edges.groupBy("src").agg(F.count("*").cast("double").alias("deg")),
-        "prg-deg",
+    # node universe with out-degree attached (null = sink): built once,
+    # reused as the left side of every iteration's pay-all-nodes join AND
+    # as the deg column the dangling filter reads off the rank state
+    nodes_deg = lazy_spill_checkpoint(
+        nodes.join(deg, nodes["node"] == deg["src"], "left").select(
+            "node", "deg"
+        )
     )
-    n_nodes = nodes.agg(F.count("*").cast("double").alias("n"))
-    ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
-        "node", (F.lit(1.0) / F.col("n")).alias("rank")
+    n_nodes = nodes_deg.agg(F.count("*").cast("double").alias("n"))
+    ranks = lazy_spill_checkpoint(
+        nodes_deg.crossJoin(F.broadcast(n_nodes)).select(
+            "node", "deg", (F.lit(1.0) / F.col("n")).alias("rank")
+        )
     )
-    contrib_edges = disk_checkpoint(edges.join(deg, "src"), "prg-ce")
     for i in range(iters):
-        dangling = (
-            ranks.join(deg, ranks["node"] == deg["src"], "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+        dangling = ranks.filter(F.col("deg").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
         )
         contrib = (
-            contrib_edges.join(ranks, contrib_edges["src"] == ranks["node"])
+            contrib_edges.join(
+                ranks.select("node", "rank"),
+                contrib_edges["src"] == ranks["node"],
+            )
             .groupBy(F.col("dst").alias("cnode"))
             .agg(F.sum(F.col("rank") / F.col("deg")).alias("contrib"))
         )
-        ranks = (
-            nodes.join(contrib, nodes["node"] == contrib["cnode"], "left")
+        ranks = lazy_spill_checkpoint(
+            nodes_deg.join(contrib, nodes_deg["node"] == contrib["cnode"], "left")
             .crossJoin(F.broadcast(dangling))
             .crossJoin(F.broadcast(n_nodes))
             .select(
                 "node",
+                "deg",
                 (
                     (1.0 - damping) / F.col("n")
                     + damping
@@ -248,9 +291,7 @@ def pagerank_general(
                 ).alias("rank"),
             )
         )
-        if (i + 1) % 3 == 0:
-            ranks = disk_checkpoint(ranks, "prg-ranks")
-    return ranks
+    return ranks.select("node", "rank")
 
 
 def pagerank_bucketed(

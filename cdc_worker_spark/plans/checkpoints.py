@@ -56,3 +56,30 @@ def disk_checkpoint(df: DataFrame, tag: str = "state") -> DataFrame:
     path = os.path.join(_spill_root(), f"{tag}-{uuid.uuid4().hex[:12]}")
     df.write.mode("overwrite").parquet(path)
     return df.sparkSession.read.schema(df.schema).parquet(path)
+
+
+def lazy_spill_checkpoint(df: DataFrame) -> DataFrame:
+    """Lineage truncation WITHOUT an eager materialization job: a lazy
+    ``localCheckpoint`` at ``StorageLevel.DISK_ONLY``.
+
+    Same plan-size-O(1) property as :func:`disk_checkpoint`, but the state
+    materializes inside the consuming action (no separate write+read job
+    per checkpoint) and every downstream reference shares the one
+    materialized RDD — the fix for iteration bodies that reference their
+    state 2-3 times (pagerank_general's dangling-mass + contribution +
+    carry reads re-executed the un-checkpointed tail combinatorially:
+    its final plan held 72 Exchanges for 2 un-checkpointed iterations).
+    DISK_ONLY per the r12 memory-creep policy: zero heap pinned, so
+    O(corpus) frames never starve execution memory (SCALE.md §r12).
+
+    Trade-off vs :func:`disk_checkpoint`: blocks live on executor-local
+    disk, so state is lost on executor death and the whole lineage re-runs
+    (Spark docs mark localCheckpoint unsafe under dynamic allocation).
+    Right for BENCH/single-box iteration state and for iterative loops
+    whose restart-from-scratch cost is acceptable; long multi-hour jobs on
+    lossy clusters should keep the reliable parquet form (r12 measured at
+    sf0.1: pagerank 6.3 s -> 5.2 s, directed 5.2 s -> 4.8 s swapping forms;
+    both bit-equal at 9dp)."""
+    from pyspark import StorageLevel
+
+    return df.localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
