@@ -91,6 +91,22 @@ def main() -> None:
         .config("spark.sql.shuffle.partitions", str(max(int(cpus) * 2, 8) if cpus.isdigit() else 32))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # r12 (optimization guide §9 baseline): let the planner pick
+        # shuffled-hash join where its size conditions hold instead of
+        # always sort-merge — SHJ skips both sort passes. Suite-level A/B
+        # (3 interleaved full-suite rounds): total-of-mins 67.3 s -> 57.2 s;
+        # every suspected per-query regression re-measured as noise over 6
+        # rounds (q_join_asof/q_dedup_minhash medians equal or better).
+        # Scale note: the choice stays size-GATED by the planner
+        # (canBuildLocalHashMap: plan-statistics side estimate under
+        # autoBroadcastJoinThreshold x shuffle partitions), and the
+        # operators that must never hash-build an O(corpus) side pin SMJ
+        # explicitly with .hint("merge"). SPARK_GRAFT_PREFER_SMJ=1 restores
+        # the default for deployments with unreliable statistics.
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            "true" if os.environ.get("SPARK_GRAFT_PREFER_SMJ") else "false",
+        )
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")

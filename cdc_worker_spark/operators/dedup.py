@@ -502,11 +502,6 @@ def embedding_dedup_pairs(
     near-identical) would otherwise regenerate the n^2 pair set inside one
     bucket; such clusters are cluster-assignment work (q_dedup_cluster_*),
     not pair-emission work."""
-    from cdc_worker_spark.operators.lsh import (
-        prefilter_simhash_udf,
-        with_lsh_buckets,
-    )
-
     if n_tables is None or n_bits is None:
         a_tables, a_bits = adaptive_lsh_params(emb.select("vec_id").count())
         n_tables = a_tables if n_tables is None else n_tables
@@ -525,28 +520,41 @@ def embedding_dedup_pairs(
     theta_frac = math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
     h_sigma = math.sqrt(64.0 * theta_frac * (1.0 - theta_frac))
     h_max = int(math.ceil(64.0 * theta_frac + 3.5 * h_sigma))
-    # checkpoint both Python-UDF products: emb_sh is consumed by the keyed
-    # table AND both verify-join vector sides, keyed by the bucket-cap
-    # count AND both pair sides — without the checkpoints each consumer
-    # re-runs the simhash / signature-matmul UDFs over the whole corpus
-    # (the static plan showed SIX embedding scans; now one). disk_checkpoint
-    # (parquet), NOT localCheckpoint: block-manager caching of the
-    # n_vectors x n_tables keyed table pinned storage memory and starved
-    # the bucket-cap aggregation at sf100 (AGGREGATE_OUT_OF_MEMORY in the
-    # 16 GB heap); the parquet form streams from disk instead.
-    from cdc_worker_spark.plans.checkpoints import disk_checkpoint
+    # checkpoint both Python-UDF products: the keyed table is consumed by
+    # the bucket-cap count AND both pair sides, the vector frame by both
+    # verify-join sides — without the checkpoints each consumer re-runs
+    # the LSH-keys matmul UDF over the whole corpus (the static plan
+    # showed SIX embedding scans; now one).
+    #
+    # r12 (guide §4.1 + §1.2): the simhash and the banded signatures are
+    # ONE Arrow pass now (lsh_keys_udf stacks both plane families into a
+    # single matmul) — previously two pandas UDFs shipped every vector
+    # across the JVM↔Python boundary twice. And the keyed table's eager
+    # parquet round-trip (write job + read-back) is a lazy DISK_ONLY
+    # localCheckpoint: zero heap pinned (the sf100 failure that forced
+    # parquet here was the DEFAULT-level block cache starving the
+    # bucket-cap aggregation; DISK_ONLY keeps the streams-from-disk
+    # property with no extra job — r12 memory-creep policy). Measured at
+    # sf0.1: 3.59 s -> 3.10 s best-of-5 interleaved (every round faster),
+    # candidate pairs and cosines identical at 9dp.
+    from cdc_worker_spark.operators.lsh import lsh_keys_udf
+    from cdc_worker_spark.plans.checkpoints import lazy_spill_checkpoint
 
-    # hybrid: the O(n) vector frame localCheckpoints (block cache — small
-    # enough at any n that fits one executor's vector shard anyway); the
-    # O(n x tables) keyed table goes to parquet
-    emb_sh = emb.withColumn(
-        "sh", prefilter_simhash_udf()(F.col("dv"))
-    ).localCheckpoint(eager=False)
-    keyed = disk_checkpoint(
-        with_lsh_buckets(
-            emb_sh.select("vec_id", "label", "sh", "dv", "nrm"), n_tables, n_bits
-        ).select("vec_id", "label", "sh", "tbl", "sig"),
-        "emb-lsh-keyed",
+    # the O(n) vector frame localCheckpoints at the default level (block
+    # cache — small enough at any n that fits one executor's vector shard)
+    vecs = emb.select("vec_id", "dv", "nrm").localCheckpoint(eager=False)
+    keys = lsh_keys_udf(n_tables, n_bits)
+    keyed = lazy_spill_checkpoint(
+        emb.withColumn("_ss", keys(F.col("dv")))
+        .select(
+            "vec_id",
+            "label",
+            F.col("_ss.sh").alias("sh"),
+            F.col("_ss.sigs").alias("_sigs"),
+        )
+        .select(
+            "vec_id", "label", "sh", F.posexplode("_sigs").alias("tbl", "sig")
+        )
     )
     if bucket_cap is not None:
         # skew valve as a broadcast ANTI join: overfull buckets are at most
@@ -580,11 +588,11 @@ def embedding_dedup_pairs(
         .select("vec_a", "vec_b")
         .distinct()
     )
-    va = emb_sh.select(
+    va = vecs.select(
         F.col("vec_id").alias("vec_a"), F.col("dv").alias("dv_a"),
         F.col("nrm").alias("nrm_a"),
     )
-    vb = emb_sh.select(
+    vb = vecs.select(
         F.col("vec_id").alias("vec_b"), F.col("dv").alias("dv_b"),
         F.col("nrm").alias("nrm_b"),
     )

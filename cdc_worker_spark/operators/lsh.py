@@ -115,6 +115,66 @@ def _sig_udf(planes: list[list[float]], n_tables: int, n_bits: int):
     return sigs
 
 
+def lsh_keys_udf(n_tables: int, n_bits: int, dim: int = 64):
+    """ONE Arrow pass computing BOTH LSH key families —
+    ``struct<sh: long, sigs: array<long>>`` — the 64-bit prefilter simhash
+    (planes ``lshpre``) and the T banded bucket signatures.
+
+    r12 optimization (guide §4.1): embedding_dedup_pairs previously ran
+    :func:`prefilter_simhash_udf` and :func:`_sig_udf` as two separate
+    pandas UDFs, so every 64-double vector crossed the JVM↔Arrow boundary
+    twice. The plane matrices stack into one (64 + T·B, dim) matmul, and
+    the values are bit-identical to the two-pass form (same planes, same
+    sign/packing math — asserted in tests/test_dedup_scale.py). NULL /
+    wrong-length vectors yield a NULL struct: no simhash, no bucket rows,
+    never a candidate — exactly the two-pass behavior."""
+    import numpy as np
+    import pandas as pd
+
+    P = np.asarray(
+        pseudo_hyperplanes(64, dim, tag="lshpre")
+        + pseudo_hyperplanes(n_tables * n_bits, dim),
+        dtype=np.float64,
+    )  # (64 + T*B, dim)
+    sh_weights = (np.uint64(1) << np.arange(64, dtype=np.uint64)).astype(
+        np.uint64
+    )
+    sig_weights = 1 << np.arange(n_bits)
+
+    @F.pandas_udf("sh long, sigs array<long>")
+    def keys(dv: pd.Series) -> pd.DataFrame:
+        out_sh = pd.Series([None] * len(dv), dtype=object, index=dv.index)
+        out_sigs = pd.Series([None] * len(dv), dtype=object, index=dv.index)
+        if not len(dv):
+            return pd.DataFrame({"sh": out_sh, "sigs": out_sigs})
+        ok = dv.map(lambda v: v is not None and len(v) == dim).to_numpy()
+        if ok.any():
+            V = np.stack(dv[ok].to_numpy())  # (n_ok, dim)
+            bits = (V @ P.T) > 0  # (n_ok, 64 + T*B)
+            packed = (bits[:, :64].astype(np.uint64) * sh_weights).sum(
+                axis=1
+            ).astype(np.uint64)
+            sh_vals = np.empty(len(dv), dtype=object)
+            sh_vals[np.flatnonzero(ok)] = [
+                int(x) for x in packed.view(np.int64)
+            ]
+            out_sh = pd.Series(sh_vals, index=dv.index)
+            sig_bits = bits[:, 64:]
+            per_table = [
+                sig_bits[:, t * n_bits : (t + 1) * n_bits] @ sig_weights
+                for t in range(n_tables)
+            ]
+            sig_mat = np.stack(per_table, axis=1)  # (n_ok, T)
+            sig_vals = np.empty(len(dv), dtype=object)
+            sig_vals[np.flatnonzero(ok)] = [
+                row.tolist() for row in sig_mat
+            ]
+            out_sigs = pd.Series(sig_vals, index=dv.index)
+        return pd.DataFrame({"sh": out_sh, "sigs": out_sigs})
+
+    return keys
+
+
 def with_lsh_buckets(
     emb: DataFrame,
     n_tables: int,

