@@ -84,7 +84,9 @@ def cap_basket(parts: Column | str, cap: int = BASKET_CAP) -> Column:
     return F.when(F.size(c) > cap, F.slice(F.sort_array(c), 1, cap)).otherwise(c)
 
 
-def basket_pair_array(parts: Column | str, *, directed: bool) -> Column:
+def basket_pair_array(
+    parts: Column | str, *, directed: bool, packed: bool = False
+) -> Column:
     """All within-basket item pairs as one array-of-structs projection —
     the shared pair-expansion core of q_basket_pairs (undirected: a < b,
     fields part_a/part_b) and the PageRank co-purchase derive (directed:
@@ -93,20 +95,28 @@ def basket_pair_array(parts: Column | str, *, directed: bool) -> Column:
     :func:`cap_basket` in the projection BEFORE this expansion (one
     evaluation of the valve per row, vs twice if it were inlined here) —
     that cap is what bounds the quadratic per-basket fan-out
-    (VERDICT r6 "wrong" #1)."""
-    fa, fb = ("src", "dst") if directed else ("part_a", "part_b")
+    (VERDICT r6 "wrong" #1).
+
+    ``packed=True`` (r12, guide §2.3 "narrower types") emits each pair as
+    ONE bigint ``(a << 32) | b`` instead of a two-field struct: the
+    pair-count shuffle then moves an 8-byte key instead of a 16-byte
+    struct row, and the explode walks a primitive long array. Callers
+    unpack with ``shiftright(pk, 32)`` / ``pk & 0xFFFFFFFF`` AFTER the
+    count, so public schemas are unchanged. Safe while item keys fit 32
+    unsigned bits — TPC-H partkeys reach 2e7 at sf100 and 2e8 at sf1000,
+    both far under 2^32 (guarded by the caller's domain)."""
     c = F.col(parts) if isinstance(parts, str) else parts
     pred = (lambda x, y: x != y) if directed else (lambda x, y: x < y)
+    if packed:
+        pair = lambda x, y: F.shiftleft(x.cast("long"), 32) + y.cast("long")  # noqa: E731
+    else:
+        fa, fb = ("src", "dst") if directed else ("part_a", "part_b")
+        pair = lambda x, y: F.struct(x.alias(fa), y.alias(fb))  # noqa: E731
     return F.flatten(
         F.transform(
             c,
             lambda x: F.filter(
-                F.transform(
-                    c,
-                    lambda y: F.when(
-                        pred(x, y), F.struct(x.alias(fa), y.alias(fb))
-                    ),
-                ),
+                F.transform(c, lambda y: F.when(pred(x, y), pair(x, y))),
                 lambda s: s.isNotNull(),
             ),
         )

@@ -379,10 +379,18 @@ def copurchase_pair_counts(li: DataFrame) -> DataFrame:
     )
     return (
         per_order.select(cap_basket("parts").alias("parts"))
-        .select(F.explode(basket_pair_array("parts", directed=True)).alias("p"))
-        .select(F.col("p.src").alias("src"), F.col("p.dst").alias("dst"))
-        .groupBy("src", "dst")
+        .select(
+            F.explode(
+                basket_pair_array("parts", directed=True, packed=True)
+            ).alias("pk")
+        )
+        .groupBy("pk")
         .agg(F.count("*").alias("w"))
+        .select(
+            F.shiftright("pk", 32).alias("src"),
+            F.col("pk").bitwiseAND(F.lit((1 << 32) - 1)).alias("dst"),
+            "w",
+        )
     )
 
 

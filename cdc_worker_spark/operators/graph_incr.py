@@ -122,16 +122,19 @@ def q_graph_copurchase_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_order.select("side", cap_basket("parts").alias("parts"))
         .select(
             "side",
-            F.explode(basket_pair_array("parts", directed=True)).alias("p"),
+            F.explode(
+                basket_pair_array("parts", directed=True, packed=True)
+            ).alias("pk"),
         )
-        .select("side", F.col("p.src").alias("src"), F.col("p.dst").alias("dst"))
     )
-    side_counts = pairs.groupBy("src", "dst").agg(
+    side_counts = pairs.groupBy("pk").agg(
         F.count(F.when(~F.col("side"), 1)).alias("w_base"),
         F.count(F.when(F.col("side"), 1)).alias("w_delta"),
     )
     merged = side_counts.select(
-        "src", "dst", (F.col("w_base") + F.col("w_delta")).alias("w")
+        F.shiftright("pk", 32).alias("src"),
+        F.col("pk").bitwiseAND(F.lit((1 << 32) - 1)).alias("dst"),
+        (F.col("w_base") + F.col("w_delta")).alias("w"),
     )
     return merged.filter(F.col("w") >= MIN_PAIR_ORDERS).select(
         "src", "dst", "w"

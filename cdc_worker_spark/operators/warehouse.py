@@ -225,13 +225,23 @@ def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # then nested transform + flatten (nulls from the < filter dropped).
     # Frequencies (pf, n_orders) stay on the UNCAPPED baskets — the valve
     # bounds only the quadratic pair fan-out.
+    # packed pair key (r12, guide §2.3): one bigint (a<<32)|b rides the
+    # count shuffle instead of a two-field struct; unpacked after the agg
     pairs = (
         per_order.select(cap_basket("parts").alias("parts"))
-        .select(F.explode(basket_pair_array("parts", directed=False)).alias("p"))
-        .select(F.col("p.part_a").alias("part_a"), F.col("p.part_b").alias("part_b"))
-        .groupBy("part_a", "part_b")
+        .select(
+            F.explode(
+                basket_pair_array("parts", directed=False, packed=True)
+            ).alias("pk")
+        )
+        .groupBy("pk")
         .agg(F.count("*").alias("n_both"))
         .filter(F.col("n_both") >= 2)
+        .select(
+            F.shiftright("pk", 32).alias("part_a"),
+            F.col("pk").bitwiseAND(F.lit((1 << 32) - 1)).alias("part_b"),
+            "n_both",
+        )
     )
     fa = pf.select(
         F.col("l_partkey").alias("part_a"), F.col("n_ord").alias("na")

@@ -167,15 +167,28 @@ def ingest_sized(
     ``rows_per_file`` per file, capped at ``max_files``), and every
     downstream scan fans out. Round-robin repartition — clustering choices
     (Z-order, range) belong to :func:`write_zordered` / :func:`write_sorted`;
-    this is the parallelism floor."""
+    this is the parallelism floor.
+
+    r12 (guide §2.6 overlap independent jobs): the per-table
+    count+rewrite jobs are independent, and each one's tail (a handful of
+    write tasks) left most cores idle — they now run from a small driver
+    thread pool so one table's tail back-fills with the next table's
+    scan. Three in flight is enough to fill the tail without the jobs
+    fighting for executors; results are byte-identical (same per-table
+    plans, just overlapped scheduling)."""
     import os
+    from concurrent.futures import ThreadPoolExecutor
 
     from cdc_worker_spark.sources.tables import TABLES, load_table
 
-    for name in TABLES:
+    def rewrite(name: str) -> None:
+        spark.sparkContext.setJobDescription(f"ingest_sized: {name}")
         df = load_table(spark, sf_dir, name)
         n = df.count()
         files = max(1, min(max_files, (n + rows_per_file - 1) // rows_per_file))
         df.repartition(files).write.mode("overwrite").parquet(
             os.path.join(out_dir, f"{name}.parquet")
         )
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        list(pool.map(rewrite, TABLES))
