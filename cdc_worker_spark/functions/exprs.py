@@ -101,7 +101,7 @@ def basket_pair_array(
     ONE bigint ``(a << 32) | b`` instead of a two-field struct: the
     pair-count shuffle then moves an 8-byte key instead of a 16-byte
     struct row, and the explode walks a primitive long array. Callers
-    unpack with ``shiftright(pk, 32)`` / ``pk & 0xFFFFFFFF`` AFTER the
+    unpack with ``shiftrightunsigned(pk, 32)`` / ``pk & 0xFFFFFFFF`` AFTER the
     count, so public schemas are unchanged. Safe while item keys fit 32
     unsigned bits — TPC-H partkeys reach 2e7 at sf100 and 2e8 at sf1000,
     both far under 2^32 (guarded by the caller's domain)."""

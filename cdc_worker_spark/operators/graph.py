@@ -387,7 +387,7 @@ def copurchase_pair_counts(li: DataFrame) -> DataFrame:
         .groupBy("pk")
         .agg(F.count("*").alias("w"))
         .select(
-            F.shiftright("pk", 32).alias("src"),
+            F.shiftrightunsigned("pk", 32).alias("src"),
             F.col("pk").bitwiseAND(F.lit((1 << 32) - 1)).alias("dst"),
             "w",
         )

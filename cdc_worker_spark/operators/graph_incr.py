@@ -132,7 +132,7 @@ def q_graph_copurchase_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("side"), 1)).alias("w_delta"),
     )
     merged = side_counts.select(
-        F.shiftright("pk", 32).alias("src"),
+        F.shiftrightunsigned("pk", 32).alias("src"),
         F.col("pk").bitwiseAND(F.lit((1 << 32) - 1)).alias("dst"),
         (F.col("w_base") + F.col("w_delta")).alias("w"),
     )

@@ -238,7 +238,7 @@ def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_both"))
         .filter(F.col("n_both") >= 2)
         .select(
-            F.shiftright("pk", 32).alias("part_a"),
+            F.shiftrightunsigned("pk", 32).alias("part_a"),
             F.col("pk").bitwiseAND(F.lit((1 << 32) - 1)).alias("part_b"),
             "n_both",
         )

@@ -310,3 +310,86 @@ def test_bucket_cap_inert_on_dispersed_data_and_fires_on_degenerate(spark):
         spark.createDataFrame(one, "vec_id: long, label: long, embedding: array<float>")
     )
     assert embedding_dedup_pairs(deg, threshold=0.9, bucket_cap=100).count() == 0
+
+
+def test_lsh_keys_udf_equals_two_pass_form(spark):
+    """r12: the fused one-Arrow-pass LSH key UDF (simhash + banded
+    signatures in one stacked matmul) must be BIT-EQUAL to the original
+    two-UDF form for good vectors and yield NULLs for bad ones — the
+    optimization changed the boundary crossing, not the math."""
+    from pyspark.sql import functions as F
+
+    from cdc_worker_spark.operators.lsh import (
+        lsh_keys_udf,
+        prefilter_simhash_udf,
+        with_lsh_buckets,
+    )
+
+    rows = _planted_vectors()[:50]
+    # plant one NULL and one wrong-length vector
+    rows.append((9001, 0, None))
+    rows.append((9002, 0, [1.0, 2.0]))
+    df = with_double_vec(
+        spark.createDataFrame(
+            rows, "vec_id: long, label: long, embedding: array<float>"
+        )
+    ).select("vec_id", "dv")
+    n_tables, n_bits = 16, 8
+    fused = {
+        r.vec_id: (r.sh, r.sigs)
+        for r in df.withColumn("_ss", lsh_keys_udf(n_tables, n_bits)(F.col("dv")))
+        .select("vec_id", F.col("_ss.sh").alias("sh"), F.col("_ss.sigs").alias("sigs"))
+        .collect()
+    }
+    sh_two = {
+        r.vec_id: r.sh
+        for r in df.withColumn("sh", prefilter_simhash_udf()(F.col("dv")))
+        .select("vec_id", "sh")
+        .collect()
+    }
+    sigs_two = {}
+    for r in (
+        with_lsh_buckets(df, n_tables, n_bits).select("vec_id", "tbl", "sig").collect()
+    ):
+        sigs_two.setdefault(r.vec_id, {})[r.tbl] = r.sig
+    for vid, (sh, sigs) in fused.items():
+        assert sh == sh_two[vid], vid
+        if vid in (9001, 9002):
+            assert sh is None and sigs is None
+            assert vid not in sigs_two  # posexplode of NULL: no bucket rows
+        else:
+            assert sigs == [sigs_two[vid][t] for t in range(n_tables)], vid
+
+
+def test_basket_pair_array_packed_matches_struct_form(spark):
+    """r12: packed=True emits (a<<32)|b bigints whose unpack reproduces
+    the struct form exactly, for both directed and undirected pairs."""
+    from pyspark.sql import functions as F
+
+    from cdc_worker_spark.functions.exprs import basket_pair_array
+
+    df = spark.createDataFrame(
+        [([1, 5, 3, 4294967295],), ([7],), ([],)], "parts: array<long>"
+    )
+    for directed in (True, False):
+        fa, fb = ("src", "dst") if directed else ("part_a", "part_b")
+        structs = sorted(
+            (r.p[fa], r.p[fb])
+            for r in df.select(
+                F.explode(basket_pair_array("parts", directed=directed)).alias("p")
+            ).collect()
+        )
+        packed = sorted(
+            (r.a, r.b)
+            for r in df.select(
+                F.explode(
+                    basket_pair_array("parts", directed=directed, packed=True)
+                ).alias("pk")
+            )
+            .select(
+                F.shiftrightunsigned("pk", 32).alias("a"),
+                F.col("pk").bitwiseAND(F.lit((1 << 32) - 1)).alias("b"),
+            )
+            .collect()
+        )
+        assert structs == packed and structs, directed
