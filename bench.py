@@ -105,7 +105,13 @@ def main() -> None:
         # the default for deployments with unreliable statistics.
         .config(
             "spark.sql.join.preferSortMergeJoin",
-            "true" if os.environ.get("SPARK_GRAFT_PREFER_SMJ") else "false",
+            # r13 (ADVICE r12): parse the escape hatch explicitly — any of
+            # 1/true/yes restores the SMJ-preferring default; 0/false/empty
+            # (and unset) select shuffled-hash preference.
+            "true"
+            if os.environ.get("SPARK_GRAFT_PREFER_SMJ", "").lower()
+            in ("1", "true", "yes")
+            else "false",
         )
         .getOrCreate()
     )
@@ -122,6 +128,65 @@ def main() -> None:
         qs[name](spark, "/root/testdata/sf0.001").write.format("noop").mode(
             "overwrite"
         ).save()
+
+    # r13 (VERDICT r12 next #1): fixed-work calibration anchor. This box's
+    # wall-clock drifts with external load (the same committed code measured
+    # 43.9 / 54.4 / 68.6 s across three r11/r12 windows), so every artifact
+    # carries three constant-work probes timed AFTER warmup: a pure CPU spin,
+    # a fixed-size shuffle, and a fixed parquet scan (the committed sf0.001
+    # fixture — SF-independent). Cross-window per-query comparisons divide by
+    # these. Median of 3 so one scheduler spike doesn't skew the anchor while
+    # sustained external load still shows. Additions-only: the timed suite
+    # below is unchanged.
+    def _calibration() -> dict[str, float]:
+        import statistics
+
+        from pyspark.sql import functions as F
+
+        def _med(fn) -> float:
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                fn()
+                ts.append(time.perf_counter() - t0)
+            return round(statistics.median(ts), 3)
+
+        sc = spark.sparkContext
+        noop = lambda df: df.write.format("noop").mode("overwrite").save()  # noqa: E731
+        sc.setJobDescription("calibration: cpu spin (xxhash64 over 100M longs)")
+        cpu = _med(
+            lambda: noop(
+                spark.range(100_000_000, numPartitions=64).selectExpr(
+                    "sum(xxhash64(id)) AS s"
+                )
+            )
+        )
+        sc.setJobDescription("calibration: fixed shuffle (8M rows, 4M keys)")
+        shuf = _med(
+            lambda: noop(
+                spark.range(8_000_000, numPartitions=32)
+                .groupBy((F.col("id") % 4_000_000).alias("k"))
+                .count()
+            )
+        )
+        sc.setJobDescription("calibration: fixed scan (sf0.001 lineitem x8)")
+        cal_scan = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        scan = _med(
+            lambda: [noop(cal_scan.selectExpr("sum(l_extendedprice) AS s")) for _ in range(8)]
+        )
+        sc.setJobDescription(None)
+        return {
+            "cpu_sec": cpu,
+            "shuffle_sec": shuf,
+            "scan_sec": scan,
+            "total_sec": round(cpu + shuf + scan, 3),
+        }
+
+    try:
+        calibration: dict | None = _calibration()
+    except Exception as e:  # noqa: BLE001 — anchor must never fail the bench
+        calibration = {"error": f"{type(e).__name__}: {e}"}
+
     def timed_suite(data_dir: str) -> dict[str, float]:
         """best-of-3: per-query min over three timed rounds. The plan's
         cost is the min; the deltas between rounds are JVM noise and
@@ -214,6 +279,60 @@ def main() -> None:
         if isinstance(streaming, dict):
             streaming["multi_topic"] = {"error": f"{type(e).__name__}: {e}"}
 
+    # r13 (ADVICE r12 medium): q_graph_copurchase_incr proves the monoid-merge
+    # EQUIVALENCE (single-pass conditional-count form, hash-matched against
+    # the from-scratch oracle); the SHIPPED incremental operator is
+    # extend_copurchase_edges (stored base counts + delta fold), which that
+    # query no longer exercises. Time it here as a side metric so regressions
+    # in the real maintenance path show up per round: base counts for the
+    # non-delta orders are materialized as setup (the steady state a deployed
+    # layout holds — its one-time cost reported separately, untimed work
+    # happens fresh in THIS invocation, nothing persists across runs), then
+    # the fold itself runs to a noop sink, best-of-3.
+    incr_fold: dict | None
+    base_dir = None
+    try:
+        import tempfile as _tf
+
+        from pyspark.sql import functions as F
+
+        from cdc_worker_spark.operators.graph import copurchase_pair_counts
+        from cdc_worker_spark.operators.graph_incr import (
+            DELTA_MOD,
+            DELTA_REM,
+            extend_copurchase_edges,
+        )
+        from cdc_worker_spark.sources.tables import load_table
+
+        li = load_table(spark, sf_dir, "lineitem")
+        is_delta = F.pmod(F.col("l_orderkey"), F.lit(DELTA_MOD)) == DELTA_REM
+        base_dir = _tf.mkdtemp(prefix="bench_incr_base_")
+        spark.sparkContext.setJobDescription("incr_fold: base-counts setup")
+        t0 = time.perf_counter()
+        copurchase_pair_counts(li.filter(~is_delta)).write.mode(
+            "overwrite"
+        ).parquet(base_dir)
+        base_build_sec = round(time.perf_counter() - t0, 3)
+        stored = spark.read.parquet(base_dir)
+        delta_li = li.filter(is_delta)
+        fold_sec = None
+        spark.sparkContext.setJobDescription("incr_fold: delta fold")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            extend_copurchase_edges(stored, delta_li).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            el = round(time.perf_counter() - t0, 3)
+            if fold_sec is None or el < fold_sec:
+                fold_sec = el
+        spark.sparkContext.setJobDescription(None)
+        incr_fold = {"fold_sec": fold_sec, "base_build_sec": base_build_sec}
+    except Exception as e:  # noqa: BLE001 — artifact must still emit
+        incr_fold = {"error": f"{type(e).__name__}: {e}"}
+    finally:
+        if base_dir is not None:
+            shutil.rmtree(base_dir, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -223,10 +342,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "calibration": calibration,
                 "primary_layout": primary_layout,
                 "ingest_sec": ingest_sec,
                 "raw_secondary": raw,
                 "streaming": streaming,
+                "incr_fold": incr_fold,
                 "notes": "best-of-3; ivf centroid training excluded "
                 "(memoized at warmup — build-once/probe-many by design); "
                 "r10+: PRIMARY pass runs on the engine's sized-file "
@@ -243,6 +364,7 @@ def main() -> None:
     full_art = {
         "metric": "headline_suite_wall_seconds",
         "sf": sf,
+        "calibration": calibration,
         "passes": {
             "primary": {
                 "layout": primary_layout,
@@ -257,6 +379,7 @@ def main() -> None:
             else raw,
         },
         "streaming": streaming,
+        "incr_fold": incr_fold,
         "notes": "best-of-3 per query; compare per-query times ONLY within "
         "the same pass label across rounds. r10 pass relabeling (VERDICT "
         "r09 next #6): 'primary' is now the sized-file ingested layout — "
@@ -300,6 +423,10 @@ def main() -> None:
     }
     if isinstance(raw, dict) and "value" in raw:
         compact["raw_total_sec"] = raw["value"]
+    if isinstance(calibration, dict) and "error" not in calibration:
+        compact["calibration"] = calibration
+    if isinstance(incr_fold, dict) and "fold_sec" in incr_fold:
+        compact["incr_fold_sec"] = incr_fold["fold_sec"]
     if ingest_sec is not None:
         compact["ingest_sec"] = ingest_sec
     if isinstance(streaming, dict) and "value" in streaming:

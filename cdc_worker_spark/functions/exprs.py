@@ -104,11 +104,33 @@ def basket_pair_array(
     unpack with ``shiftrightunsigned(pk, 32)`` / ``pk & 0xFFFFFFFF`` AFTER the
     count, so public schemas are unchanged. Safe while item keys fit 32
     unsigned bits — TPC-H partkeys reach 2e7 at sf100 and 2e8 at sf1000,
-    both far under 2^32 (guarded by the caller's domain)."""
+    both far under 2^32 — and since r13 the domain is ENFORCED in the
+    expression itself (assert_true: an out-of-domain key fails the task
+    with a named error instead of silently corrupting the pair)."""
     c = F.col(parts) if isinstance(parts, str) else parts
     pred = (lambda x, y: x != y) if directed else (lambda x, y: x < y)
     if packed:
-        pair = lambda x, y: F.shiftleft(x.cast("long"), 32) + y.cast("long")  # noqa: E731
+        # r13 (ADVICE r12): enforce the documented [0, 2^32) key domain at
+        # expression level — a negative or >= 2^32 key would overlap bits
+        # and silently corrupt the pair. assert_true returns NULL when the
+        # guard holds (so the packed value flows unchanged) and fails the
+        # task with this message when it does not; in-domain plans/results
+        # are bit-identical, the guard is two codegen comparisons per pair.
+        def pair(x: Column, y: Column) -> Column:  # noqa: E731
+            xl, yl = x.cast("long"), y.cast("long")
+            in_dom = (
+                (xl >= 0) & (xl < F.lit(1 << 32))
+                & (yl >= 0) & (yl < F.lit(1 << 32))
+            )
+            guard = F.assert_true(
+                in_dom,
+                F.lit(
+                    "basket_pair_array(packed=True): item key outside"
+                    " [0, 2^32) would corrupt the packed pair"
+                ),
+            )
+            pk = F.shiftleft(xl, 32) + yl
+            return F.when(guard.isNull(), pk)
     else:
         fa, fb = ("src", "dst") if directed else ("part_a", "part_b")
         pair = lambda x, y: F.struct(x.alias(fa), y.alias(fb))  # noqa: E731

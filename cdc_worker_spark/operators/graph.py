@@ -201,7 +201,7 @@ def pagerank(edges: DataFrame, damping: float = _PR_DAMPING, iters: int = _PR_IT
             )
         )
         if (i + 1) % 5 == 0:
-            ranks = lazy_spill_checkpoint(ranks)
+            ranks = lazy_spill_checkpoint(ranks, tag="pr-ranks")
     return ranks
 
 

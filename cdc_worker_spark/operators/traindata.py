@@ -178,8 +178,66 @@ PQ_M = 4
 PQ_K = 16
 
 
+def pq_assign_udf(cents_per_sub: list, sub_w: int, dim: int):
+    """ONE Arrow pass computing every subspace's code and the summed
+    quantization error — ``struct<codes: array<int>, sq_err: double>``.
+
+    r13 optimization (guide §4.1, same move as r12's lsh_keys_udf): the
+    per-subspace :func:`centroid_dists_udf` chain shipped the full vector
+    across the JVM↔Arrow boundary once PER SUBSPACE (m ArrowEvalPython
+    nodes, m Python-worker round trips per batch — q_emb_pq was the
+    suite's worst 32-core scaler at 0.49). All m codebooks ride one UDF;
+    per subspace the math is executed on an ``ascontiguousarray`` slice so
+    the distances are bit-identical to the multipass form (same
+    |x|²+|c|²-2xc expansion, same float64 BLAS shapes — asserted in
+    tests/test_traindata.py::test_pq_codes_fused_equals_multipass_form).
+    NULL / wrong-length vectors keep the multipass semantics exactly:
+    codes NULL (array_position over a NULL distance array), sq_err 0.0
+    (greatest(NULL, 0.0) in the old JVM fold)."""
+    import numpy as np
+    import pandas as pd
+
+    Cs = [np.asarray(c, dtype=np.float64) for c in cents_per_sub]
+    c_nrms = [(C * C).sum(axis=1) for C in Cs]
+    m = len(Cs)
+
+    @F.pandas_udf("codes array<int>, sq_err double")
+    def assign(dv: pd.Series) -> pd.DataFrame:
+        n = len(dv)
+        out_codes = pd.Series([None] * n, dtype=object, index=dv.index)
+        # bad rows carry 0.0, matching greatest(NULL, 0.0) in the JVM fold
+        out_err = pd.Series([0.0] * n, dtype="float64", index=dv.index)
+        if not n:
+            return pd.DataFrame({"codes": out_codes, "sq_err": out_err})
+        ok = dv.map(lambda v: v is not None and len(v) == dim).to_numpy()
+        if ok.any():
+            V = np.stack(dv[ok].to_numpy())  # (n_ok, dim)
+            codes = np.empty((V.shape[0], m), dtype=np.int64)
+            err = np.zeros(V.shape[0], dtype=np.float64)
+            for j in range(m):
+                # contiguous copy == the multipass form's np.stack of the
+                # JVM-sliced lists (identical BLAS input layout)
+                Vj = np.ascontiguousarray(V[:, j * sub_w : (j + 1) * sub_w])
+                D = (
+                    (Vj * Vj).sum(axis=1)[:, None]
+                    + c_nrms[j][None, :]
+                    - 2.0 * (Vj @ Cs[j].T)
+                )
+                codes[:, j] = D.argmin(axis=1)  # first min == array_position
+                err = err + np.maximum(D.min(axis=1), 0.0)
+            idx = np.flatnonzero(ok)
+            vals = np.empty(n, dtype=object)
+            vals[idx] = [row.tolist() for row in codes.astype(np.int32)]
+            out_codes = pd.Series(vals, index=dv.index)
+            out_err.iloc[idx] = err
+        return pd.DataFrame({"codes": out_codes, "sq_err": out_err})
+
+    return assign
+
+
 def pq_codes(
-    emb: DataFrame, emb_path: str, m: int = PQ_M, k: int = PQ_K
+    emb: DataFrame, emb_path: str, m: int = PQ_M, k: int = PQ_K,
+    fused: bool = True,
 ) -> DataFrame:
     """Product-quantize ``emb`` (must carry dv): per subspace j, Lloyd-train
     K centroids on the dim/m-wide slice, assign the nearest codeword, and
@@ -204,16 +262,38 @@ def pq_codes(
     if dim == 0 or dim % m != 0:
         raise ValueError(f"PQ needs dim % m == 0, got dim={dim}, m={m}")
     sub_w = dim // m  # fixture: 64/4 = 16
+    cents_per_sub = []
+    for j in range(m):
+        sub_col = F.slice("dv", j * sub_w + 1, sub_w)
+        sub = emb.select("vec_id", sub_col.alias("dv")).withColumn(
+            "nrm", dot_col(F.col("dv"), F.col("dv"))
+        )
+        cents_per_sub.append(
+            kmeans_centroids_cached(
+                sub, cache_key=f"{emb_path}#pq{m}x{k}s{j}", k=k, n_iters=2
+            )
+        )
+    if fused:
+        # r13: one ArrowEvalPython node for all m subspaces (see
+        # pq_assign_udf). Bit-equal to the multipass branch below.
+        assign = pq_assign_udf(cents_per_sub, sub_w, dim)
+        out = emb.withColumn("_pq", assign(F.col("dv")))
+        return out.select(
+            "*",
+            *[
+                F.col("_pq.codes")[j].alias(f"code_{j}")
+                for j in range(m)
+            ],
+            F.col("_pq.sq_err").alias("sq_err"),
+        ).drop("_pq")
+    # multipass reference form (kept for the fused-equality test): one
+    # centroid_dists_udf Arrow pass per subspace + JVM argmin/min fold
     out = emb
     for j in range(m):
         sub_col = F.slice("dv", j * sub_w + 1, sub_w)
-        sub = out.select("vec_id", sub_col.alias("dv")).withColumn(
-            "nrm", dot_col(F.col("dv"), F.col("dv"))
+        out = out.withColumn(
+            f"_d{j}", centroid_dists_udf(cents_per_sub[j])(sub_col)
         )
-        cents = kmeans_centroids_cached(
-            sub, cache_key=f"{emb_path}#pq{m}x{k}s{j}", k=k, n_iters=2
-        )
-        out = out.withColumn(f"_d{j}", centroid_dists_udf(cents)(sub_col))
     code_cols = []
     err_total = F.lit(0.0)
     for j in range(m):

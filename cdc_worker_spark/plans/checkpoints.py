@@ -58,7 +58,7 @@ def disk_checkpoint(df: DataFrame, tag: str = "state") -> DataFrame:
     return df.sparkSession.read.schema(df.schema).parquet(path)
 
 
-def lazy_spill_checkpoint(df: DataFrame) -> DataFrame:
+def lazy_spill_checkpoint(df: DataFrame, tag: str = "state") -> DataFrame:
     """Lineage truncation WITHOUT an eager materialization job: a lazy
     ``localCheckpoint`` at ``StorageLevel.DISK_ONLY``.
 
@@ -79,7 +79,20 @@ def lazy_spill_checkpoint(df: DataFrame) -> DataFrame:
     whose restart-from-scratch cost is acceptable; long multi-hour jobs on
     lossy clusters should keep the reliable parquet form (r12 measured at
     sf0.1: pagerank 6.3 s -> 5.2 s, directed 5.2 s -> 4.8 s swapping forms;
-    both bit-equal at 9dp)."""
+    both bit-equal at 9dp).
+
+    r13 (ADVICE r12): that deployment choice is now a RUNTIME switch, not
+    an edit — ``SPARK_GRAFT_RELIABLE_CHECKPOINTS=1`` routes every call
+    site through :func:`disk_checkpoint` (reliable parquet, survives
+    executor death / dynamic allocation), mirroring the
+    SPARK_GRAFT_PREFER_SMJ escape hatch. Default stays the lazy DISK_ONLY
+    form: correct for the single-box bench and for restartable iteration."""
+    if os.environ.get("SPARK_GRAFT_RELIABLE_CHECKPOINTS", "").lower() in (
+        "1",
+        "true",
+        "yes",
+    ):
+        return disk_checkpoint(df, tag)
     from pyspark import StorageLevel
 
     return df.localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)

@@ -38,5 +38,21 @@ def get_spark(app_name: str = "cdc-worker-spark") -> SparkSession:
         # fold's delta-endpoint lookups rely on this + doc_id-sorted row
         # groups to prune the corpus-scale label scan (cluster_incr r11).
         .config("spark.sql.parquet.pushdown.inFilterThreshold", "4096")
+        # r13 (VERDICT r12 next #4 — converge the join policy): the bench
+        # session has preferred shuffled-hash joins since r12 (guide §9
+        # batch-ETL baseline: SHJ skips both SMJ sort passes; the planner's
+        # choice stays size-gated by canBuildLocalHashMap, and operators
+        # that must never hash-build an O(corpus) side pin SMJ explicitly
+        # with .hint("merge")). The verified path (tests, oracle contract,
+        # invariants sweeps) now exercises the same plans — split-brain
+        # config retired. Same explicit escape hatch as bench.py for
+        # deployments with unreliable statistics.
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            "true"
+            if os.environ.get("SPARK_GRAFT_PREFER_SMJ", "").lower()
+            in ("1", "true", "yes")
+            else "false",
+        )
         .getOrCreate()
     )

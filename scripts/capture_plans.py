@@ -1,9 +1,10 @@
 #!/usr/bin/env python
-"""Capture .explain("formatted") for headline queries into plans/r12/.
+"""Capture .explain("formatted") for headline queries into plans/r<N>/.
 
 Usage: python scripts/capture_plans.py <suffix> [q_name,...]
   suffix: "before" or "after" (file name suffix)
   queries: comma-separated; default = the full bench HEADLINE list.
+  round dir: $SPARK_GRAFT_PLANS_ROUND (default r13).
 
 Planning only (explain does not run jobs). Session mirrors bench.py's so
 plan shapes (AQE, shuffle partitions, thresholds) match what the bench
@@ -33,6 +34,9 @@ def main() -> None:
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.sql.session.timeZone", "UTC")
+        # r13: mirror the bench session's join policy so captured shapes
+        # match what the bench executes (r12 captures predate the flip)
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -44,7 +48,8 @@ def main() -> None:
     names = (
         sys.argv[2].split(",") if len(sys.argv) > 2 else list(bench.HEADLINE)
     )
-    out_dir = pathlib.Path(__file__).resolve().parent.parent / "plans" / "r12"
+    rnd = os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r13")
+    out_dir = pathlib.Path(__file__).resolve().parent.parent / "plans" / rnd
     out_dir.mkdir(parents=True, exist_ok=True)
     for name in names:
         df = qs[name](spark, sf_dir)

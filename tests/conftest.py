@@ -10,6 +10,26 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
+def pytest_collection_modifyitems(config, items):
+    """Skip @pytest.mark.slow unless SPARK_GRAFT_FULL_TESTS is set
+    (r13, VERDICT r12 next #2: the driver's pytest gate must finish; the
+    slow scale/recall tail pushed the suite to ~45 min and timed the gate
+    out). The full suite stays one env var away and is still the
+    pre-release bar."""
+    if os.environ.get("SPARK_GRAFT_FULL_TESTS", "").lower() in (
+        "1",
+        "true",
+        "yes",
+    ):
+        return
+    skip = pytest.mark.skip(
+        reason="slow scale test (set SPARK_GRAFT_FULL_TESTS=1 to run)"
+    )
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture(scope="session")
 def spark():
     from cdc_worker_spark.session import get_spark

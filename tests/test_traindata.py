@@ -137,6 +137,38 @@ def test_pq_assignment_matches_numpy_reference(spark):
         assert coded[vid].sq_err == pytest.approx(total, rel=1e-9, abs=1e-9)
 
 
+def test_pq_codes_fused_equals_multipass_form(spark):
+    """r13: the single-Arrow-pass pq_assign_udf is BIT-equal to the
+    per-subspace centroid_dists_udf chain it replaced — codes and sq_err,
+    including the NULL / wrong-length row semantics (codes NULL, sq_err
+    0.0 via greatest(NULL, 0.0))."""
+    emb = with_double_vec(load_table(spark, SF, "embeddings"))
+    # plant a NULL vector and a wrong-length vector (same schema)
+    bad = spark.createDataFrame(
+        [(10_000_001, "syn", None), (10_000_002, "syn", [1.0, 2.0])],
+        "vec_id: long, label: string, dv: array<double>",
+    ).withColumn("nrm", F.lit(0.0))
+    emb = emb.select("vec_id", "label", "dv", "nrm").unionByName(bad)
+    key = f"{SF}/embeddings.parquet"
+    cols = ["vec_id", "code_0", "code_1", "code_2", "code_3", "sq_err"]
+    fused = {
+        r.vec_id: r
+        for r in pq_codes(emb, key, fused=True).select(cols).collect()
+    }
+    multi = {
+        r.vec_id: r
+        for r in pq_codes(emb, key, fused=False).select(cols).collect()
+    }
+    assert set(fused) == set(multi) and len(fused) > 2
+    for vid, f_row in fused.items():
+        m_row = multi[vid]
+        for c in cols[1:]:
+            assert f_row[c] == m_row[c], (vid, c, f_row[c], m_row[c])
+    # the planted bad rows: NULL codes, 0.0 error — in BOTH forms
+    for vid in (10_000_001, 10_000_002):
+        assert fused[vid].code_0 is None and fused[vid].sq_err == 0.0
+
+
 def test_pq_16_codewords_beat_one(spark):
     """Reconstruction with K=16 codewords per subspace must beat the
     trivial K=1 codebook (per-subspace mean) — the minimum bar for the
