@@ -40,6 +40,17 @@ VARIANTS: dict[str, dict[str, str]] = {
         "spark.sql.adaptive.coalescePartitions.parallelismFirst": "true",
         "spark.sql.adaptive.advisoryPartitionSizeInBytes": "67108864",
     },
+    # bracket the initial-partition sweep (round 0 signal: p16 −21%)
+    "p32": {
+        "spark.sql.shuffle.partitions": "32",
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst": "true",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "67108864",
+    },
+    "p8": {
+        "spark.sql.shuffle.partitions": "8",
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst": "true",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "67108864",
+    },
     # scale-adaptive: AQE targets bytes-per-partition, not parallelism —
     # partition count derives from shuffle size (the 100 TB-safe form)
     "pf64m": {

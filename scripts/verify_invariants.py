@@ -2676,6 +2676,18 @@ def main() -> int:
         .config("spark.sql.shuffle.partitions", "64")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", args.driver_mem)
+        # r13 (VERDICT r12 next #4): the sweep must exercise the same join
+        # policy the bench and session.py now run (shuffled-hash preferred,
+        # size-gated) — previously this harness silently kept the SMJ
+        # default, so sweeps never validated the benched plan shapes. Same
+        # escape hatch as bench.py/session.py.
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            "true"
+            if os.environ.get("SPARK_GRAFT_PREFER_SMJ", "").lower()
+            in ("1", "true", "yes")
+            else "false",
+        )
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")

@@ -5,6 +5,7 @@ flagged for full resync."""
 
 from __future__ import annotations
 
+import pytest
 import datetime as dt
 
 from pyspark.sql import functions as F
@@ -37,6 +38,7 @@ def _snapshot_df(spark):
     ).withColumn("event", F.col("event").dropFields("_corrupt"))
 
 
+@pytest.mark.slow
 def test_snapshot_bootstrap_then_stream_resume(spark, tmp_path):
     dirs = {k: str(tmp_path / k) for k in ("input", "state", "dlq", "chk")}
     # the bus holds the FULL retention window: replays 1-3 predate the

@@ -71,6 +71,7 @@ def test_intra_cluster_delta_pair_is_stable(spark):
     assert _lab(out) == _lab(labels)
 
 
+@pytest.mark.slow
 def test_incremental_equals_batch_on_fixture_split(spark):
     """The end-to-end contract at fixture scale: index-probed delta pairs
     + reduced-CC fold == connected_components(minhash_pairs(all docs))."""
@@ -113,6 +114,7 @@ def test_delta_pairs_match_batch_pair_slice(spark):
     assert got == want
 
 
+@pytest.mark.slow
 def test_registered_query_runs_and_matches_cluster_near(spark):
     incr = q_dedup_cluster_incr(spark, SF_DIR)
     from cdc_worker_spark.operators.dedup import q_dedup_cluster_near

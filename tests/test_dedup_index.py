@@ -3,6 +3,7 @@ batch, extend, probe again — the ingest loop a 100 TB pipeline runs."""
 
 from __future__ import annotations
 
+import pytest
 from cdc_worker_spark.operators.dedup_index import (
     build_dedup_index,
     extend_dedup_index,
@@ -81,6 +82,7 @@ def test_probe_broadcasts_batch_side(spark, tmp_path):
     assert "SortMergeJoin" not in plan
 
 
+@pytest.mark.slow
 def test_compact_preserves_content_and_shrinks_files(spark, tmp_path):
     """After many appends, compaction must collapse the part files to the
     target count without changing a single row, and probing still works."""
@@ -244,6 +246,7 @@ def test_extend_crash_mid_append_replays_exactly_once(spark, tmp_path):
                 == base_n[t] + delta[t]), t
 
 
+@pytest.mark.slow
 def test_endurance_churn_with_crashes_and_concurrent_reader(spark, tmp_path):
     """Lifetime test (VERDICT r05 next #8): 50 ingest batches with
     interleaved compactions, deterministic crash injection on both the

@@ -27,6 +27,7 @@ def empty_sf_dir(spark, sf_dir, tmp_path_factory) -> str:
     return out
 
 
+@pytest.mark.slow
 def test_every_query_survives_empty_tables(spark, empty_sf_dir):
     failures = []
     for name, builder in sorted(all_queries().items()):

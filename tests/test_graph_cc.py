@@ -51,6 +51,7 @@ def test_cc_star_matches_union_find(spark, edges):
         assert want.get(n, n) == c, (n, c, want.get(n))
 
 
+@pytest.mark.slow
 def test_cc_star_random_graphs_match_union_find(spark):
     rng = random.Random(7)
     for _ in range(3):
@@ -118,6 +119,7 @@ def _copurchase_edges(spark, sf_dir):
     )
 
 
+@pytest.mark.slow
 def test_pagerank_bucketed_no_edge_side_exchange(spark, sf_dir, tmp_path):
     """The materialized src-bucketed edge layout (VERDICT r05 next #4):
     one iteration's plan, with broadcast disabled, must read the edge

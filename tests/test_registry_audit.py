@@ -7,6 +7,7 @@ derived from the registry — README quotes the same number)."""
 
 from __future__ import annotations
 
+import pytest
 from cdc_worker_spark.plans import all_oracles, all_queries
 
 #: the one query whose cartesian product is the declared semantics
@@ -26,6 +27,7 @@ def test_registry_size_matches_docs():
     )
 
 
+@pytest.mark.slow
 def test_no_rowwise_python_or_undeclared_cartesian(spark, sf_dir):
     failures = []
     for name, builder in sorted(all_queries().items()):
@@ -37,6 +39,7 @@ def test_no_rowwise_python_or_undeclared_cartesian(spark, sf_dir):
     assert not failures, "\n".join(failures)
 
 
+@pytest.mark.slow
 def test_rows_only_queries_produce_evidence(spark, sf_dir):
     """A rows-only correctness check is only evidence if rows exist — catch a
     rows-only query silently degenerating to empty output.

@@ -4,6 +4,7 @@ schemas in one bus, one resolved lazily through the resolver callback."""
 
 from __future__ import annotations
 
+import pytest
 import base64
 import json
 from decimal import Decimal
@@ -245,6 +246,7 @@ def test_multiplexed_avro_py_demux_with_dlq(spark):
     assert len(typed) == 1 and typed[0].event.Email == "x@y.z"
 
 
+@pytest.mark.slow
 def test_multi_topic_pipeline_exactly_once_and_ordered(spark, tmp_path):
     """Multi-topic scale-out invariants (VERDICT r05 next #3): the
     multiplexed pipeline over an interleaved 4-topic bus, one file per

@@ -7,6 +7,7 @@ same operators' recall tracks nprobe / table count."""
 
 from __future__ import annotations
 
+import pytest
 from cdc_worker_spark.plans import all_queries
 
 
@@ -36,6 +37,7 @@ def test_lsh_recall_vs_exact(spark, sf_dir):
     assert n <= 30
 
 
+@pytest.mark.slow
 def test_ivfpq_recall_on_planted_clusters(spark, tmp_path):
     """IVF-PQ recall gate in the PLANTED regime (VERDICT r08 next #5): on
     the isotropic fixture embeddings, PQ recall ~0.10 is the information

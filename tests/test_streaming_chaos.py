@@ -145,6 +145,7 @@ def _assert_exactly_once(spark, dirs, expected, per_topic, total):
 
 
 @pytest.mark.parametrize("seed", range(10))
+@pytest.mark.slow
 def test_kill_and_resume_mid_batch(spark, tmp_path, seed):
     rng = random.Random(seed)
     n_kills = rng.randint(1, 3)
@@ -160,6 +161,7 @@ def test_kill_and_resume_mid_batch(spark, tmp_path, seed):
     _assert_exactly_once(spark, dirs, expected, per_topic, total)
 
 
+@pytest.mark.slow
 def test_post_write_kill_would_duplicate_under_append(spark, tmp_path):
     """Negative control: the pre-r7 append sink DOES double-write under a
     post-write kill — proving the chaos suite distinguishes the idempotent

@@ -8,6 +8,8 @@ import json
 import os
 import time
 
+import pytest
+
 from cdc_worker_spark.operators.index_layout import live_paths
 from cdc_worker_spark.streaming.ingest import run_dedup_ingest_pipeline
 
@@ -142,6 +144,7 @@ def test_intra_batch_near_dups_collapse(spark, tmp_path):
     assert rejects[21] == (20, "near")
 
 
+@pytest.mark.slow
 def test_null_text_docs_pass_through_distinct(spark, tmp_path):
     """Distinct NULL/empty-text docs in one batch must NOT collapse into
     each other (a NULL digest is not a duplicate relation)."""
@@ -191,6 +194,7 @@ def _batch_recompute_labels(spark, corpus_dir):
     )
 
 
+@pytest.mark.slow
 def test_label_mode_keeps_near_dups_and_maintains_cluster_labels(
     spark, tmp_path
 ):
@@ -238,6 +242,7 @@ def test_label_mode_keeps_near_dups_and_maintains_cluster_labels(
     assert got == want and {c for _, c in got} == {1, 4}, f"{got} vs {want}"
 
 
+@pytest.mark.slow
 def test_label_mode_crash_replay_lands_on_same_labels(spark, tmp_path):
     """Chaos window for label maintenance: Spark checkpoint AND ledger lost
     after a completed run — the full replay re-probes, detects its own docs
@@ -309,6 +314,7 @@ def test_crash_before_ledger_write_is_absorbed_by_replay_detection(spark, tmp_pa
         assert not rej, f"self-match rows in audit: {rej}"
 
 
+@pytest.mark.slow
 def test_label_cadence_folds_every_n_batches_and_finalize_matches_batch(
     spark, tmp_path
 ):
@@ -368,6 +374,7 @@ def test_label_cadence_folds_every_n_batches_and_finalize_matches_batch(
     )
 
 
+@pytest.mark.slow
 def test_label_cadence_crash_replay_lands_on_same_labels(spark, tmp_path):
     """Cadence-mode chaos twin: checkpoint AND ledger lost after a run with
     unfolded residue — the replay's spool appends are no-ops (segment
@@ -417,6 +424,7 @@ def test_label_cadence_crash_replay_lands_on_same_labels(spark, tmp_path):
     assert got == [(1, 1), (2, 1), (10, 1)], got
 
 
+@pytest.mark.slow
 def test_partitioned_labels_equal_monolithic_and_batch(spark, tmp_path):
     """label_buckets=4: the bucket-partitioned snapshot must equal the
     monolithic mode AND the batch recompute after the same stream, and a
@@ -728,6 +736,7 @@ def test_label_layout_policy_matrix():
     assert not p.should_migrate(None, None)
 
 
+@pytest.mark.slow
 def test_auto_layout_selects_bucketed_under_low_k_regime(spark, tmp_path):
     """VERDICT r11 next #3 gate: with a planted low-K regime (each fold
     touches one cluster family) and fixture-scale thresholds, the ingest
@@ -827,6 +836,7 @@ def test_pipeline_raises_on_label_bucket_mismatch(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_index_compact_cadence_folds_segments_and_keeps_semantics(
     spark, tmp_path
 ):

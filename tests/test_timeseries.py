@@ -145,6 +145,7 @@ from hypothesis import strategies as st
     ),
     cut=st.integers(min_value=0, max_value=100),
 )
+@pytest.mark.slow
 def test_merge_agg_states_property(spark, rows, cut):
     """Property: for ANY event set and ANY split point,
     merge(state(base), state(delta)) == state(all) — the monoid law the

@@ -87,6 +87,7 @@ def test_mix_temperature_weights_normalize_and_flatten(spark):
 # ---------------------------------------------------- product quantization
 
 
+@pytest.mark.slow
 def test_pq_assignment_matches_numpy_reference(spark):
     """Codes and sq_err agree with a numpy re-derivation against the SAME
     trained codebooks (training is deterministic and cached; this pins the
